@@ -1,0 +1,56 @@
+"""Vector column functions for embedding similarity.
+
+Pure column expressions over ``array<float|double>`` columns using
+``zip_with`` / ``aggregate`` higher-order functions — JVM-side, no UDF, so
+brute-force similarity scans stay inside whole-stage codegen. DuckDB's
+``list_cosine_similarity`` / ``list_dot_product`` are the oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _d(col: Column | str) -> Column:
+    # float32 embeddings -> double before arithmetic, matching DuckDB.
+    return F.transform(_c(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hyperplane_sketch(a: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot(a, plane_i) packed
+    into a long. Same-bucket vectors are cosine-similar candidates; used by
+    the IVF/LSH ANN scale path (operators.similarity.lsh_topk)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(_d(a), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")

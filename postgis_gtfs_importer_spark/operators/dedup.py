@@ -1,0 +1,425 @@
+"""Deduplication operators.
+
+The exact content-hash dedup core mirrors gtfsclean's redundancy-removal
+family (``--remove-red-agencies/-routes/-services/-shapes/-stops/-trips``,
+enabled at /root/reference/import.sh:83-100 — SURVEY.md §2.B11-B16): group
+rows by their non-key content, elect a canonical id (min id — preserving
+original ids per ``--keep-ids``, import.sh:68-70), and remap every foreign
+key that referenced a duplicate. On top of that core sit the corpus-scale
+near-dup operators (MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale + execution-model notes (100 TB design):
+  * Shingles are built RELATIONALLY — posexplode tokens, window lead to
+    form n-grams — not with per-row array lambdas. Spark's higher-order
+    functions (transform/aggregate) are interpreted per element (outside
+    whole-stage codegen) and measured 5-10× slower than the codegen'd
+    Generate + Window + HashAggregate pipeline for the same work; rows
+    also parallelize and spill, giant per-document arrays don't.
+  * MinHash signatures are 32 min-aggregates over a single md5-derived
+    base hash per shingle (universal-hash mixes are 3 integer ops each) —
+    map-side partial aggregation, one shuffle on doc id.
+  * The only all-to-all shuffle in LSH is the band-bucket self-join —
+    the canonical LSH-at-scale plan (pairs generated inside buckets only).
+  * Hashing is md5-based so results are deterministic and portable across
+    engines (the DuckDB oracle can replay them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import spread
+
+
+# ---------------------------------------------------------------------------
+# exact dedup + FK remap (the gtfsclean B11-B16 core)
+# ---------------------------------------------------------------------------
+
+def content_hash(cols: list[Column | str]) -> Column:
+    """Order-sensitive 256-bit hash of the content columns (null-safe)."""
+    parts = [F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("\x00"))
+             for c in cols]
+    return F.sha2(F.concat_ws("\x01", *parts), 256)
+
+
+def dedup_exact(df: DataFrame, id_col: str, content_cols: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Return (canonical_rows, mapping) for exact content duplicates.
+
+    mapping has columns (id_col, canonical_id) for *every* input id; rows
+    whose id == canonical_id are the survivors. Canonical = min(id) within
+    a content group (deterministic, id-stable — B6 ``--keep-ids``).
+    The shuffle key is the 256-bit content hash, not the full content.
+    """
+    hashed = df.withColumn("__h", content_hash(content_cols))
+    w = Window.partitionBy("__h")
+    mapping = (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .select(id_col, "canonical_id")
+    )
+    canonical = (
+        hashed.withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+    return canonical, mapping
+
+
+def remap_fk(referrer: DataFrame, fk_col: str, mapping: DataFrame, mapping_id: str) -> DataFrame:
+    """Rewrite referrer.fk_col through mapping (id -> canonical_id).
+
+    Broadcast the mapping when small (Catalyst auto-selects under the
+    broadcast threshold); unmapped/null FKs pass through unchanged.
+    """
+    m = mapping.select(
+        F.col(mapping_id).alias("__from"), F.col("canonical_id").alias("__to")
+    )
+    return (
+        referrer.join(m, referrer[fk_col] == m["__from"], "left")
+        .withColumn(fk_col, F.coalesce(F.col("__to"), F.col(fk_col)))
+        .drop("__from", "__to")
+    )
+
+
+def dedup_and_remap(
+    tables: dict[str, DataFrame],
+    table: str,
+    id_col: str,
+    content_cols: list[str],
+    referrers: list[tuple[str, str]],
+) -> dict[str, DataFrame]:
+    """Full gtfsclean-style dedup of one entity table + transitive FK remap.
+
+    referrers: [(table_name, fk_column), ...] to rewrite. Returns a new
+    table dict (input not mutated).
+    """
+    out = dict(tables)
+    canonical, mapping = dedup_exact(tables[table], id_col, content_cols)
+    out[table] = canonical
+    for ref_table, fk_col in referrers:
+        if ref_table in out:
+            out[ref_table] = remap_fk(out[ref_table], fk_col, mapping, id_col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# relational shingling (codegen-friendly building block)
+# ---------------------------------------------------------------------------
+
+def _jaccard_e6(inter: Column, uni: Column) -> Column:
+    """Jaccard as a fixed-point e6 integer: floor(j*1e6 + 0.5).
+
+    Ratios of small integers land exactly on decimal-rounding half
+    boundaries where engines' round() implementations disagree; explicit
+    floor arithmetic is portable (see plans.queries.fixed_point).
+    """
+    j = inter / F.greatest(uni, F.lit(1))
+    return F.floor(j * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def token_rows(df: DataFrame, id_col: str, text_col: str,
+               extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, *extra, pos, tok): one row per lowercase whitespace token.
+
+    posexplode of the split array — a codegen'd Generate, after spreading
+    thin inputs across cores (sources.tables.spread).
+    """
+    df = spread(df)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).withColumn("tok", F.lower(F.col("tok")))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                 extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, *extra, shingle): DISTINCT word n-grams, one row each.
+
+    Built with window lead() over token positions — every operator in the
+    pipeline (Generate, Window, HashAggregate) is whole-stage-codegen'd,
+    unlike array-lambda formulations which Spark evaluates interpreted
+    per element. The window shuffle key is the document id: uniform,
+    skew-free, and reused by the downstream per-document aggregates.
+    """
+    extra = list(extra_cols or [])
+    toks = token_rows(df, id_col, text_col, extra)
+    w = Window.partitionBy("id").orderBy("pos")
+    for i in range(1, n):
+        toks = toks.withColumn(f"__t{i}", F.lead("tok", i).over(w))
+    parts = [F.col("tok")] + [F.col(f"__t{i}") for i in range(1, n)]
+    sh = (
+        toks.filter(F.col(f"__t{n-1}").isNotNull())
+        .withColumn("shingle", F.concat_ws(" ", *parts))
+    )
+    return sh.select("id", *extra, "shingle").distinct()
+
+
+# ---------------------------------------------------------------------------
+# portable hashing primitives (md5-based; replayable in the SQL oracle)
+# ---------------------------------------------------------------------------
+
+# Mersenne prime for the universal-hash family; a_j*h stays < 2^62 so all
+# arithmetic fits signed 64-bit in every engine.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def hash31(col: Column) -> Column:
+    """Deterministic 31-bit hash as long: first 8 hex chars of md5, mod p."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % MINHASH_PRIME
+    )
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) universal-hash coefficients (replayable
+    anywhere without numpy — plain 64-bit LCG)."""
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MINHASH_PRIME - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    num_hashes: int = 32, seed: int = 42,
+) -> DataFrame:
+    """(id, sz, sig array<long>): MinHash signature per document.
+
+    One md5 per distinct shingle; each of the num_hashes functions is a
+    3-integer-op universal-hash mix aggregated with min() — partial
+    (map-side) aggregation makes the shuffle per-document, not
+    per-shingle. sz = |distinct shingles| rides along for Jaccard math.
+    """
+    sh = shingle_rows(df, id_col, text_col, n).withColumn(
+        "h", hash31(F.col("shingle"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    per_doc = sh.groupBy("id").agg(F.count("*").alias("sz"), *aggs)
+    return per_doc.select(
+        "id", "sz", F.array(*[F.col(f"s{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_band_keys(sig_col: Column, num_hashes: int, bands: int) -> Column:
+    """array<struct<band:int, key:string>> — one bucket key per band."""
+    rows = num_hashes // bands
+    entries = []
+    for b in range(bands):
+        sl = F.slice(sig_col, b * rows + 1, rows)
+        key = F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string"))))
+        entries.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return F.array(*entries)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact jaccard_e6 >= threshold).
+
+    Plan: signatures (shuffle on id) -> explode bands -> band-bucket
+    self-join (the only all-to-all shuffle, keyed on band hashes) ->
+    distinct candidates -> exact-Jaccard verification via a shared-shingle
+    count join (relational set-similarity, see ngram_jaccard_pairs).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = sigs.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), num_hashes, bands)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = shingle_rows(df, id_col, text_col, n)
+    sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard_e6",
+            _jaccard_e6(F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
+        .select("id_a", "id_b", "jaccard_e6")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5, **kw
+) -> DataFrame:
+    """Keep one canonical doc per near-dup cluster (min id of the pair graph).
+
+    Connected components approximated by dropping the greater id of every
+    pair — exact for the dominant pair/star clusters; full CC iterates to
+    fixpoint (see operators.cleaning orphan fixpoint for the pattern).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh): 64-bit SimHash per document, fully relational.
+
+    Tokens exploded to rows; two md5-derived 32-bit halves per token give
+    the 64 bit signals; groupBy(id) sums the ±1 votes per bit (64 codegen'd
+    sum aggregates with map-side partials); the final projection packs the
+    sign bits into one long.
+    """
+    toks = token_rows(df, id_col, text_col).select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h1") if k < 32 else F.col("h2"), k % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{k}")
+        for k in range(64)
+    ]
+    per_doc = toks.groupBy("id").agg(*votes)
+    packed = None
+    for k in range(64):
+        bit = F.when(
+            F.col(f"b{k}") > 0, F.shiftleft(F.lit(1).cast("long"), k)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return per_doc.select("id", packed.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs by banded SimHash + hamming verification.
+
+    Pigeonhole: hashes within hamming distance < bands must agree on at
+    least one 16-bit band; the band self-join generates candidates, then
+    bit_count(xor) verifies. Distance > 3 bands' worth of guarantees
+    means recall < 1 for max_hamming > 3 with 4 bands — raise bands for
+    stricter guarantees.
+    """
+    h = simhash64(df, id_col, text_col)
+    parts = []
+    for b in range(bands):
+        band_val = F.shiftright(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF))
+        parts.append(h.select("id", "sh", F.lit(b).alias("band"), band_val.alias("key")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, set-similarity join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via a set-similarity (inverted) join.
+
+    Only pairs that actually share a shingle are materialized: the
+    shingle-keyed equi-join counts |A∩B| directly, |A∪B| follows from
+    |A|+|B|-|A∩B|. Identical results to the naive all-pairs-within-block
+    plan for any threshold > 0 (jaccard > 0 ⟺ ≥1 shared shingle), but
+    shuffles scale linearly in corpus size + output pairs instead of
+    quadratically in block size. Hot-shingle skew is AQE's skew-join case.
+    """
+    assert threshold > 0, "threshold must be > 0 (zero-overlap pairs are pruned)"
+    src = df.withColumnRenamed(block_col, "blk") if block_col != "blk" else df
+    sh = shingle_rows(src, id_col, text_col, n, extra_cols=["blk"])
+    sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inv = sh.join(sz, "id")
+
+    a, b = inv.alias("a"), inv.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pair_inter.withColumn(
+            "jaccard_e6",
+            _jaccard_e6(F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
+        .select("id_a", "id_b", "jaccard_e6")
+    )

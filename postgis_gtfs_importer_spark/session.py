@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Local-mode defaults tuned for the test/bench harness (local[N] on one JVM);
+the same builder settings are what we would ship for a real cluster, minus
+the ``master`` override: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), UTC session timezone (required for DuckDB-oracle
+comparison — DuckDB timestamps are UTC-naive), Arrow enabled for the few
+Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "postgis-gtfs-importer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # One shuffle partition per core locally. On a real cluster this is
+        # overridden upward (or left to AQE coalescing from a high initial
+        # value) — see docs/SCALE.md.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver-generated events table stores TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects by default; read as long and
+        # convert in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Local-bench parquet files are single-digit-MB; the 128MB default
+        # would scan each as ONE partition, idling every other core. At
+        # cluster scale (multi-GB files) the default is correct — this is
+        # a small-input override, not a scale setting.
+        .config("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,59 @@
+"""Parquet table catalog for the driver-generated testdata.
+
+``load_tables`` is the single entry point the queries/bench harness uses:
+one ``spark.read.parquet`` per table so Catalyst gets per-table pushdown and
+column pruning (ReadSchema in .explain shows only referenced columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+    # (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
+    # the same precision DuckDB's TIMESTAMP cast uses.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has too few partitions for
+    the available cores.
+
+    Expression-heavy per-row operators (shingling, hashing, regex
+    analysis) on small compressed inputs otherwise run single-threaded:
+    a 600KB parquet file is one scan partition but expands to seconds of
+    CPU. The tiny shuffle is far cheaper than idling the cluster. No-op
+    when the source is already well-partitioned (the 100 TB case).
+    """
+    from ..session import default_parallelism
+
+    target = min_partitions or default_parallelism()
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
