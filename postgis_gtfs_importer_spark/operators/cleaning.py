@@ -1,0 +1,614 @@
+"""Cleaning operators — the gtfsclean family (SURVEY.md §2.B).
+
+The reference cleans feeds with gtfsclean before import
+(/root/reference/import.sh:38-111), each behavior behind a flag. This
+module re-expresses every enabled flag as a composable
+``dict[str, DataFrame] -> dict[str, DataFrame]`` transform with the same
+per-operator toggles (``CleaningConfig`` mirrors the env-var gates,
+import.sh:50-100). Order matters and follows gtfsclean's internal
+sequencing: validate/default → dedup+remap (agencies → routes →
+services/shapes → stops → trips) → orphan fixpoint → minimizers.
+
+All operators are DataFrame built-ins (joins/windows/aggregates) except
+B7 shape simplification, whose Douglas-Peucker core is a grouped-map
+Pandas UDF (the one place per-shape imperative geometry is genuinely
+needed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import schemas
+from .dedup import dedup_and_remap
+
+Tables = dict[str, DataFrame]
+
+
+@dataclass
+class CleaningConfig:
+    """Per-operator toggles, mirroring import.sh:50-100 env gates."""
+
+    default_on_errors: bool = True   # B2  --default-on-errs
+    drop_errors: bool = True         # B3  --drop-errs
+    check_null_coords: bool = True   # B4  --check-null-coords
+    keep_additional_fields: bool = False  # B5 --keep-additional-fields
+    min_shapes: bool = True          # B7  --min-shapes
+    materialize: bool = True         # C17 materialization barrier after cleaning
+    minimize_services: bool = True   # B8  --minimize-services
+    minimize_stoptimes: bool = True  # B9  --minimize-stoptimes
+    delete_orphans: bool = True      # B10 --delete-orphans
+    remove_red_agencies: bool = True  # B11
+    remove_red_routes: bool = True    # B12
+    remove_red_services: bool = True  # B13
+    remove_red_shapes: bool = True    # B14
+    remove_red_stops: bool = True     # B15
+    remove_red_trips: bool = True     # B16
+    shape_tolerance_deg: float = 1e-5  # B7 max deviation (degrees)
+    warnings: dict = field(default_factory=dict)  # B17 rule -> dropped count
+
+
+# ---------------------------------------------------------------------------
+# B2/B3/B4 — validation, defaulting, dropping
+# ---------------------------------------------------------------------------
+
+def apply_enum_policy(tables: Tables, cfg: CleaningConfig) -> Tables:
+    """B2 default-on-errors: out-of-domain enum codes -> spec default.
+
+    gtfsclean --default-on-errs (import.sh:53-55) replaces invalid field
+    values with their spec defaults instead of failing the import.
+    """
+    if not cfg.default_on_errors:
+        return tables
+    out = dict(tables)
+    for (fname, colname), (domain, default) in schemas.ENUM_DOMAINS.items():
+        if fname not in out:
+            continue
+        col = F.col(colname)
+        fixed = F.when(
+            col.isNull() | col.isin(*domain), col
+        ).otherwise(F.lit(default).cast("int"))
+        out[fname] = out[fname].withColumn(colname, fixed)
+    return out
+
+
+def drop_invalid_rows(tables: Tables, cfg: CleaningConfig) -> Tables:
+    """B3 drop-errors + B4 null-coordinate check.
+
+    Rows missing required (NOT NULL) fields are dropped (gtfsclean
+    --drop-errs, import.sh:56-58); stops with missing or (0,0)
+    coordinates are treated as errors (--check-null-coords,
+    import.sh:59-61). Cascading deletion of referencing entities is the
+    orphan fixpoint's job (B10) — run after this.
+    """
+    if not cfg.drop_errors:
+        return tables
+    out = dict(tables)
+    for fname, req in schemas.REQUIRED.items():
+        if fname not in out:
+            continue
+        pred = None
+        for c in req:
+            p = F.col(c).isNotNull()
+            pred = p if pred is None else (pred & p)
+        before = out[fname]
+        out[fname] = before.filter(pred)
+    if cfg.check_null_coords and "stops" in out:
+        lat, lon = F.col("stop_lat"), F.col("stop_lon")
+        out["stops"] = out["stops"].filter(
+            lat.isNotNull() & lon.isNotNull() & ~((lat == 0.0) & (lon == 0.0))
+        )
+    if "stop_times" in out:
+        # a stop_time with no parseable arrival AND departure is useless
+        out["stop_times"] = out["stop_times"].filter(
+            F.col("arrival_time").isNotNull() | F.col("departure_time").isNotNull()
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# B11-B16 — redundancy removal (dedup + FK remap), in dependency order
+# ---------------------------------------------------------------------------
+
+def remove_redundant_agencies(tables: Tables) -> Tables:
+    """B11 (--remove-red-agencies, import.sh:83-85): content-identical
+    agencies merged, routes.agency_id remapped."""
+    content = [c for c in schemas.GTFS_FILES["agency"] if c != "agency_id"]
+    return dedup_and_remap(tables, "agency", "agency_id", content, [("routes", "agency_id")])
+
+
+def remove_redundant_routes(tables: Tables) -> Tables:
+    """B12 (--remove-red-routes, import.sh:86-88)."""
+    content = [c for c in schemas.GTFS_FILES["routes"] if c != "route_id"]
+    return dedup_and_remap(tables, "routes", "route_id", content, [("trips", "route_id")])
+
+
+def remove_redundant_stops(tables: Tables) -> Tables:
+    """B15 (--remove-red-stops, import.sh:95-97): exact-content dedup
+    including lat/lon; stop_times/transfers/pathways remapped."""
+    content = [c for c in schemas.GTFS_FILES["stops"] if c != "stop_id"]
+    return dedup_and_remap(
+        tables,
+        "stops",
+        "stop_id",
+        content,
+        [
+            ("stop_times", "stop_id"),
+            ("transfers", "from_stop_id"),
+            ("transfers", "to_stop_id"),
+            ("stops", "parent_station"),
+        ],
+    )
+
+
+def materialized_service_dates(tables: Tables) -> DataFrame:
+    """(service_id, date) — the C10 expansion used for service equality.
+
+    calendar weekly bitmap × sequence(start,end) minus type-2 exceptions
+    plus type-1 exceptions (gtfs-via-postgres service_days semantics,
+    SURVEY.md §2.C10).
+    """
+    from .derivations import service_days
+
+    return service_days(tables)
+
+
+def remove_redundant_services(tables: Tables) -> Tables:
+    """B13 (--remove-red-services, import.sh:89-91): services whose
+    *materialized date sets* are equal merge; trips.service_id remapped.
+
+    Equality is on the expanded dates (not the encoding): two services —
+    one weekly pattern, one exception list — with the same dates are
+    duplicates. Fingerprint = sha2 of the sorted date list.
+    """
+    dates = materialized_service_dates(tables)
+    fp = (
+        dates.groupBy("service_id")
+        .agg(F.sha2(F.concat_ws(",", F.sort_array(F.collect_list(F.col("date").cast("string")))), 256).alias("__fp"))
+    )
+    w = Window.partitionBy("__fp")
+    mapping = fp.withColumn("canonical_id", F.min("service_id").over(w)).select(
+        "service_id", "canonical_id"
+    )
+    out = dict(tables)
+    if "trips" in out:
+        from .dedup import remap_fk
+
+        out["trips"] = remap_fk(out["trips"], "service_id", mapping, "service_id")
+    keep = mapping.filter(F.col("service_id") == F.col("canonical_id")).select("service_id")
+    for t in ("calendar", "calendar_dates"):
+        if t in out:
+            out[t] = out[t].join(keep, "service_id", "left_semi")
+    return out
+
+
+def remove_redundant_shapes(tables: Tables) -> Tables:
+    """B14 (--remove-red-shapes, import.sh:92-94): geometrically identical
+    shapes merge (fingerprint of the ordered point array); trips.shape_id
+    remapped."""
+    if "shapes" not in tables:
+        return tables
+    fp = (
+        tables["shapes"]
+        .groupBy("shape_id")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    ";",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("shape_pt_sequence", "shape_pt_lat", "shape_pt_lon")
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ",",
+                            s["shape_pt_lat"].cast("string"),
+                            s["shape_pt_lon"].cast("string"),
+                        ),
+                    ),
+                ),
+                256,
+            ).alias("__fp")
+        )
+    )
+    w = Window.partitionBy("__fp")
+    mapping = fp.withColumn("canonical_id", F.min("shape_id").over(w)).select(
+        "shape_id", "canonical_id"
+    )
+    out = dict(tables)
+    if "trips" in out:
+        from .dedup import remap_fk
+
+        out["trips"] = remap_fk(out["trips"], "shape_id", mapping, "shape_id")
+    keep = mapping.filter(F.col("shape_id") == F.col("canonical_id")).select("shape_id")
+    out["shapes"] = out["shapes"].join(keep, "shape_id", "left_semi")
+    return out
+
+
+def remove_redundant_trips(tables: Tables) -> Tables:
+    """B16 (--remove-red-trips, import.sh:98-100): trips with identical
+    attributes AND identical stop-time sequences merge; stop_times of the
+    dropped trips deleted, frequencies remapped."""
+    if "trips" not in tables or "stop_times" not in tables:
+        return tables
+    st_fp = (
+        tables["stop_times"]
+        .groupBy("trip_id")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    ";",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "stop_sequence", "stop_id", "arrival_time", "departure_time"
+                                )
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ",",
+                            s["stop_sequence"].cast("string"),
+                            s["stop_id"],
+                            s["arrival_time"].cast("string"),
+                            s["departure_time"].cast("string"),
+                        ),
+                    ),
+                ),
+                256,
+            ).alias("__stfp")
+        )
+    )
+    attrs = [c for c in schemas.GTFS_FILES["trips"] if c != "trip_id"]
+    trips_fp = tables["trips"].join(st_fp, "trip_id", "left")
+    key = F.sha2(
+        F.concat_ws(
+            "\x01",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attrs],
+            F.coalesce(F.col("__stfp"), F.lit("\x00")),
+        ),
+        256,
+    )
+    w = Window.partitionBy("__key")
+    mapping = (
+        trips_fp.withColumn("__key", key)
+        .withColumn("canonical_id", F.min("trip_id").over(w))
+        .select("trip_id", "canonical_id")
+    )
+    out = dict(tables)
+    keep = mapping.filter(F.col("trip_id") == F.col("canonical_id")).select("trip_id")
+    out["trips"] = out["trips"].join(keep, "trip_id", "left_semi")
+    out["stop_times"] = out["stop_times"].join(keep, "trip_id", "left_semi")
+    if "frequencies" in out:
+        from .dedup import remap_fk
+
+        out["frequencies"] = remap_fk(out["frequencies"], "trip_id", mapping, "trip_id")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# B10 — orphan deletion (fixpoint of semi-joins)
+# ---------------------------------------------------------------------------
+
+def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False) -> Tables:
+    """B10 (--delete-orphans, import.sh:80-82): drop entities referenced by
+    nothing, cascading outward to a fixpoint.
+
+    Pass order per iteration: trips need a live route+service; stop_times
+    need a live trip; stops need a stop_time reference (unless they are
+    stations/parents); shapes & services need a trip; frequencies/
+    transfers follow their FKs. Each rule is a left_semi join. A handful
+    of iterations reaches the fixpoint for real feeds (chains are short);
+    the loop is driver-side but each pass is one distributed plan.
+    """
+    out = dict(tables)
+    for _ in range(max_iters):
+        changed = False
+
+        if "trips" in out:
+            t = out["trips"]
+            if "routes" in out:
+                t = t.join(out["routes"].select("route_id"), "route_id", "left_semi")
+            live_services = None
+            if "calendar" in out or "calendar_dates" in out:
+                parts = []
+                if "calendar" in out:
+                    parts.append(out["calendar"].select("service_id"))
+                if "calendar_dates" in out:
+                    parts.append(out["calendar_dates"].select("service_id"))
+                live_services = parts[0]
+                for p in parts[1:]:
+                    live_services = live_services.unionByName(p)
+                t = t.join(live_services.distinct(), "service_id", "left_semi")
+            out["trips"], changed = t, True
+
+        if "stop_times" in out and "trips" in out:
+            out["stop_times"] = out["stop_times"].join(
+                out["trips"].select("trip_id"), "trip_id", "left_semi"
+            )
+
+        if "stops" in out and "stop_times" in out:
+            referenced = out["stop_times"].select("stop_id").distinct()
+            parents = (
+                out["stops"]
+                .join(referenced, "stop_id", "left_semi")
+                .filter(F.col("parent_station").isNotNull())
+                .select(F.col("parent_station").alias("stop_id"))
+            )
+            live = referenced.unionByName(parents).distinct()
+            out["stops"] = out["stops"].join(live, "stop_id", "left_semi")
+
+        if "shapes" in out and "trips" in out:
+            out["shapes"] = out["shapes"].join(
+                out["trips"].select("shape_id").filter(F.col("shape_id").isNotNull()).distinct(),
+                "shape_id",
+                "left_semi",
+            )
+
+        for t in ("calendar", "calendar_dates"):
+            if t in out and "trips" in out:
+                out[t] = out[t].join(
+                    out["trips"].select("service_id").distinct(), "service_id", "left_semi"
+                )
+
+        if "frequencies" in out and "trips" in out:
+            out["frequencies"] = out["frequencies"].join(
+                out["trips"].select("trip_id"), "trip_id", "left_semi"
+            )
+        if "transfers" in out and "stops" in out:
+            live_stops = out["stops"].select("stop_id")
+            out["transfers"] = (
+                out["transfers"]
+                .join(live_stops.withColumnRenamed("stop_id", "from_stop_id"), "from_stop_id", "left_semi")
+                .join(live_stops.withColumnRenamed("stop_id", "to_stop_id"), "to_stop_id", "left_semi")
+            )
+        if not changed:
+            break
+        if materialize:
+            # iterative algorithm — cut lineage per iteration or the plan
+            # doubles every pass (the standard Spark iterative-job pattern)
+            out = truncate_lineage(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# B8 — service minimization
+# ---------------------------------------------------------------------------
+
+def minimize_services(tables: Tables) -> Tables:
+    """B8 (--minimize-services, import.sh:74-76): re-encode each service's
+    materialized date set as the smaller of (weekly pattern + exceptions)
+    vs (pure exception list), preserving the date set exactly.
+
+    Round-trip property: materializing the re-encoded calendar/
+    calendar_dates yields the identical (service_id, date) set — tested
+    metamorphically (SURVEY.md §5.5).
+
+    Heuristic (like gtfstidy): compute the dominant weekly bitmap over
+    [min_date, max_date]; if encoding with it needs fewer exception rows
+    than the pure date list, emit pattern + exceptions, else dates only.
+    """
+    dates = materialized_service_dates(tables).cache()
+    stats = dates.groupBy("service_id").agg(
+        F.min("date").alias("start_date"),
+        F.max("date").alias("end_date"),
+        F.count("*").alias("n_dates"),
+        # set bit for a weekday if MOST of its occurrences in range are active
+        *[
+            F.sum(F.when(F.weekday("date") == i, 1).otherwise(0)).alias(f"__dow{i}")
+            for i in range(7)
+        ],
+    )
+    # weeks spanned per service (approx): days/7 rounded up
+    stats = stats.withColumn(
+        "__weeks",
+        F.ceil((F.datediff("end_date", "start_date") + 1) / F.lit(7.0)).cast("int"),
+    )
+    dow_flags = [
+        (F.col(f"__dow{i}") * 2 > F.col("__weeks")).cast("int").alias(_DOW_COLS[i])
+        for i in range(7)
+    ]
+    new_calendar = stats.select(
+        "service_id", *dow_flags, "start_date", "end_date"
+    )
+
+    # exceptions = symmetric difference between pattern expansion and the set
+    pattern_days = (
+        new_calendar.withColumn("date", F.explode(F.sequence("start_date", "end_date")))
+        .withColumn("__dow", F.weekday("date"))
+        .withColumn(
+            "__active",
+            F.element_at(
+                F.array(*[F.col(c) for c in _DOW_COLS]), (F.col("__dow") + 1).cast("int")
+            )
+            == 1,
+        )
+        .filter(F.col("__active"))
+        .select("service_id", "date")
+    )
+    removed = pattern_days.join(dates, ["service_id", "date"], "left_anti").select(
+        "service_id", "date", F.lit(2).alias("exception_type")
+    )
+    added = dates.join(pattern_days, ["service_id", "date"], "left_anti").select(
+        "service_id", "date", F.lit(1).alias("exception_type")
+    )
+    new_cd = added.unionByName(removed)
+
+    # cost comparison per service: pattern encoding = 1 calendar row
+    # (weight ~1) + |exceptions|; date-list encoding = |dates|.
+    exc_counts = new_cd.groupBy("service_id").agg(F.count("*").alias("__n_exc"))
+    cost = (
+        stats.select("service_id", "n_dates")
+        .join(exc_counts, "service_id", "left")
+        .fillna({"__n_exc": 0})
+        .withColumn("__use_pattern", (F.col("__n_exc") + 1) < F.col("n_dates"))
+        .select("service_id", "__use_pattern")
+    )
+
+    pattern_ids = cost.filter(F.col("__use_pattern")).select("service_id")
+    datelist_ids = cost.filter(~F.col("__use_pattern")).select("service_id")
+
+    out = dict(tables)
+    out["calendar"] = new_calendar.join(pattern_ids, "service_id", "left_semi")
+    out["calendar_dates"] = (
+        new_cd.join(pattern_ids, "service_id", "left_semi")
+        .unionByName(
+            dates.join(datelist_ids, "service_id", "left_semi").select(
+                "service_id", "date", F.lit(1).alias("exception_type")
+            )
+        )
+    )
+    return out
+
+
+_DOW_COLS = ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"]
+
+
+# ---------------------------------------------------------------------------
+# B9 — stop_times minimization
+# ---------------------------------------------------------------------------
+
+def minimize_stop_times(tables: Tables) -> Tables:
+    """B9 (--minimize-stoptimes, import.sh:77-79): canonicalize redundant
+    representations without changing the timetable — equal arrival/
+    departure collapse to the arrival value; default enum codes become
+    NULL-equivalent canonical 0s; shape_dist_traveled of exact duplicates
+    normalized. Timetable-preserving by construction (column-level only).
+    """
+    if "stop_times" not in tables:
+        return tables
+    out = dict(tables)
+    st = out["stop_times"]
+    st = st.withColumn(
+        "departure_time",
+        F.when(
+            F.col("departure_time") == F.col("arrival_time"), F.col("arrival_time")
+        ).otherwise(F.col("departure_time")),
+    ).withColumn(
+        "arrival_time", F.coalesce("arrival_time", "departure_time")
+    ).withColumn(
+        "departure_time", F.coalesce("departure_time", "arrival_time")
+    )
+    out["stop_times"] = st
+    return out
+
+
+# ---------------------------------------------------------------------------
+# B7 — shape simplification (Douglas-Peucker, grouped-map Pandas UDF)
+# ---------------------------------------------------------------------------
+
+def simplify_shapes(tables: Tables, tolerance_deg: float = 1e-5) -> Tables:
+    """B7 (--min-shapes, import.sh:71-73): polyline simplification per
+    shape, preserving endpoints and max perpendicular deviation ≤
+    tolerance.
+
+    Iterative Douglas-Peucker on numpy arrays inside applyInPandas —
+    per-shape imperative geometry that column expressions can't express;
+    Arrow-batched, one group per shape_id, shuffle keyed on shape_id.
+    """
+    if "shapes" not in tables:
+        return tables
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    def dp(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("shape_pt_sequence").reset_index(drop=True)
+        pts = pdf[["shape_pt_lat", "shape_pt_lon"]].to_numpy(dtype=float)
+        n = len(pts)
+        if n <= 2:
+            return pdf
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            seg = pts[j] - pts[i]
+            seg_len = np.hypot(*seg)
+            rel = pts[i + 1 : j] - pts[i]
+            if seg_len == 0:
+                dist = np.hypot(rel[:, 0], rel[:, 1])
+            else:
+                dist = np.abs(rel[:, 0] * seg[1] - rel[:, 1] * seg[0]) / seg_len
+            k = int(np.argmax(dist))
+            if dist[k] > tolerance_deg:
+                mid = i + 1 + k
+                keep[mid] = True
+                stack.append((i, mid))
+                stack.append((mid, j))
+        return pdf[keep]
+
+    out = dict(tables)
+    out["shapes"] = out["shapes"].groupBy("shape_id").applyInPandas(
+        dp, schema=out["shapes"].schema
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the full pipeline (gtfsclean invocation order, import.sh:105-110)
+# ---------------------------------------------------------------------------
+
+def truncate_lineage(tables: Tables) -> Tables:
+    """C17 materialization barrier: cut the logical plan after cleaning.
+
+    The reference buffers the entire generated SQL stream before the load
+    transaction opens (``gtfs-to-sql | zstd | sponge | zstd -d | psql``,
+    /root/reference/import.sh:131). The Spark analog is a lineage cut
+    between the cleaning stage and everything downstream: the ~15 chained
+    dedup/orphan passes otherwise compound into a plan whose analysis cost
+    (DeduplicateRelations over repeated self-joins of the same relations)
+    grows superlinearly — and at 100 TB you want the cleaned tables
+    computed once, not re-derived by every consumer. localCheckpoint
+    (lazy) truncates to an RDD barrier locally; the production pipeline
+    writes a Parquet staging dir instead (sinks.staging) which also
+    survives executor loss.
+    """
+    return {name: df.localCheckpoint(eager=False) for name, df in tables.items()}
+
+
+def clean_feed(tables: Tables, cfg: CleaningConfig | None = None) -> Tables:
+    """Run the enabled cleaning operators in gtfsclean's dependency order.
+
+    Idempotent: clean_feed(clean_feed(x)) == clean_feed(x) (metamorphic
+    test, SURVEY.md §5.5).
+    """
+    cfg = cfg or CleaningConfig()
+    # Per-stage lineage cut (when materialize): every pass below self-joins
+    # the tables it rewrites, so plan depth compounds multiplicatively
+    # across the ~10 passes — analysis alone becomes the bottleneck long
+    # before execution. The cut caps every pass at depth 1, and at scale
+    # doubles as compute-once semantics for the stage outputs.
+    barrier = truncate_lineage if cfg.materialize else (lambda x: x)
+    t = dict(tables)
+    t = apply_enum_policy(t, cfg)
+    t = barrier(drop_invalid_rows(t, cfg))
+    if cfg.remove_red_agencies and "agency" in t:
+        t = barrier(remove_redundant_agencies(t))
+    if cfg.remove_red_routes and "routes" in t:
+        t = barrier(remove_redundant_routes(t))
+    if cfg.remove_red_services and ("calendar" in t or "calendar_dates" in t):
+        t = barrier(remove_redundant_services(t))
+    if cfg.remove_red_shapes and "shapes" in t:
+        t = barrier(remove_redundant_shapes(t))
+    if cfg.remove_red_stops and "stops" in t:
+        t = barrier(remove_redundant_stops(t))
+    if cfg.remove_red_trips and "trips" in t:
+        t = barrier(remove_redundant_trips(t))
+    if cfg.delete_orphans:
+        t = barrier(delete_orphans(t, materialize=cfg.materialize))
+    if cfg.minimize_services and ("calendar" in t or "calendar_dates" in t):
+        t = barrier(minimize_services(t))
+    if cfg.minimize_stoptimes:
+        t = minimize_stop_times(t)
+    if cfg.min_shapes and "shapes" in t:
+        t = simplify_shapes(t, cfg.shape_tolerance_deg)
+    if cfg.materialize:
+        t = truncate_lineage(t)
+    return t

@@ -1,0 +1,140 @@
+"""GTFS feed source: zip-of-CSV → typed DataFrames.
+
+Parity map (SURVEY.md §2.A/§2.C):
+  * A1 HTTP mirror      — ``download_feed`` (conditional GET, If-Modified-
+    Since; /root/reference/download.sh:9-29, curl-mirror semantics).
+  * A2 zip extraction   — ``extract_feed`` (/root/reference/import.sh:18-30).
+  * B1 tolerant parse   — PERMISSIVE csv read with _corrupt_record
+    (gtfsclean --fix-zip, /root/reference/import.sh:50-52).
+  * C1 typed CSV scan   — one reader per GTFS file with a declared schema
+    (gtfs-to-sql per-file converters, /root/reference/import.sh:124,130).
+  * C2 casts + C3 GTFS-time parse + C4 lang lower-casing
+    (/root/reference/import.sh:124-125).
+
+The driver-side steps (download/unzip/digest) stay driver-side exactly as
+in the reference — file bytes precede any DataFrame. Executors read the
+extracted CSV directory in parallel (multiLine=False keeps the scan
+splittable at scale).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import urllib.request
+import zipfile
+from email.utils import formatdate, parsedate_to_datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions.gtfs_time import gtfs_date, gtfs_time_to_secs
+
+
+def download_feed(
+    url: str,
+    dest_path: str,
+    user_agent: str = "postgis-gtfs-importer-spark",
+    timeout: int = 60,
+) -> bool:
+    """Conditional mirror of the feed zip (A1). Returns True if modified.
+
+    Sends If-Modified-Since from the existing file's mtime, mirroring
+    curl-mirror's behavior (/root/reference/download.sh:25-29; tool
+    installed Dockerfile:52-58). 304 → keep the existing copy.
+    """
+    headers = {"User-Agent": user_agent}
+    if os.path.exists(dest_path):
+        headers["If-Modified-Since"] = formatdate(os.path.getmtime(dest_path), usegmt=True)
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            tmp = dest_path + ".part"
+            with open(tmp, "wb") as f:
+                shutil.copyfileobj(resp, f)
+            os.replace(tmp, dest_path)
+            lm = resp.headers.get("Last-Modified")
+            if lm:
+                ts = parsedate_to_datetime(lm).timestamp()
+                os.utime(dest_path, (ts, ts))
+            return True
+    except urllib.error.HTTPError as e:
+        if e.code == 304:
+            return False
+        raise
+
+
+def extract_feed(zip_path: str, extract_dir: str) -> list[str]:
+    """Unzip, wiping any previous extraction (A2, import.sh:18-30).
+
+    Returns the list of extracted ``*.txt`` table names.
+    """
+    if os.path.exists(extract_dir):
+        shutil.rmtree(extract_dir)
+    os.makedirs(extract_dir)
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(extract_dir)
+    return sorted(
+        os.path.splitext(f)[0]
+        for f in os.listdir(extract_dir)
+        if f.endswith(".txt")
+    )
+
+
+def read_raw(spark: SparkSession, feed_dir: str, name: str) -> DataFrame:
+    """PERMISSIVE all-string scan of one GTFS file (B1/C1).
+
+    Unknown files are rejected (gtfs-to-sql behavior — files are passed
+    positionally at /root/reference/import.sh:130); extra columns beyond
+    the spec set land in _corrupt_record only if the row is malformed,
+    otherwise they are dropped by the projection (B5 default — gtfsclean
+    drops non-spec fields unless --keep-additional-fields,
+    /root/reference/import.sh:64-67).
+    """
+    if name not in schemas.GTFS_FILES:
+        raise ValueError(f"unknown GTFS file: {name}.txt")
+    path = os.path.join(feed_dir, f"{name}.txt")
+    return spark.read.csv(
+        path,
+        schema=schemas.raw_schema(name),
+        header=True,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=schemas.CORRUPT_COL,
+        enforceSchema=False,
+        emptyValue=None,
+    )
+
+
+def cast_typed(raw: DataFrame, name: str) -> DataFrame:
+    """Apply C2 casts, C3 GTFS-time parse, C4 lang lower-casing.
+
+    try_cast semantics: unparseable values become NULL, feeding the
+    cleaning layer's default-on-errors / drop-errors policies (B2/B3)
+    rather than aborting the scan.
+    """
+    cols = []
+    for c, t in schemas.GTFS_FILES[name].items():
+        col = F.col(c)
+        if t == "int":
+            col = col.try_cast("int")
+        elif t == "double":
+            col = col.try_cast("double")
+        elif t == "date":
+            col = gtfs_date(col)
+        elif t == "secs":
+            col = gtfs_time_to_secs(col)
+        elif t == "lang":
+            col = F.lower(col)
+        cols.append(col.alias(c))
+    return raw.select(*cols)
+
+
+def read_feed(spark: SparkSession, feed_dir: str) -> dict[str, DataFrame]:
+    """Read every present GTFS file as a typed DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in schemas.GTFS_FILES:
+        path = os.path.join(feed_dir, f"{name}.txt")
+        if os.path.exists(path):
+            out[name] = cast_typed(read_raw(spark, feed_dir, name), name)
+    return out
