@@ -1,0 +1,343 @@
+"""Snapshot catalogs — the meta-store + snapshot-DB lifecycle (SURVEY §2.A).
+
+The reference publishes each import as a whole new PostgreSQL database and
+flips a bookkeeping pointer inside a transaction (A8-A19,
+/root/reference/import.js:112-318, index.js:147-273). Spark has no
+cross-job transaction or lock, so — exactly like the reference keeps this
+in Postgres rather than in Node — we keep it in the catalog backend, not
+in Spark:
+
+  * ``PostgresCatalog``: the parity backend. Bookkeeping + lock + pointer
+    flip in the meta DB over two connections (the CREATE/DROP DATABASE
+    dance can't run inside a transaction, import.js:115-118); snapshot
+    tables written by Spark's JDBC writer.
+  * ``LocalCatalog``: the same state machine against local storage —
+    bookkeeping in a SQLite file (real transactions; ``BEGIN IMMEDIATE``
+    with ``busy_timeout=0`` gives the reference's fail-fast
+    ``LOCK … EXCLUSIVE NOWAIT`` semantics, import.js:128-132), snapshots
+    as Parquet directories (what a lakehouse deployment would use).
+
+Both present the same interface to ``plans.publish.import_gtfs_atomically``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import sqlite3
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
+
+#: bookkeeping table name (index.js:147)
+BOOKKEEPING_TABLE = "latest_successful_imports"
+
+
+@dataclass(frozen=True)
+class ImportRecord:
+    """One row of latest_successful_imports (index.js:156-159)."""
+
+    db_name: str
+    imported_at: int  # unix seconds
+    feed_digest: str
+
+
+class ImportLockedError(RuntimeError):
+    """A concurrent importer holds the exclusive lock (fail-fast, A17)."""
+
+
+class LocalCatalog:
+    """Parquet-snapshot catalog with SQLite bookkeeping.
+
+    ``root/
+        meta.sqlite           — bookkeeping DB (the "meta database")
+        <db_name>/<table>/    — one parquet dir per table per snapshot``
+
+    Mirrors the two-connection design: the bookkeeping transaction runs on
+    one SQLite connection; "database" create/drop are filesystem ops that
+    are — like CREATE/DROP DATABASE in Postgres — non-transactional by
+    nature (import.js:115-118), which is exactly why the state machine
+    GCs orphans on the next run instead of relying on rollback.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._meta_path = os.path.join(root, "meta.sqlite")
+        self._con = sqlite3.connect(self._meta_path, isolation_level=None)
+        self._con.execute("PRAGMA busy_timeout = 0")  # NOWAIT
+
+    # -- bookkeeping DDL (A8, index.js:149-162) -----------------------------
+    def ensure_bookkeeping(self) -> None:
+        # existence probe first: sqlite's CREATE TABLE IF NOT EXISTS takes a
+        # write lock even when it no-ops, which would turn a concurrent
+        # importer's lock into a failure *here* instead of at the A17 gate
+        exists = self._con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+            (BOOKKEEPING_TABLE,),
+        ).fetchone()
+        if exists:
+            return
+        self._con.execute(
+            f"""CREATE TABLE IF NOT EXISTS {BOOKKEEPING_TABLE} (
+                db_name TEXT PRIMARY KEY,
+                imported_at INTEGER NOT NULL,
+                feed_digest TEXT NOT NULL
+            )"""
+        )
+
+    # -- transaction bracket + exclusive lock (A17/A18) ---------------------
+    def begin_exclusive(self) -> None:
+        """BEGIN + take the single-writer lock, failing fast if held.
+
+        SQLite ``BEGIN IMMEDIATE`` acquires the write lock at BEGIN time;
+        with busy_timeout=0 a concurrent holder raises immediately —
+        the ``LOCK TABLE … IN EXCLUSIVE MODE NOWAIT`` semantics of
+        import.js:128-132 (readers are unaffected, writers fail fast).
+        """
+        try:
+            self._con.execute("BEGIN IMMEDIATE")
+        except sqlite3.OperationalError as e:
+            raise ImportLockedError(
+                "another import is running (bookkeeping lock held)"
+            ) from e
+
+    def commit(self) -> None:
+        self._con.execute("COMMIT")
+
+    def rollback(self) -> None:
+        self._con.execute("ROLLBACK")
+
+    # -- scans (A9/A10) ------------------------------------------------------
+    def list_recorded_imports(self, prefix: str) -> list[ImportRecord]:
+        """A9: prefix filter + project + sort desc by imported_at
+        (index.js:183-198)."""
+        rows = self._con.execute(
+            f"""SELECT db_name, imported_at, feed_digest
+                FROM {BOOKKEEPING_TABLE}
+                WHERE substr(db_name, 1, ?) = ?
+                ORDER BY imported_at DESC""",
+            (len(prefix), prefix),
+        ).fetchall()
+        return [ImportRecord(*r) for r in rows]
+
+    def list_databases(self, prefix: str) -> list[str]:
+        """A10: the physically-existing snapshot set, sorted asc
+        (index.js:205-217) — here: subdirectories of root."""
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if d.startswith(prefix) and os.path.isdir(os.path.join(self.root, d))
+        )
+
+    # -- DB lifecycle (A19) --------------------------------------------------
+    def create_database(self, db_name: str) -> None:
+        os.makedirs(os.path.join(self.root, db_name))
+
+    def drop_database(self, db_name: str) -> None:
+        shutil.rmtree(os.path.join(self.root, db_name))
+
+    # -- bookkeeping edits (A15/A16) ----------------------------------------
+    def record_import(self, rec: ImportRecord) -> None:
+        self._con.execute(
+            f"INSERT INTO {BOOKKEEPING_TABLE} (db_name, imported_at, feed_digest)"
+            " VALUES (?, ?, ?)",
+            (rec.db_name, rec.imported_at, rec.feed_digest),
+        )
+
+    def remove_import_record(self, db_name: str) -> None:
+        self._con.execute(
+            f"DELETE FROM {BOOKKEEPING_TABLE} WHERE db_name = ?", (db_name,)
+        )
+
+    # -- the snapshot sink ---------------------------------------------------
+    def write_tables(self, db_name: str, tables: dict[str, DataFrame]) -> None:
+        """Write every table into the snapshot — the C17/C18 analog.
+
+        Parquet overwrite per table; errors abort the pipeline before the
+        pointer flip, so readers (who only follow published pointers)
+        never see partial data.
+        """
+        base = os.path.join(self.root, db_name)
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(base, name))
+
+    def read_table(self, db_name: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, db_name, table))
+
+    def connection_info(self, db_name: str) -> dict[str, str]:
+        """What a DSN entry (A22) points at for this backend."""
+        return {"path": os.path.join(self.root, db_name)}
+
+    def close(self) -> None:
+        self._con.close()
+
+
+class PostgresCatalog:
+    """Parity backend: PostGIS snapshots + Postgres meta-DB over psycopg2.
+
+    Faithful to the reference's two-connection design:
+      * ``meta`` connection — bookkeeping transaction + ``LOCK TABLE …
+        IN EXCLUSIVE MODE NOWAIT`` (import.js:126-132);
+      * ``mgmt`` connection (autocommit) — ``CREATE/DROP DATABASE``
+        which cannot run inside a transaction (import.js:115-118).
+
+    Spark writes snapshot tables via JDBC (numPartitions-parallel,
+    ``reWriteBatchedInserts=true``) into the freshly minted database —
+    replacing the reference's ``gtfs-to-sql | psql`` COPY stream
+    (import.sh:124-132). Requires psycopg2 + a PostgreSQL JDBC driver on
+    the Spark classpath; import-gated so the rest of the engine runs
+    without either.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str,
+        port: int,
+        user: str,
+        password: str,
+        meta_db: str = "postgres",
+        jdbc_write_options: dict | None = None,
+    ):
+        try:
+            import psycopg2  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env without psycopg2
+            raise ImportError(
+                "PostgresCatalog requires psycopg2 (LocalCatalog has no "
+                "external dependencies)"
+            ) from e
+        import psycopg2
+
+        self.spark = spark
+        self._cfg = dict(host=host, port=port, user=user, password=password)
+        self.meta_db = meta_db
+        self._meta = psycopg2.connect(dbname=meta_db, **self._cfg)
+        self._meta.autocommit = True  # explicit BEGIN/COMMIT below
+        self._mgmt = psycopg2.connect(dbname=meta_db, **self._cfg)
+        self._mgmt.autocommit = True
+        self._jdbc_opts = {
+            "user": user,
+            "password": password,
+            "driver": "org.postgresql.Driver",
+            "reWriteBatchedInserts": "true",
+            "batchsize": "10000",
+            **(jdbc_write_options or {}),
+        }
+
+    def ensure_bookkeeping(self) -> None:
+        with self._meta.cursor() as cur:
+            cur.execute(
+                f"""CREATE TABLE IF NOT EXISTS {BOOKKEEPING_TABLE} (
+                    db_name TEXT PRIMARY KEY,
+                    -- UNIX timestamp (index.js:158)
+                    imported_at INTEGER NOT NULL,
+                    feed_digest TEXT NOT NULL
+                )"""
+            )
+
+    def begin_exclusive(self) -> None:
+        import psycopg2
+
+        with self._meta.cursor() as cur:
+            cur.execute("BEGIN")
+            try:
+                cur.execute(
+                    f"LOCK TABLE {BOOKKEEPING_TABLE} IN EXCLUSIVE MODE NOWAIT"
+                )
+            except psycopg2.errors.LockNotAvailable as e:
+                cur.execute("ROLLBACK")
+                raise ImportLockedError(
+                    "another import is running (bookkeeping lock held)"
+                ) from e
+
+    def commit(self) -> None:
+        with self._meta.cursor() as cur:
+            cur.execute("COMMIT")
+
+    def rollback(self) -> None:
+        with self._meta.cursor() as cur:
+            cur.execute("ROLLBACK")
+
+    def list_recorded_imports(self, prefix: str) -> list[ImportRecord]:
+        with self._meta.cursor() as cur:
+            cur.execute(
+                f"""SELECT db_name, imported_at, feed_digest
+                    FROM {BOOKKEEPING_TABLE}
+                    WHERE substring(db_name FOR %s) = %s
+                    ORDER BY imported_at DESC""",
+                (len(prefix), prefix),
+            )
+            return [ImportRecord(*r) for r in cur.fetchall()]
+
+    def list_databases(self, prefix: str) -> list[str]:
+        with self._mgmt.cursor() as cur:
+            cur.execute(
+                """SELECT datname FROM pg_catalog.pg_database
+                   WHERE substring(datname FOR %s) = %s
+                   ORDER BY datname ASC""",
+                (len(prefix), prefix),
+            )
+            # A11: never treat the meta DB itself as a snapshot
+            return [r[0] for r in cur.fetchall() if r[0] != self.meta_db]
+
+    def create_database(self, db_name: str) -> None:
+        with self._mgmt.cursor() as cur:
+            cur.execute(f'CREATE DATABASE "{db_name}"')
+
+    def drop_database(self, db_name: str) -> None:
+        with self._mgmt.cursor() as cur:
+            cur.execute(f'DROP DATABASE "{db_name}"')
+
+    def record_import(self, rec: ImportRecord) -> None:
+        with self._meta.cursor() as cur:
+            cur.execute(
+                f"INSERT INTO {BOOKKEEPING_TABLE} (db_name, imported_at,"
+                " feed_digest) VALUES (%s, %s, %s)",
+                (rec.db_name, rec.imported_at, rec.feed_digest),
+            )
+
+    def remove_import_record(self, db_name: str) -> None:
+        with self._meta.cursor() as cur:
+            cur.execute(
+                f"DELETE FROM {BOOKKEEPING_TABLE} WHERE db_name = %s", (db_name,)
+            )
+
+    def _jdbc_url(self, db_name: str) -> str:
+        return (
+            f"jdbc:postgresql://{self._cfg['host']}:{self._cfg['port']}/{db_name}"
+        )
+
+    def write_tables(self, db_name: str, tables: dict[str, DataFrame]) -> None:
+        from .sinks.postgis import write_snapshot
+
+        write_snapshot(self, db_name, tables)
+
+    def execute_sql(self, db_name: str, sql: str) -> None:
+        """Run one SQL script against a snapshot DB in a single transaction
+        — the postprocessing.d/*.sql hook semantics (psql -1 -v
+        ON_ERROR_STOP=1, import.sh:141)."""
+        import psycopg2
+
+        con = psycopg2.connect(dbname=db_name, **self._cfg)
+        try:
+            with con:  # one transaction, aborts atomically on error
+                with con.cursor() as cur:
+                    cur.execute(sql)
+        finally:
+            con.close()
+
+    def connection_info(self, db_name: str) -> dict[str, str]:
+        return {
+            "host": str(self._cfg["host"]),
+            "port": str(self._cfg["port"]),
+            "dbname": db_name,
+        }
+
+    def close(self) -> None:
+        self._meta.close()
+        self._mgmt.close()

@@ -580,31 +580,34 @@ def clean_feed(tables: Tables, cfg: CleaningConfig | None = None) -> Tables:
     test, SURVEY.md §5.5).
     """
     cfg = cfg or CleaningConfig()
-    # Per-stage lineage cut (when materialize): every pass below self-joins
-    # the tables it rewrites, so plan depth compounds multiplicatively
-    # across the ~10 passes — analysis alone becomes the bottleneck long
-    # before execution. The cut caps every pass at depth 1, and at scale
-    # doubles as compute-once semantics for the stage outputs.
+    # Lineage cuts (when materialize): the passes below self-join the
+    # tables they rewrite, so UNBOUNDED composition makes plan analysis
+    # cost compound multiplicatively (DeduplicateRelations over repeated
+    # relations) — the iterative orphan fixpoint is the worst (fan-out ~5
+    # per iteration). Barriers sit after each *family*, not each pass:
+    # deep enough to cap analysis, coarse enough not to flood the
+    # scheduler with materialization jobs.
     barrier = truncate_lineage if cfg.materialize else (lambda x: x)
     t = dict(tables)
     t = apply_enum_policy(t, cfg)
-    t = barrier(drop_invalid_rows(t, cfg))
+    t = drop_invalid_rows(t, cfg)
     if cfg.remove_red_agencies and "agency" in t:
-        t = barrier(remove_redundant_agencies(t))
+        t = remove_redundant_agencies(t)
     if cfg.remove_red_routes and "routes" in t:
-        t = barrier(remove_redundant_routes(t))
+        t = remove_redundant_routes(t)
     if cfg.remove_red_services and ("calendar" in t or "calendar_dates" in t):
-        t = barrier(remove_redundant_services(t))
+        t = remove_redundant_services(t)
     if cfg.remove_red_shapes and "shapes" in t:
-        t = barrier(remove_redundant_shapes(t))
+        t = remove_redundant_shapes(t)
     if cfg.remove_red_stops and "stops" in t:
-        t = barrier(remove_redundant_stops(t))
+        t = remove_redundant_stops(t)
     if cfg.remove_red_trips and "trips" in t:
-        t = barrier(remove_redundant_trips(t))
+        t = remove_redundant_trips(t)
+    t = barrier(t)  # after the dedup family
     if cfg.delete_orphans:
         t = barrier(delete_orphans(t, materialize=cfg.materialize))
     if cfg.minimize_services and ("calendar" in t or "calendar_dates" in t):
-        t = barrier(minimize_services(t))
+        t = minimize_services(t)
     if cfg.minimize_stoptimes:
         t = minimize_stop_times(t)
     if cfg.min_shapes and "shapes" in t:

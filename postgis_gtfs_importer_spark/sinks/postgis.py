@@ -1,0 +1,122 @@
+"""PostGIS snapshot sink — JDBC bulk load + spatial DDL (C6/C18/§4).
+
+Replaces the reference's ``gtfs-to-sql … | psql`` COPY stream
+(/root/reference/import.sh:124-132) with Spark's parallel JDBC writer into
+the freshly minted snapshot DB. Cross-table atomicity is NOT provided here
+— exactly as in the reference, atomicity comes from the DB-per-import
+snapshot + bookkeeping pointer flip (SURVEY §2.C18): a failed write aborts
+the pipeline before the pointer moves.
+
+Spatial parity (C6, ``--stops-location-index`` import.sh:126): geometry is
+materialized PG-side by post-load DDL — Spark ships ``(lon, lat)`` doubles
+/ WKT strings, then ``ALTER TABLE … ADD COLUMN … generated`` +
+``CREATE INDEX … GIST`` run over the catalog connection. Indexes are
+created AFTER the bulk load (SURVEY §4 "PK/FK/index creation at load").
+
+If measured >2× off the COPY baseline, the sink swaps the JDBC writer for
+a ``foreachPartition`` psycopg2 ``COPY FROM STDIN`` without changing the
+interface — flagged in SURVEY §4 as an implementation detail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: post-load DDL per table: geometry columns + GIST indexes (C6) and PKs.
+SPATIAL_DDL = {
+    "stops": [
+        # geography(Point) + GIST — the --stops-location-index surface
+        "ALTER TABLE stops ADD COLUMN stop_loc geography(POINT, 4326)",
+        "UPDATE stops SET stop_loc = ST_SetSRID("
+        "ST_MakePoint(stop_lon, stop_lat), 4326)::geography "
+        "WHERE stop_lon IS NOT NULL AND stop_lat IS NOT NULL",
+        "CREATE INDEX stops_stop_loc_idx ON stops USING GIST (stop_loc)",
+    ],
+    "shapes_aggregated": [
+        # the ST_MakeLine analog over the WKT column (C13 boundary form)
+        "ALTER TABLE shapes_aggregated ADD COLUMN shape geography(LINESTRING, 4326)",
+        "UPDATE shapes_aggregated SET shape = ST_GeogFromText(wkt)",
+        "CREATE INDEX shapes_aggregated_shape_idx ON shapes_aggregated USING GIST (shape)",
+    ],
+}
+
+PRIMARY_KEYS = {
+    "agency": "agency_id",
+    "stops": "stop_id",
+    "routes": "route_id",
+    "trips": "trip_id",
+}
+
+
+def import_metadata_row(spark, feed_digest: str, imported_at: int) -> DataFrame:
+    """C7 ``--import-metadata``: one-row provenance table written into every
+    snapshot (engine version, feed digest, import timestamp)."""
+    from .. import __version__
+
+    return spark.createDataFrame(
+        [(__version__, spark.version, feed_digest, imported_at)],
+        "importer_version string, spark_version string, feed_digest string,"
+        " imported_at long",
+    )
+
+
+def postgrest_grants_sql(schema: str = "public", api_role: str = "web_anon") -> str:
+    """C9 ``--postgrest``: role + read grants so PostgREST can serve the
+    snapshot as REST (import.sh:129). Runs post-publish over the catalog
+    connection; zero Spark involvement."""
+    return f"""
+DO $$ BEGIN
+  IF NOT EXISTS (SELECT FROM pg_roles WHERE rolname = '{api_role}') THEN
+    CREATE ROLE {api_role} NOLOGIN;
+  END IF;
+END $$;
+GRANT USAGE ON SCHEMA {schema} TO {api_role};
+GRANT SELECT ON ALL TABLES IN SCHEMA {schema} TO {api_role};
+ALTER DEFAULT PRIVILEGES IN SCHEMA {schema} GRANT SELECT ON TABLES TO {api_role};
+"""
+
+
+def write_snapshot(
+    catalog,
+    db_name: str,
+    tables: dict[str, DataFrame],
+    schema: str = "public",
+    num_partitions: int = 8,
+) -> None:
+    """Write all tables into the snapshot DB, then apply post-load DDL.
+
+    Array/struct columns (shape polylines, service-day sets) are flattened
+    to WKT/JSON at this boundary — the reference's model is deliberately
+    flat (SURVEY §1.2) and PostGIS gets the same flat shape.
+    """
+    url = catalog._jdbc_url(db_name)
+    for name, df in tables.items():
+        flat = _flatten_for_jdbc(df)
+        (
+            flat.repartition(num_partitions)
+            .write.mode("append")
+            .options(**catalog._jdbc_opts)
+            .jdbc(url, f"{schema}.{name}")
+        )
+    for name, ddl in SPATIAL_DDL.items():
+        if name in tables:
+            for stmt in ddl:
+                catalog.execute_sql(db_name, stmt)
+    for name, pk in PRIMARY_KEYS.items():
+        if name in tables:
+            catalog.execute_sql(
+                db_name, f"ALTER TABLE {schema}.{name} ADD PRIMARY KEY ({pk})"
+            )
+
+
+def _flatten_for_jdbc(df: DataFrame) -> DataFrame:
+    """Serialize array/struct columns to JSON strings for the row store."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("array", "struct", "map"):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

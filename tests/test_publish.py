@@ -1,0 +1,227 @@
+"""Atomicity / idempotence property tests of the publish state machine
+(SURVEY §5.4): skip-gate, retention GC, orphan recovery, fail-fast lock,
+dangling-pointer reconciliation, DSN pointer file — the import.js semantics
+over the LocalCatalog backend."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import pytest
+
+from postgis_gtfs_importer_spark.catalog import (
+    BOOKKEEPING_TABLE,
+    ImportLockedError,
+    ImportRecord,
+    LocalCatalog,
+)
+from postgis_gtfs_importer_spark.plans.publish import (
+    format_db_name,
+    import_gtfs_atomically,
+)
+from postgis_gtfs_importer_spark.plans.pipeline import run_import
+
+from .gtfs_fixtures import FEED_FILES, write_feed_zip
+
+PREFIX = "gtfs_"
+
+
+def tiny_tables(spark, _db_name):
+    return {"t": spark.range(3).toDF("id")}
+
+
+def make_clock(start: int = 1_700_000_000):
+    """Monotonic fake unix clock so minted names sort deterministically."""
+    state = {"t": start}
+
+    def now():
+        state["t"] += 60
+        return state["t"]
+
+    return now
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    cat = LocalCatalog(spark, str(tmp_path / "snapshots"))
+    yield cat
+    cat.close()
+
+
+def publish(spark, catalog, digest, **kw):
+    kw.setdefault("now", make_clock())
+    return import_gtfs_atomically(
+        spark,
+        catalog,
+        db_prefix=PREFIX,
+        feed_digest=digest,
+        build_tables=tiny_tables,
+        **kw,
+    )
+
+
+def test_first_import_publishes_and_records(spark, catalog):
+    res = publish(spark, catalog, "aaaaaa")
+    assert not res.import_skipped and res.new_import is not None
+    db = res.new_import["db_name"]
+    assert db.startswith(PREFIX) and db.endswith("_aaaaaa")
+    assert catalog.list_databases(PREFIX) == [db]
+    recs = catalog.list_recorded_imports(PREFIX)
+    assert [r.db_name for r in recs] == [db]
+    assert catalog.read_table(db, "t").count() == 3
+    assert res.import_duration_ms > 0
+
+
+def test_unchanged_digest_skips(spark, catalog):
+    clock = make_clock()
+    first = publish(spark, catalog, "aaaaaa", now=clock)
+    second = publish(spark, catalog, "aaaaaa", now=clock)
+    assert second.import_skipped and second.new_import is None
+    # nothing new was minted (A6, import.js:235-239)
+    assert catalog.list_databases(PREFIX) == [first.new_import["db_name"]]
+
+
+def test_retention_keeps_two_and_gcs_the_rest(spark, catalog):
+    clock = make_clock()
+    r1 = publish(spark, catalog, "aaaaaa", now=clock)
+    r2 = publish(spark, catalog, "bbbbbb", now=clock)
+    r3 = publish(spark, catalog, "cccccc", now=clock)
+    dbs = catalog.list_databases(PREFIX)
+    # the 3rd run retained [r2, r1] while importing r3 (keep-2 policy,
+    # import.js:71-73) — r1's drop happens on the NEXT cycle
+    assert r3.retained_databases == [
+        r2.new_import["db_name"],
+        r1.new_import["db_name"],
+    ]
+    r4 = publish(spark, catalog, "dddddd", now=clock)
+    assert r1.new_import["db_name"] in r4.deleted_databases
+    dbs = catalog.list_databases(PREFIX)
+    assert r1.new_import["db_name"] not in dbs
+    # bookkeeping row of the dropped snapshot deleted too (A16)
+    recorded = {r.db_name for r in catalog.list_recorded_imports(PREFIX)}
+    assert r1.new_import["db_name"] not in recorded
+
+
+def test_failed_import_rolls_back_and_is_gcd_next_run(spark, catalog):
+    clock = make_clock()
+
+    def boom(spark_, db_name):
+        raise RuntimeError("mid-import crash")
+
+    with pytest.raises(RuntimeError, match="mid-import crash"):
+        import_gtfs_atomically(
+            spark, catalog, db_prefix=PREFIX, feed_digest="aaaaaa",
+            build_tables=boom, now=clock,
+        )
+    # the half-built snapshot exists, but no pointer was published
+    orphans = catalog.list_databases(PREFIX)
+    assert len(orphans) == 1
+    assert catalog.list_recorded_imports(PREFIX) == []
+    # next successful run GCs the orphan (import.js:115-117, README.md:19)
+    res = publish(spark, catalog, "bbbbbb", now=clock)
+    assert orphans[0] in res.deleted_databases
+    assert orphans[0] not in catalog.list_databases(PREFIX)
+
+
+def test_concurrent_import_fails_fast(spark, catalog, tmp_path):
+    # a second writer holding the meta lock → NOWAIT failure (A17)
+    blocker = sqlite3.connect(str(tmp_path / "snapshots" / "meta.sqlite"))
+    catalog.ensure_bookkeeping()
+    blocker.execute("BEGIN IMMEDIATE")
+    try:
+        with pytest.raises(ImportLockedError):
+            publish(spark, catalog, "aaaaaa")
+    finally:
+        blocker.rollback()
+        blocker.close()
+    # lock released → import proceeds
+    assert publish(spark, catalog, "aaaaaa").new_import is not None
+
+
+def test_dangling_pointer_warned_and_spliced(spark, catalog, caplog):
+    clock = make_clock()
+    r1 = publish(spark, catalog, "aaaaaa", now=clock)
+    db = r1.new_import["db_name"]
+    catalog.drop_database(db)  # simulate external deletion
+    with caplog.at_level("WARNING"):
+        r2 = publish(spark, catalog, "bbbbbb", now=clock)
+    assert any("no physical database" in m for m in caplog.messages)
+    # the dangling name was never "retained" (import.js:149-163)
+    assert db not in r2.retained_databases
+    assert r2.new_import is not None
+
+
+def test_dangling_latest_does_not_skip(spark, catalog, caplog):
+    # latest recorded has digest X but its DB is gone → a new import of X
+    # must NOT be skipped into pointing at nothing
+    clock = make_clock()
+    r1 = publish(spark, catalog, "aaaaaa", now=clock)
+    catalog.drop_database(r1.new_import["db_name"])
+    r2 = publish(spark, catalog, "aaaaaa", now=clock)
+    assert not r2.import_skipped and r2.new_import is not None
+
+
+def test_dsn_file_written_on_publish(spark, catalog, tmp_path):
+    dsn = tmp_path / "dsn.txt"
+    res = publish(spark, catalog, "aaaaaa", dsn_file_path=str(dsn))
+    content = dsn.read_text()
+    assert content.startswith("gtfs=")
+    assert res.new_import["db_name"] in content
+
+
+def test_format_db_name_parity():
+    # {prefix}{unix_ts}_{digest} (index.js:55-62)
+    assert format_db_name("gtfs_", 1700000000, "ab12cd") == "gtfs_1700000000_ab12cd"
+
+
+# ---------------------------------------------------------------------------
+# full pipeline end-to-end over the fixture feed zip
+# ---------------------------------------------------------------------------
+
+def test_run_import_end_to_end(spark, tmp_path):
+    zip_path = write_feed_zip(str(tmp_path / "gtfs.zip"))
+    cat = LocalCatalog(spark, str(tmp_path / "snapshots"))
+    try:
+        res = run_import(
+            spark,
+            cat,
+            db_prefix=PREFIX,
+            zip_path=zip_path,
+            extract_dir=str(tmp_path / "extracted"),
+        )
+        assert res.new_import is not None
+        db = res.new_import["db_name"]
+        # base + derived + metadata tables all published
+        stops = cat.read_table(db, "stops")
+        assert stops.count() > 0
+        ad = cat.read_table(db, "arrivals_departures")
+        assert ad.count() > 0
+        meta = cat.read_table(db, "import_metadata").collect()[0]
+        assert meta.feed_digest == res.new_import["feed_digest"]
+
+        # same zip again → skip (idempotence, SURVEY §5.4)
+        res2 = run_import(
+            spark,
+            cat,
+            db_prefix=PREFIX,
+            zip_path=zip_path,
+            extract_dir=str(tmp_path / "extracted"),
+        )
+        assert res2.import_skipped
+
+        # postprocessing.d content participates in the digest (A5)
+        ppd = tmp_path / "postprocessing.d"
+        ppd.mkdir()
+        (ppd / "01-grant.sql").write_text("SELECT 1;")
+        res3 = run_import(
+            spark,
+            cat,
+            db_prefix=PREFIX,
+            zip_path=zip_path,
+            extract_dir=str(tmp_path / "extracted"),
+            postprocessing_dir=str(ppd),
+        )
+        assert not res3.import_skipped and res3.new_import is not None
+    finally:
+        cat.close()
