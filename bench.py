@@ -33,7 +33,13 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
     "embedding_topk",
+    "embedding_cosine_pairs",
+    "sessionize",
+    "multimodal_features",
+    "token_topk",
 ]
 
 

@@ -38,18 +38,85 @@ def brute_force_topk(
     are fully deterministic (and oracle-comparable).
     """
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        V.l2_norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        V.l2_norm(F.col(vec_col)).alias("nrm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("score", F.round(V.cosine(F.col("q_emb"), F.col("emb")), 6))
+        # norms precomputed per row (same expression → bit-identical to
+        # inline cosine); the per-pair work is one fold + one division
+        .withColumn(
+            "score",
+            F.round(
+                V.dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "score", "rn")
+    )
+
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked (the scale path).
+
+    Exact cosine is computed only for same-bucket pairs — the all-pairs
+    O(n²) shuffle becomes a per-bucket self-join keyed on the sketch.
+    Recall < 1 by construction (cross-bucket near-dups are missed); raise
+    recall with fewer planes (bigger buckets) or multi-probe. Output is
+    deterministic and oracle-replayable: id_a < id_b, score rounded e6.
+    """
+    planes = fixed_planes(dim, n_planes, seed)
+    # norms precomputed ONCE per row, not per candidate pair: cosine at
+    # pair time is a single zip_with fold + a division. Same expression →
+    # bit-identical doubles → the oracle comparison is unaffected.
+    side = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("emb"),
+        V.l2_norm(F.col(vec_col)).alias("nrm"),
+        V.hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "score_e6",
+            F.floor(
+                V.dot(F.col("a.emb"), F.col("b.emb"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .filter(F.col("score_e6") >= int(threshold * 1e6))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "score_e6",
+        )
     )
 
 
@@ -71,17 +138,26 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_emb"),
+        V.l2_norm(F.col(vec_col)).alias("q_nrm"),
         V.hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
+        V.l2_norm(F.col(vec_col)).alias("nrm"),
         V.hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("score", F.round(V.cosine(F.col("q_emb"), F.col("emb")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                V.dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
