@@ -1,0 +1,187 @@
+"""Structured Streaming twins of the batch event operators.
+
+The reference is a batch job re-run periodically (README.md:3) — SURVEY
+§2.D records "no streaming operators" as a parity non-goal, and §7 Phase 5
+plans streaming as the continuous-ingest extension. These are the
+Spark-idiomatic versions of the same semantics:
+
+  * ``stream_events``        — file-source readStream with the declared
+    schema (schema inference is disabled on streams at scale for a
+    reason: one schema change shouldn't re-plan a fleet).
+  * ``windowed_stats_stream``— the C15 stats family over event-time
+    tumbling windows with a watermark bounding state (late rows beyond
+    the delay are dropped deterministically).
+  * ``sessionize_stream``    — the operators.sessions definition kept
+    incremental with per-user state in ``applyInPandasWithState``:
+    sessions close by event-time timeout when the watermark passes
+    session_end + gap. State per key is O(1) (one open session), so a
+    1000-executor cluster holds billions of users without spill.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", StringType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_epoch", LongType()),
+        StructField("session_end_epoch", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_epoch", LongType()),
+        StructField("end_epoch", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream with an explicit schema."""
+    reader = spark.readStream.schema(schema or EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_stats_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """C15 stats over event-time tumbling windows, state bounded by the
+    watermark. Append-mode emits a window only once it can no longer
+    change — the streaming analog of the batch group-by's finality."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Incremental gap-sessionization — applyInPandasWithState.
+
+    Same session definition as operators.sessions.sessionize: a session
+    closes when no event for gap_sec. Each user's state is its single
+    open session; closed sessions are emitted either when a later event
+    proves the gap, or when the event-time timeout fires (watermark >
+    session_end + gap). Late events behind the watermark are dropped by
+    the watermark, so emissions are final.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((s, e, n))
+                state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = pd.concat(list(pdfs))
+            # event-time order within the batch; cross-batch order is
+            # guaranteed by the watermark (older-than-watermark is dropped)
+            epochs = sorted(
+                int(t.value // 1_000_000_000) for t in rows["ts"]
+            )
+            for ep in epochs:
+                if cur is None:
+                    cur = (ep, ep, 1)
+                elif ep - cur[1] > gap_sec:
+                    closed.append(cur)
+                    cur = (ep, ep, 1)
+                else:
+                    cur = (cur[0], max(cur[1], ep), cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                # close the open session once the watermark passes its
+                # end + gap (timestamps are ms in the state API)
+                state.setTimeoutTimestamp((cur[1] + gap_sec) * 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+                    "session_start_epoch": pd.Series([c[0] for c in closed], dtype="int64"),
+                    "session_end_epoch": pd.Series([c[1] for c in closed], dtype="int64"),
+                    "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a bounded stream (Trigger.AvailableNow) into an in-memory
+    table for inspection/testing; blocks until exhausted."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,117 @@
+"""Streaming twins vs their batch oracles: windowed stats and stateful
+sessionization over a bounded file stream (Trigger.AvailableNow), plus the
+poll-loop wrapper's digest-gated idempotence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.catalog import LocalCatalog
+from postgis_gtfs_importer_spark.operators.sessions import sessionize
+from postgis_gtfs_importer_spark.streaming import events as SE
+from postgis_gtfs_importer_spark.streaming.feed_poll import poll_and_import
+
+from .gtfs_fixtures import write_feed_zip
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """A small deterministic event table written as a file-stream source."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base + dt.timedelta(minutes=user)
+        for session in range(3):
+            for i in range(4):  # 4 events, 5 min apart => one session
+                rows.append((eid, user, f"type{eid % 3}", t, "1.0", "{}"))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(hours=2)  # gap > 30 min => next session
+    df = spark.createDataFrame(rows, SE.EVENT_SCHEMA)
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_windowed_stats_matches_batch(spark, event_dir):
+    stream = SE.stream_events(spark, event_dir)
+    SE.run_to_memory(
+        SE.windowed_stats_stream(stream, "1 hour", "30 minutes"),
+        "win_stats",
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("win_stats").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "event_type", "n")
+    )
+    expected = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    # append mode emits only watermark-closed windows: everything emitted
+    # must match the batch result exactly; open windows may be held back
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert expected[k] == v, k
+    held_back = set(expected) - set(got)
+    max_ws = max(ws for ws, _ in expected)
+    assert all(ws == max_ws for ws, _ in held_back), "only the last window may be open"
+
+
+def test_sessionize_stream_matches_batch(spark, event_dir):
+    stream = SE.stream_events(spark, event_dir)
+    SE.run_to_memory(
+        SE.sessionize_stream(stream, gap_sec=1800, watermark_delay="30 minutes"),
+        "sessions_stream",
+    )
+    got = {
+        (r.user_id, r.session_start_epoch): (r.session_end_epoch, r.n_events)
+        for r in spark.table("sessions_stream").collect()
+    }
+    batch = sessionize(spark.read.parquet(event_dir), gap_sec=1800)
+    expected = {
+        (r.user_id, int(r.session_start.timestamp())): (
+            int(r.session_end.timestamp()),
+            r.n_events,
+        )
+        for r in batch.collect()
+    }
+    assert got, "no sessions emitted"
+    # every emitted session must equal its batch twin
+    for k, v in got.items():
+        assert expected[k] == v, k
+    # at most the final (still-open) session per user may be unemitted
+    missing = set(expected) - set(got)
+    last_start = {}
+    for (u, s) in expected:
+        last_start[u] = max(last_start.get(u, 0), s)
+    assert all(s == last_start[u] for u, s in missing), missing
+
+
+def test_poll_loop_digest_gate(spark, tmp_path):
+    zip_path = write_feed_zip(str(tmp_path / "gtfs.zip"))
+    cat = LocalCatalog(spark, str(tmp_path / "snap"))
+    slept = []
+    try:
+        results = poll_and_import(
+            spark,
+            cat,
+            interval_sec=60,
+            max_cycles=3,
+            sleep=slept.append,
+            db_prefix="gtfs_",
+            zip_path=zip_path,
+            extract_dir=str(tmp_path / "x"),
+        )
+    finally:
+        cat.close()
+    assert len(results) == 3
+    assert results[0].new_import is not None
+    assert results[1].import_skipped and results[2].import_skipped
+    assert slept == [60, 60]
