@@ -41,6 +41,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the testdata tables to ``spark.sql`` as temp views.
+
+    The reference has no query API of its own — queries run against
+    PostGIS, planned by PostgreSQL (SURVEY §2.D). Our engine exposes the
+    same SQL-shaped surface natively: any oracle SQL in plans.queries is
+    (modulo DuckDB/Spark dialect) runnable via ``spark.sql`` after this.
+    """
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def register_gtfs_views(tables: dict[str, DataFrame]) -> None:
+    """Expose a GTFS feed's tables (sources.gtfs_feed.read_feed output,
+    or a published snapshot's tables) to ``spark.sql``."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the input has too few partitions for
     the available cores.
