@@ -169,6 +169,50 @@ class LocalCatalog:
     def read_table(self, db_name: str, table: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, db_name, table))
 
+    def execute_sql(self, db_name: str, sql: str) -> None:
+        """A23 postprocessing-hook SQL against a snapshot, one transaction.
+
+        Parity with ``psql -1 -v ON_ERROR_STOP=1 -f file.sql``
+        (/root/reference/import.sh:141): the script sees every snapshot
+        table as a view, runs atomically, and any table it CREATEs is
+        exported back into the snapshot as parquet. DuckDB is the local
+        SQL executor, standing in for the snapshot Postgres.
+        """
+        import duckdb
+
+        base = os.path.join(self.root, db_name)
+        con = duckdb.connect()
+        try:
+            existing = [
+                t
+                for t in os.listdir(base)
+                if os.path.isdir(os.path.join(base, t))
+            ]
+            for t in existing:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{os.path.join(base, t)}/*.parquet')"
+                )
+            con.execute("BEGIN")
+            con.execute(sql)
+            con.execute("COMMIT")
+            created = [
+                r[0]
+                for r in con.execute(
+                    "SELECT table_name FROM information_schema.tables"
+                    " WHERE table_type = 'BASE TABLE'"
+                ).fetchall()
+            ]
+            for t in created:
+                out_dir = os.path.join(base, t)
+                os.makedirs(out_dir, exist_ok=True)
+                con.execute(
+                    f"COPY {t} TO '{os.path.join(out_dir, 'part-00000.parquet')}'"
+                    " (FORMAT PARQUET)"
+                )
+        finally:
+            con.close()
+
     def connection_info(self, db_name: str) -> dict[str, str]:
         """What a DSN entry (A22) points at for this backend."""
         return {"path": os.path.join(self.root, db_name)}

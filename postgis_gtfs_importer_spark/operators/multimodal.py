@@ -143,13 +143,16 @@ def sample_frames(
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, bufs = [], [], []
-            for _, row in pdf.iterrows():
-                buf = row[pay]
+            # zip over columns, not iterrows (iterrows materializes a
+            # Series per row — ~10× slower on wide batches)
+            for doc, buf in zip(pdf[id_c].to_numpy(), pdf[pay]):
                 n_frames = min(max_frames, max(1, len(buf) // every_n_bytes))
-                for i in range(n_frames):
-                    ids.append(row[id_c])
-                    idxs.append(i)
-                    bufs.append(bytes(buf[i * every_n_bytes : (i + 1) * every_n_bytes]))
+                ids.extend([doc] * n_frames)
+                idxs.extend(range(n_frames))
+                bufs.extend(
+                    bytes(buf[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    for i in range(n_frames)
+                )
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
                  "frame_idx": pd.Series(idxs, dtype="int32"),

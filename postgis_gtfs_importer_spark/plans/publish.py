@@ -28,6 +28,8 @@ Timing instrumentation (A24) mirrors downloadDurationMs/importDurationMs
 from __future__ import annotations
 
 import logging
+import os
+import subprocess
 import time
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
@@ -87,6 +89,30 @@ def write_dsn_file(
         f.write(line + "\n")
     redacted = {**kv, **({"password": "***"} if password else {})}
     log.info("wrote DSN file %s: %s=%s", path, entry_name, redacted)
+
+
+def _run_postprocessing_files(catalog, db_name: str, hook_dir: str | None) -> None:
+    """A23 file hooks (import.sh:134-148): every non-dotfile in the hook
+    dir, sorted by name — ``.sql`` runs against the snapshot in a single
+    transaction (psql -1 -v ON_ERROR_STOP=1 parity), anything else is
+    executed with the snapshot reference as argv[1]. Hook contents are
+    part of the feed digest (A5), so editing a hook re-triggers import.
+    """
+    if not hook_dir or not os.path.isdir(hook_dir):
+        return
+    for fname in sorted(os.listdir(hook_dir)):
+        if fname.startswith("."):
+            continue
+        path = os.path.join(hook_dir, fname)
+        if not os.path.isfile(path):
+            continue
+        if fname.endswith(".sql"):
+            with open(path) as f:
+                catalog.execute_sql(db_name, f.read())
+        else:
+            info = catalog.connection_info(db_name)
+            ref = info.get("path") or info.get("dbname") or db_name
+            subprocess.run([path, ref], check=True)
 
 
 def import_gtfs_atomically(
@@ -179,6 +205,7 @@ def import_gtfs_atomically(
             if replaced is not None:
                 tables = replaced
         catalog.write_tables(db_name, tables)
+        _run_postprocessing_files(catalog, db_name, postprocessing_dir)
         result.import_duration_ms = (time.monotonic() - t0) * 1000
 
         # A15: record; A22: repoint consumers — both inside the txn

@@ -82,22 +82,39 @@ def extract_feed(zip_path: str, extract_dir: str) -> list[str]:
     )
 
 
+def _read_header(path: str) -> list[str]:
+    """First CSV line, driver-side: column names AS THE FILE ORDERS THEM.
+
+    GTFS files may present any subset of the spec's columns in any order
+    (the spec mandates names, not positions) — the scan schema must
+    therefore be built from the file's own header, not the spec. BOM
+    stripped (utf-8-sig), quoting honored — the B1 tolerant-parse
+    front-line (gtfsclean --fix-zip, /root/reference/import.sh:50-52).
+    """
+    import csv
+
+    with open(path, encoding="utf-8-sig", newline="") as f:
+        return [c.strip() for c in next(csv.reader(f))]
+
+
 def read_raw(spark: SparkSession, feed_dir: str, name: str) -> DataFrame:
     """PERMISSIVE all-string scan of one GTFS file (B1/C1).
 
     Unknown files are rejected (gtfs-to-sql behavior — files are passed
-    positionally at /root/reference/import.sh:130); extra columns beyond
-    the spec set land in _corrupt_record only if the row is malformed,
-    otherwise they are dropped by the projection (B5 default — gtfsclean
-    drops non-spec fields unless --keep-additional-fields,
-    /root/reference/import.sh:64-67).
+    positionally at /root/reference/import.sh:130). The scan schema
+    mirrors the file's header (order + extra columns); projection to the
+    spec column set happens in cast_typed (B5).
     """
     if name not in schemas.GTFS_FILES:
         raise ValueError(f"unknown GTFS file: {name}.txt")
     path = os.path.join(feed_dir, f"{name}.txt")
+    from pyspark.sql import types as T
+
+    fields = [T.StructField(c, T.StringType(), True) for c in _read_header(path)]
+    fields.append(T.StructField(schemas.CORRUPT_COL, T.StringType(), True))
     return spark.read.csv(
         path,
-        schema=schemas.raw_schema(name),
+        schema=T.StructType(fields),
         header=True,
         mode="PERMISSIVE",
         columnNameOfCorruptRecord=schemas.CORRUPT_COL,
@@ -106,35 +123,57 @@ def read_raw(spark: SparkSession, feed_dir: str, name: str) -> DataFrame:
     )
 
 
-def cast_typed(raw: DataFrame, name: str) -> DataFrame:
-    """Apply C2 casts, C3 GTFS-time parse, C4 lang lower-casing.
+def cast_typed(
+    raw: DataFrame, name: str, keep_additional_fields: bool = False
+) -> DataFrame:
+    """Apply C2 casts, C3 GTFS-time parse, C4 lang lower-casing — by NAME.
 
+    Spec columns missing from the file become typed NULL columns (the
+    downstream operators see one stable schema per table); non-spec
+    columns are dropped unless ``keep_additional_fields`` (B5 — gtfsclean
+    --keep-additional-fields, /root/reference/import.sh:64-67).
     try_cast semantics: unparseable values become NULL, feeding the
     cleaning layer's default-on-errors / drop-errors policies (B2/B3)
     rather than aborting the scan.
     """
+    present = set(raw.columns)
     cols = []
     for c, t in schemas.GTFS_FILES[name].items():
-        col = F.col(c)
-        if t == "int":
-            col = col.try_cast("int")
-        elif t == "double":
-            col = col.try_cast("double")
-        elif t == "date":
-            col = gtfs_date(col)
-        elif t == "secs":
-            col = gtfs_time_to_secs(col)
-        elif t == "lang":
-            col = F.lower(col)
+        if c in present:
+            col = F.col(c)
+            if t == "int":
+                col = col.try_cast("int")
+            elif t == "double":
+                col = col.try_cast("double")
+            elif t == "date":
+                col = gtfs_date(col)
+            elif t == "secs":
+                col = gtfs_time_to_secs(col)
+            elif t == "lang":
+                col = F.lower(col)
+        else:
+            target = {"int": "int", "double": "double", "date": "date",
+                      "secs": "int"}.get(t, "string")
+            col = F.lit(None).cast(target)
         cols.append(col.alias(c))
+    if keep_additional_fields:
+        cols.extend(
+            F.col(c)
+            for c in raw.columns
+            if c not in schemas.GTFS_FILES[name] and c != schemas.CORRUPT_COL
+        )
     return raw.select(*cols)
 
 
-def read_feed(spark: SparkSession, feed_dir: str) -> dict[str, DataFrame]:
+def read_feed(
+    spark: SparkSession, feed_dir: str, keep_additional_fields: bool = False
+) -> dict[str, DataFrame]:
     """Read every present GTFS file as a typed DataFrame."""
     out: dict[str, DataFrame] = {}
     for name in schemas.GTFS_FILES:
         path = os.path.join(feed_dir, f"{name}.txt")
         if os.path.exists(path):
-            out[name] = cast_typed(read_raw(spark, feed_dir, name), name)
+            out[name] = cast_typed(
+                read_raw(spark, feed_dir, name), name, keep_additional_fields
+            )
     return out

@@ -50,6 +50,25 @@ def test_date_and_lang_casts(feed):
     assert ag["A1"] == "de"
 
 
+def test_reordered_subset_extra_columns(spark, tmp_path):
+    """GTFS columns are matched by NAME: reordered/missing/extra columns
+    must parse correctly (the spec mandates names, not positions)."""
+    d = tmp_path / "weird"
+    d.mkdir()
+    (d / "stops.txt").write_text(
+        "stop_lon,stop_id,custom_note,stop_name\n"
+        "13.5,X1,hello,Reordered Stop\n"
+    )
+    feed = GF.read_feed(spark, str(d))
+    r = feed["stops"].first()
+    assert r.stop_id == "X1" and r.stop_name == "Reordered Stop"
+    assert r.stop_lon == 13.5
+    assert r.stop_lat is None  # missing spec column -> typed null
+    assert "custom_note" not in feed["stops"].columns  # B5 default: dropped
+    kept = GF.read_feed(spark, str(d), keep_additional_fields=True)
+    assert kept["stops"].first().custom_note == "hello"  # B5 flag: kept
+
+
 def test_invalid_enum_becomes_default(feed):
     cleaned = CL.apply_enum_policy(feed, CL.CleaningConfig())
     r3 = cleaned["routes"].filter(F.col("route_id") == "R3").first()

@@ -1,0 +1,177 @@
+"""Metamorphic / property-style tests (SURVEY §5.5) over generated inputs:
+
+  * dedup(x ∪ x) ≡ dedup(x) and remapped FKs never dangle
+  * MinHash-LSH pairs ⊆ exact-Jaccard pairs at the same threshold over the
+    same shingles (LSH may lose recall, never precision after verification)
+  * service minimization round-trips the materialized date set exactly
+  * sessionization partitions events: counts sum, durations consistent
+
+Hypothesis drives the generators; examples are kept small because every
+example is a Spark job — the properties, not the volume, are the point.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.operators import dedup as DD
+from postgis_gtfs_importer_spark.operators.cleaning import minimize_services
+from postgis_gtfs_importer_spark.operators.derivations import service_days
+from postgis_gtfs_importer_spark.operators.sessions import sessionize
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# -- dedup ------------------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50),  # id source (made unique below)
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        st.integers(0, 3),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_idempotent_and_duplication_invariant(spark, rows):
+    data = [(i, c1, c2) for i, (_, c1, c2) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, c1 string, c2 long")
+    once, mapping = DD.dedup_exact(df, "id", ["c1", "c2"])
+    # duplication invariance: dedup(x ∪ x') with shifted ids keeps the
+    # same canonical content set
+    shifted = df.withColumn("id", F.col("id") + 1000)
+    doubled, _ = DD.dedup_exact(df.unionByName(shifted), "id", ["c1", "c2"])
+    assert sorted(
+        (r.c1, r.c2) for r in once.collect()
+    ) == sorted((r.c1, r.c2) for r in doubled.collect())
+    # canonical ids are original ids (B6 --keep-ids) and minimal
+    m = {r.id: r.canonical_id for r in mapping.collect()}
+    assert set(m.values()) <= set(m.keys())
+    assert all(c <= i for i, c in m.items())
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_remap_never_dangles(spark, rows):
+    entities = [(i, c1, c2) for i, (_, c1, c2) in enumerate(rows)]
+    df = spark.createDataFrame(entities, "id long, c1 string, c2 long")
+    refs = spark.createDataFrame(
+        [(j, e[0]) for j, e in enumerate(entities)], "ref_id long, fk long"
+    )
+    tables = DD.dedup_and_remap(
+        {"ent": df, "ref": refs}, "ent", "id", ["c1", "c2"], [("ref", "fk")]
+    )
+    dangling = tables["ref"].join(
+        tables["ent"].select(F.col("id").alias("fk")), "fk", "left_anti"
+    )
+    assert dangling.count() == 0
+
+
+# -- minhash vs exact jaccard ----------------------------------------------
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**SETTINGS)
+def test_minhash_pairs_subset_of_exact_jaccard(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t, "x") for i, t in enumerate(texts)], "doc_id long, text string, lang string"
+    )
+    lsh = DD.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, num_hashes=16, bands=4
+    )
+    exact = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", block_col="lang", threshold=0.5
+    )
+    lsh_pairs = {(r.id_a, r.id_b, r.jaccard_e6) for r in lsh.collect()}
+    exact_pairs = {(r.id_a, r.id_b, r.jaccard_e6) for r in exact.collect()}
+    # post-verification LSH never reports a pair the exact join wouldn't,
+    # and agrees on the score when it does
+    assert lsh_pairs <= exact_pairs
+
+
+# -- service minimization round-trip ---------------------------------------
+
+service_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # service id
+        st.integers(0, 27),  # start day offset in Jan 2024
+        st.integers(0, 13),  # length
+        st.integers(0, 127),  # weekday bitmap
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(services=service_strategy)
+@settings(**SETTINGS)
+def test_minimize_services_roundtrip(spark, services):
+    base = dt.date(2024, 1, 1)
+    cal_rows = []
+    for sid, off, length, bitmap in services:
+        start = base + dt.timedelta(days=off)
+        cal_rows.append(
+            (
+                f"S{sid}",
+                *[(bitmap >> d) & 1 for d in range(7)],
+                start,
+                start + dt.timedelta(days=length),
+            )
+        )
+    cal = spark.createDataFrame(
+        cal_rows,
+        "service_id string, monday int, tuesday int, wednesday int, thursday int,"
+        " friday int, saturday int, sunday int, start_date date, end_date date",
+    )
+    tables = {"calendar": cal}
+    before = {(r.service_id, r.date) for r in service_days(tables).collect()}
+    out = minimize_services(tables)
+    after = {(r.service_id, r.date) for r in service_days(out).collect()}
+    assert before == after
+
+
+# -- sessionization partitions events --------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 60 * 60 * 6)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evts=events_strategy)
+@settings(**SETTINGS)
+def test_sessionize_partitions_events(spark, evts):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(evts)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    sessions = sessionize(df, gap_sec=1800).collect()
+    # every event lands in exactly one session
+    assert sum(r.n_events for r in sessions) == len(rows)
+    for r in sessions:
+        assert 0 <= r.duration_sec <= 6 * 3600
+        # a session's span implies no internal gap > gap_sec only if
+        # n_events*gap covers the duration (necessary condition)
+        if r.n_events > 1:
+            assert r.duration_sec <= (r.n_events - 1) * 1800

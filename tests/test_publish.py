@@ -210,10 +210,16 @@ def test_run_import_end_to_end(spark, tmp_path):
         )
         assert res2.import_skipped
 
-        # postprocessing.d content participates in the digest (A5)
+        # postprocessing.d content participates in the digest (A5) AND
+        # its .sql hooks run against the snapshot, single transaction,
+        # with created tables exported back (A23)
         ppd = tmp_path / "postprocessing.d"
         ppd.mkdir()
-        (ppd / "01-grant.sql").write_text("SELECT 1;")
+        (ppd / "01-route-counts.sql").write_text(
+            "CREATE TABLE route_trip_counts AS "
+            "SELECT route_id, count(*) AS n_trips FROM trips GROUP BY route_id;"
+        )
+        (ppd / ".hidden.sql").write_text("THIS WOULD FAIL")  # dotfiles skipped
         res3 = run_import(
             spark,
             cat,
@@ -223,5 +229,7 @@ def test_run_import_end_to_end(spark, tmp_path):
             postprocessing_dir=str(ppd),
         )
         assert not res3.import_skipped and res3.new_import is not None
+        counts = cat.read_table(res3.new_import["db_name"], "route_trip_counts")
+        assert counts.count() > 0
     finally:
         cat.close()
