@@ -58,6 +58,9 @@ def main() -> None:
             spark, os.environ.get("GTFS_SNAPSHOT_ROOT", os.path.join(tmp_dir, "snapshots"))
         )
 
+    from .operators.cleaning import CleaningConfig
+
+    cleaning = CleaningConfig.from_env()  # None ⇔ GTFSTIDY_BEFORE_IMPORT=false
     result = run_import(
         spark,
         catalog,
@@ -68,6 +71,8 @@ def main() -> None:
         user_agent=user_agent,
         postprocessing_dir=os.environ.get("GTFS_POSTPROCESSING_D_PATH"),
         dsn_file_path=os.environ.get("PATH_TO_DSN_FILE"),
+        cleaning=cleaning,
+        skip_cleaning=cleaning is None,
     )
     print(result)
     spark.stop()

@@ -50,6 +50,32 @@ class CleaningConfig:
     shape_tolerance_deg: float = 1e-5  # B7 max deviation (degrees)
     warnings: dict = field(default_factory=dict)  # B17 rule -> dropped count
 
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "CleaningConfig | None":
+        """The reference's env contract: ``GTFSTIDY_BEFORE_IMPORT=false``
+        disables cleaning entirely (import.sh:38, import.js:70,261-263);
+        each operator has an env toggle mirroring its flag
+        (import.sh:50-100), e.g. ``GTFS_CLEAN_REMOVE_RED_STOPS=false``.
+        Returns None when cleaning is disabled.
+        """
+        import os
+
+        e = os.environ if env is None else env
+        if e.get("GTFSTIDY_BEFORE_IMPORT", "").lower() == "false":
+            return None
+        cfg = cls()
+        for name in (
+            "default_on_errors", "drop_errors", "check_null_coords",
+            "keep_additional_fields", "min_shapes", "minimize_services",
+            "minimize_stoptimes", "delete_orphans", "remove_red_agencies",
+            "remove_red_routes", "remove_red_services", "remove_red_shapes",
+            "remove_red_stops", "remove_red_trips",
+        ):
+            v = e.get(f"GTFS_CLEAN_{name.upper()}")
+            if v is not None:
+                setattr(cfg, name, v.lower() != "false")
+        return cfg
+
 
 # ---------------------------------------------------------------------------
 # B2/B3/B4 — validation, defaulting, dropping
@@ -107,6 +133,56 @@ def drop_invalid_rows(tables: Tables, cfg: CleaningConfig) -> Tables:
             F.col("arrival_time").isNotNull() | F.col("departure_time").isNotNull()
         )
     return out
+
+
+def validation_report(tables: Tables) -> DataFrame:
+    """B17 warning surfacing (--show-warnings, import.sh:45-47): per-rule
+    violation counts across the feed, as one small DataFrame.
+
+    One count() aggregate per rule, assembled with unionByName — each rule
+    is a filter + count on the already-pruned columns, so the report costs
+    one pass over the touched columns, not one over the feed per rule.
+    """
+    spark = next(iter(tables.values())).sparkSession
+    parts: list[DataFrame] = []
+
+    def rule(name: str, df) -> None:
+        parts.append(
+            df.agg(F.count("*").alias("n_violations")).select(
+                F.lit(name).alias("rule"), "n_violations"
+            )
+        )
+
+    for fname, req in schemas.REQUIRED.items():
+        if fname not in tables:
+            continue
+        pred = None
+        for c in req:
+            p = F.col(c).isNull()
+            pred = p if pred is None else (pred | p)
+        rule(f"{fname}.missing_required", tables[fname].filter(pred))
+    if "stops" in tables:
+        lat, lon = F.col("stop_lat"), F.col("stop_lon")
+        rule(
+            "stops.null_or_zero_coords",
+            tables["stops"].filter(
+                lat.isNull() | lon.isNull() | ((lat == 0.0) & (lon == 0.0))
+            ),
+        )
+    for (fname, colname), (domain, _default) in schemas.ENUM_DOMAINS.items():
+        if fname not in tables:
+            continue
+        col = F.col(colname)
+        rule(
+            f"{fname}.{colname}.out_of_domain",
+            tables[fname].filter(col.isNotNull() & ~col.isin(*domain)),
+        )
+    if not parts:
+        return spark.createDataFrame([], "rule string, n_violations long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("n_violations") > 0)
 
 
 # ---------------------------------------------------------------------------

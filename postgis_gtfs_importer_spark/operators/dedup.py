@@ -32,6 +32,20 @@ from pyspark.sql import functions as F
 from ..sources.tables import spread
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Compute-once barrier before self-joins.
+
+    A self-join's two sides are two copies of the input SUBPLAN — Spark
+    re-executes the whole upstream pipeline per side (exchange reuse does
+    not rescue aliased self-joins reliably). Signatures/shingle sets are
+    tiny relative to the corpus, so cutting lineage here converts
+    2-5 recomputations of the expensive stage into one. Locally a lazy
+    localCheckpoint; a production pipeline stages to parquet
+    (sinks.staging) for executor-loss resilience — same plan shape.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup + FK remap (the gtfsclean B11-B16 core)
 # ---------------------------------------------------------------------------
@@ -241,7 +255,7 @@ def minhash_lsh_pairs(
     distinct candidates -> exact-Jaccard verification via a shared-shingle
     count join (relational set-similarity, see ngram_jaccard_pairs).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    sigs = materialize(minhash_signatures(df, id_col, text_col, n, num_hashes, seed))
     banded = sigs.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), num_hashes, bands)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -258,7 +272,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = shingle_rows(df, id_col, text_col, n)
+    sh = materialize(shingle_rows(df, id_col, text_col, n))
     sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
@@ -300,31 +314,30 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sh): 64-bit SimHash per document, fully relational.
 
     Tokens exploded to rows; two md5-derived 32-bit halves per token give
-    the 64 bit signals; groupBy(id) sums the ±1 votes per bit (64 codegen'd
-    sum aggregates with map-side partials); the final projection packs the
-    sign bits into one long.
+    the 64 bit signals; groupBy(id) counts set bits per position (64
+    branch-free codegen'd sums with map-side partials — a bit's majority
+    vote is 2*count > n); the final projection packs the majority bits
+    into one long.
     """
     toks = token_rows(df, id_col, text_col).select(
         "id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h2"),
     )
+    # per bit k: count of set bits, branch-free (shift+and, no CASE).
+    # The ±1 vote is recovered as 2*count - n: vote>0 ⟺ 2*count > n.
     votes = [
         F.sum(
-            F.when(
-                F.shiftright(F.col("h1") if k < 32 else F.col("h2"), k % 32)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{k}")
+            F.shiftright(F.col("h1") if k < 32 else F.col("h2"), k % 32)
+            .bitwiseAND(F.lit(1))
+        ).alias(f"c{k}")
         for k in range(64)
     ]
-    per_doc = toks.groupBy("id").agg(*votes)
+    per_doc = toks.groupBy("id").agg(F.count("*").alias("n"), *votes)
     packed = None
     for k in range(64):
         bit = F.when(
-            F.col(f"b{k}") > 0, F.shiftleft(F.lit(1).cast("long"), k)
+            F.col(f"c{k}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), k)
         ).otherwise(F.lit(0).cast("long"))
         packed = bit if packed is None else packed.bitwiseOR(bit)
     return per_doc.select("id", packed.alias("sh"))
@@ -341,7 +354,7 @@ def simhash_pairs(
     means recall < 1 for max_hamming > 3 with 4 bands — raise bands for
     stricter guarantees.
     """
-    h = simhash64(df, id_col, text_col)
+    h = materialize(simhash64(df, id_col, text_col))
     parts = []
     for b in range(bands):
         band_val = F.shiftright(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF))
@@ -395,7 +408,7 @@ def ngram_jaccard_pairs(
     """
     assert threshold > 0, "threshold must be > 0 (zero-overlap pairs are pruned)"
     src = df.withColumnRenamed(block_col, "blk") if block_col != "blk" else df
-    sh = shingle_rows(src, id_col, text_col, n, extra_cols=["blk"])
+    sh = materialize(shingle_rows(src, id_col, text_col, n, extra_cols=["blk"]))
     sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inv = sh.join(sz, "id")
 

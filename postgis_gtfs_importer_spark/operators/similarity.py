@@ -95,6 +95,9 @@ def cosine_dup_pairs(
         V.l2_norm(F.col(vec_col)).alias("nrm"),
         V.hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
     )
+    from ..operators.dedup import materialize
+
+    side = materialize(side)  # self-join: compute sketches/norms once
     a, b = side.alias("a"), side.alias("b")
     return (
         a.join(

@@ -35,10 +35,16 @@ def build_gtfs_tables(
     feed_dir: str,
     cleaning: CleaningConfig | None = None,
     with_derivations: bool = True,
+    skip_cleaning: bool = False,
 ) -> dict[str, DataFrame]:
-    """The default import.sh-equivalent build stage."""
+    """The default import.sh-equivalent build stage.
+
+    ``skip_cleaning`` is the GTFSTIDY_BEFORE_IMPORT=false path
+    (import.sh:38): raw typed tables go straight to derivation.
+    """
     tables = read_feed(spark, feed_dir)
-    tables = clean_feed(tables, cleaning)
+    if not skip_cleaning:
+        tables = clean_feed(tables, cleaning)
     if with_derivations:
         derived: dict[str, DataFrame] = {
             "service_days": DV.service_days(tables),
@@ -66,6 +72,7 @@ def run_import(
     preprocess: Callable[[str], None] | None = None,
     postprocessing_dir: str | None = None,
     cleaning: CleaningConfig | None = None,
+    skip_cleaning: bool = False,
     dsn_file_path: str | None = None,
     **publish_kwargs,
 ) -> ImportResult:
@@ -82,7 +89,9 @@ def run_import(
         extract_feed(zip_path, extract_dir)
         if preprocess is not None:  # A23 pre-hook (import.sh:32-35)
             preprocess(extract_dir)
-        tables = build_gtfs_tables(spark_, extract_dir, cleaning)
+        tables = build_gtfs_tables(
+            spark_, extract_dir, cleaning, skip_cleaning=skip_cleaning
+        )
         rec = import_metadata_row(
             spark_, feed_digest, int(time.time())
         )

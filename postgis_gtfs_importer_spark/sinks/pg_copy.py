@@ -1,0 +1,103 @@
+"""PostgreSQL COPY sink — the bulk-load fast path.
+
+The reference loads via psql reading a generated ``COPY FROM stdin`` stream
+(/root/reference/import.sh:124-132). Spark's JDBC writer uses batched
+INSERTs (`reWriteBatchedInserts` narrows but does not close the gap);
+SURVEY §4 flags the swap-in: if JDBC measures >2× off the COPY baseline,
+replace the writer with a ``foreachPartition`` psycopg2 ``COPY FROM
+STDIN`` — same interface, different wire protocol.
+
+``rows_to_copy_text`` (pure, unit-testable without a server) implements
+the COPY text-format escaping; ``copy_dataframe`` streams each partition
+through one COPY statement, executor-side, so N partitions load in
+parallel exactly like ``numPartitions`` JDBC writers — but at COPY speed.
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+#: COPY text-format escapes (PostgreSQL docs, "COPY ... FROM STDIN" text
+#: format): backslash, tab, newline, carriage return; NULL as \N.
+_ESCAPES = {
+    "\\": "\\\\",
+    "\t": "\\t",
+    "\n": "\\n",
+    "\r": "\\r",
+}
+
+
+def _field(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    s = v if isinstance(v, str) else str(v)
+    for ch, esc in _ESCAPES.items():
+        if ch in s:
+            s = s.replace(ch, esc)
+    return s
+
+
+def rows_to_copy_text(rows: Iterable, n_cols: int) -> Iterator[str]:
+    """Serialize rows to COPY text-format lines (one string per row)."""
+    for row in rows:
+        yield "\t".join(_field(row[i]) for i in range(n_cols)) + "\n"
+
+
+def copy_partition(
+    rows: Iterable,
+    n_cols: int,
+    dsn: str,
+    table: str,
+    columns: list[str],
+    buffer_rows: int = 10_000,
+) -> int:
+    """Load one partition via COPY FROM STDIN. Returns rows written.
+
+    Runs executor-side inside foreachPartition — one connection + one
+    COPY per partition, buffered in ``buffer_rows`` chunks.
+    """
+    import psycopg2
+
+    con = psycopg2.connect(dsn)
+    written = 0
+    try:
+        with con, con.cursor() as cur:
+            buf = io.StringIO()
+            col_list = ", ".join(f'"{c}"' for c in columns)
+            sql = f'COPY {table} ({col_list}) FROM STDIN'
+            pending = 0
+            for line in rows_to_copy_text(rows, n_cols):
+                buf.write(line)
+                pending += 1
+                written += 1
+                if pending >= buffer_rows:
+                    buf.seek(0)
+                    cur.copy_expert(sql, buf)
+                    buf = io.StringIO()
+                    pending = 0
+            if pending:
+                buf.seek(0)
+                cur.copy_expert(sql, buf)
+    finally:
+        con.close()
+    return written
+
+
+def copy_dataframe(df: DataFrame, dsn: str, table: str) -> None:
+    """Parallel COPY load: one COPY stream per partition.
+
+    The DataFrame should already be flattened (sinks.postgis._flatten_for_jdbc)
+    and repartitioned to the desired load parallelism.
+    """
+    columns = list(df.columns)
+    n = len(columns)
+
+    def load(it):
+        copy_partition(it, n, dsn, table, columns)
+
+    df.foreachPartition(load)

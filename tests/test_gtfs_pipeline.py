@@ -232,6 +232,14 @@ def test_minimize_services_roundtrip(feed):
     assert before == after  # exact date-set preservation
 
 
+def test_validation_report_counts(feed):
+    report = {r.rule: r.n_violations for r in CL.validation_report(feed).collect()}
+    assert report["stops.null_or_zero_coords"] == 2  # SNULL + SZERO
+    assert report["routes.route_type.out_of_domain"] == 1  # R3's 99
+    # rules without violations are filtered out
+    assert "trips.missing_required" not in report
+
+
 def test_clean_feed_idempotent_and_fk_closed(feed):
     once = CL.clean_feed(feed)
     twice = CL.clean_feed(once)
