@@ -123,6 +123,107 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer → inverted lists → probe-and-score.
+
+    The centroids here are SAMPLED (the first ``n_centroids`` corpus
+    vectors) rather than k-means-trained, which keeps the operator fully
+    deterministic and oracle-replayable; swapping in pyspark.ml KMeans
+    centroids changes one input DataFrame, not the plan. Plan shape (the
+    part that matters at 100 TB):
+
+      * assignment: corpus × broadcast(centroids) → argmax cosine — a
+        map-side pass, no corpus shuffle;
+      * the corpus is then effectively partitioned by centroid id (the
+        inverted lists);
+      * each query probes its ``nprobe`` nearest centroids and scores
+        exact cosine only against those lists — the scored fraction is
+        ~nprobe/n_centroids of the corpus.
+    """
+    from ..operators.dedup import materialize
+
+    cent = F.broadcast(
+        materialize(
+            corpus.filter(F.col(id_col) < n_centroids).select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cemb"),
+                V.l2_norm(F.col(vec_col)).alias("cnrm"),
+            )
+        )
+    )
+    side = materialize(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("emb"),
+            V.l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+    sim_to_cent = V.dot(F.col("emb"), F.col("cemb")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+    assigned = (
+        side.join(cent, F.lit(True))
+        .withColumn("csim", F.round(sim_to_cent, 6))
+        .withColumn("crn", F.row_number().over(w_assign))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "emb", "nrm", "cid")
+    )
+    probes = (
+        side.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("emb", "q_emb")
+        .withColumnRenamed("nrm", "q_nrm")
+        .join(cent, F.lit(True))
+        .withColumn(
+            "csim",
+            F.round(
+                V.dot(F.col("q_emb"), F.col("cemb"))
+                / (F.col("q_nrm") * F.col("cnrm")),
+                6,
+            ),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("crn") <= nprobe)
+        .select("q_id", "q_emb", "q_nrm", "cid")
+    )
+    q_probes = probes.join(
+        queries.select(F.col(id_col).alias("q_id")).distinct(), "q_id"
+    )
+    scored = (
+        q_probes.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "score",
+            F.round(
+                V.dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "cid", "vec_id", "score", "rn")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

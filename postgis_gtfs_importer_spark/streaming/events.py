@@ -172,6 +172,27 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the corpus-dedup operator kept incremental.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    bounds the dedup state by the watermark (keys older than the delay
+    are evicted — exact within the watermark horizon, which is the only
+    tractable contract for an unbounded stream). The batch twin is
+    ``dedup_exact`` / ``dropDuplicates``; a content-hash fingerprint
+    column (functions.text.fingerprint) as the key gives streaming
+    document dedup.
+    """
+    keys = key_cols or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

@@ -94,6 +94,21 @@ def test_sessionize_stream_matches_batch(spark, event_dir):
     assert all(s == last_start[u] for u, s in missing), missing
 
 
+def test_dedup_stream_first_per_key(spark, event_dir):
+    stream = SE.stream_events(spark, event_dir)
+    SE.run_to_memory(
+        SE.dedup_stream(stream, ["user_id", "event_type"]), "dedup_stream"
+    )
+    out = spark.table("dedup_stream").collect()
+    keys = [(r.user_id, r.event_type) for r in out]
+    assert len(keys) == len(set(keys))  # exactly one row per key
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(event_dir).select("user_id", "event_type").distinct().collect()
+    }
+    assert set(keys) == batch_keys
+
+
 def test_poll_loop_digest_gate(spark, tmp_path):
     zip_path = write_feed_zip(str(tmp_path / "gtfs.zip"))
     cat = LocalCatalog(spark, str(tmp_path / "snap"))
