@@ -115,6 +115,19 @@ def test_arrivals_departures_absolute_times(feed):
     assert rows[(dt.date(2024, 3, 31), 1)] == dt.datetime(2024, 3, 31, 23, 10)
 
 
+def test_departures_at_window(feed):
+    # departures at S2 (or children) on Mon 2024-01-01 between 08:00-09:00:
+    # T1 departs S2 at 08:10:00 (and T1dup, its undeduplicated twin)
+    out = DV.departures_at(feed, "S2", dt.date(2024, 1, 1), 8 * 3600, 9 * 3600)
+    rows = out.collect()
+    assert {r.trip_id for r in rows} == {"T1", "T1dup"}
+    assert all(r.departure_time == 8 * 3600 + 600 for r in rows)
+    # station query resolves child platforms (S1a/S1b under S1)
+    out2 = DV.departures_at(feed, "S1", dt.date(2024, 1, 1), 0, 24 * 3600)
+    assert {r.stop_id for r in out2.collect()} <= {"S1", "S1a", "S1b"}
+    assert out2.count() > 0
+
+
 def test_connections_ordering_and_single_stop(feed):
     conn = DV.connections(feed)
     t1 = conn.filter(F.col("trip_id") == "T1").orderBy("from_stop_sequence").collect()
