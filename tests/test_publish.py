@@ -22,7 +22,7 @@ from postgis_gtfs_importer_spark.plans.publish import (
 )
 from postgis_gtfs_importer_spark.plans.pipeline import run_import
 
-from .gtfs_fixtures import FEED_FILES, write_feed_zip
+from .gtfs_fixtures import write_feed_zip
 
 PREFIX = "gtfs_"
 
