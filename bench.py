@@ -63,8 +63,13 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry[name]
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # one bad query must not lose the JSON line
+            print(f"# {name}: FAILED {type(e).__name__}: {e}", flush=True)
+            timings[name] = -1.0
+            continue
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
         total += dt
