@@ -215,6 +215,8 @@ def remove_redundant_stops(tables: Tables) -> Tables:
             ("stop_times", "stop_id"),
             ("transfers", "from_stop_id"),
             ("transfers", "to_stop_id"),
+            ("pathways", "from_stop_id"),
+            ("pathways", "to_stop_id"),
             ("stops", "parent_station"),
         ],
     )
@@ -435,13 +437,14 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
             out["frequencies"] = out["frequencies"].join(
                 out["trips"].select("trip_id"), "trip_id", "left_semi"
             )
-        if "transfers" in out and "stops" in out:
-            live_stops = out["stops"].select("stop_id")
-            out["transfers"] = (
-                out["transfers"]
-                .join(live_stops.withColumnRenamed("stop_id", "from_stop_id"), "from_stop_id", "left_semi")
-                .join(live_stops.withColumnRenamed("stop_id", "to_stop_id"), "to_stop_id", "left_semi")
-            )
+        for t in ("transfers", "pathways"):
+            if t in out and "stops" in out:
+                live_stops = out["stops"].select("stop_id")
+                out[t] = (
+                    out[t]
+                    .join(live_stops.withColumnRenamed("stop_id", "from_stop_id"), "from_stop_id", "left_semi")
+                    .join(live_stops.withColumnRenamed("stop_id", "to_stop_id"), "to_stop_id", "left_semi")
+                )
         if not changed:
             break
         if materialize:

@@ -130,6 +130,35 @@ GTFS_FILES: dict[str, dict[str, str]] = {
         "record_sub_id": "string",
         "field_value": "string",
     },
+    "pathways": {
+        "pathway_id": "string",
+        "from_stop_id": "string",
+        "to_stop_id": "string",
+        "pathway_mode": "int",
+        "is_bidirectional": "int",
+        "length": "double",
+        "traversal_time": "int",
+        "stair_count": "int",
+        "max_slope": "double",
+        "min_width": "double",
+    },
+    "levels": {
+        "level_id": "string",
+        "level_index": "double",
+        "level_name": "string",
+    },
+    "attributions": {
+        "attribution_id": "string",
+        "agency_id": "string",
+        "route_id": "string",
+        "trip_id": "string",
+        "organization_name": "string",
+        "is_producer": "int",
+        "is_operator": "int",
+        "is_authority": "int",
+        "attribution_url": "string",
+        "attribution_email": "string",
+    },
 }
 
 # Required (NOT NULL per spec) columns per file — drives B3 drop-errors.
@@ -146,6 +175,9 @@ REQUIRED: dict[str, list[str]] = {
     "transfers": ["from_stop_id", "to_stop_id", "transfer_type"],
     "feed_info": ["feed_publisher_name", "feed_publisher_url", "feed_lang"],
     "translations": ["table_name", "field_name", "language", "translation"],
+    "pathways": ["pathway_id", "from_stop_id", "to_stop_id", "pathway_mode", "is_bidirectional"],
+    "levels": ["level_id", "level_index"],
+    "attributions": ["organization_name"],
 }
 
 # Legal enum code sets — drives B2 default-on-errors / B3 drop policy.
@@ -163,6 +195,8 @@ ENUM_DOMAINS: dict[tuple[str, str], tuple[set[int], int | None]] = {
     ("calendar_dates", "exception_type"): ({1, 2}, None),
     ("frequencies", "exact_times"): ({0, 1}, 0),
     ("transfers", "transfer_type"): ({0, 1, 2, 3}, 0),
+    ("pathways", "pathway_mode"): ({1, 2, 3, 4, 5, 6, 7}, 1),
+    ("pathways", "is_bidirectional"): ({0, 1}, 0),
 }
 
 

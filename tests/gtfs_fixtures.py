@@ -114,6 +114,18 @@ stops,stop_name,en,Central Station,S1,,
 stops,stop_name,en,Zoo Station,,,Zoo
 routes,route_long_name,en,Airport Express EN,R3,,
 """,
+    # P2 references S3dup (remapped to S3 by B15); pathway_mode 99 invalid.
+    "pathways.txt": """pathway_id,from_stop_id,to_stop_id,pathway_mode,is_bidirectional,length,traversal_time,stair_count,max_slope,min_width
+P1,S1a,S1b,1,1,50,60,,0,2.5
+P2,S3dup,S2,99,0,120,90,12,,1.8
+""",
+    "levels.txt": """level_id,level_index,level_name
+L0,0,Street
+L-1,-1,Platform Level
+""",
+    "attributions.txt": """attribution_id,agency_id,route_id,trip_id,organization_name,is_producer,is_operator,is_authority,attribution_url,attribution_email
+AT1,A1,,,Metro Data Team,1,0,0,https://metro.example,data@metro.example
+""",
 }
 
 

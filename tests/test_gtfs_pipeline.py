@@ -208,6 +208,17 @@ def test_dedup_stops_remaps_transfers(feed):
     assert "S3dup" not in ids
     tf = out["transfers"].filter(F.col("to_stop_id") == "S2").first()
     assert tf.from_stop_id == "S3"  # rewritten from S3dup
+    pw = out["pathways"].filter(F.col("pathway_id") == "P2").first()
+    assert pw.from_stop_id == "S3"  # pathways remapped too
+
+
+def test_pathways_levels_attributions_parsed(feed):
+    assert {r.pathway_id for r in feed["pathways"].collect()} == {"P1", "P2"}
+    cleaned = CL.apply_enum_policy(feed, CL.CleaningConfig())
+    p2 = cleaned["pathways"].filter(F.col("pathway_id") == "P2").first()
+    assert p2.pathway_mode == 1  # 99 out of domain -> default walkway
+    assert {r.level_index for r in feed["levels"].collect()} == {0.0, -1.0}
+    assert feed["attributions"].first().organization_name == "Metro Data Team"
 
 
 def test_dedup_trips_identical_stop_sequences(feed):
