@@ -32,26 +32,38 @@ GTFS_FILES: dict[str, dict[str, str]] = {
         "agency_timezone": "string",
         "agency_lang": "lang",
         "agency_phone": "string",
+        "agency_fare_url": "string",
+        "agency_email": "string",
     },
     "stops": {
         "stop_id": "string",
         "stop_code": "string",
         "stop_name": "string",
+        "stop_desc": "string",
         "stop_lat": "double",
         "stop_lon": "double",
         "location_type": "int",
         "parent_station": "string",
         "wheelchair_boarding": "int",
         "platform_code": "string",
+        "zone_id": "string",
+        "stop_url": "string",
+        "stop_timezone": "string",
+        "level_id": "string",
     },
     "routes": {
         "route_id": "string",
         "agency_id": "string",
         "route_short_name": "string",
         "route_long_name": "string",
+        "route_desc": "string",
         "route_type": "int",
         "route_color": "string",
         "route_text_color": "string",
+        "route_url": "string",
+        "route_sort_order": "int",
+        "continuous_pickup": "int",
+        "continuous_drop_off": "int",
     },
     "trips": {
         "route_id": "string",
@@ -75,6 +87,8 @@ GTFS_FILES: dict[str, dict[str, str]] = {
         "drop_off_type": "int",
         "shape_dist_traveled": "double",
         "timepoint": "int",
+        "continuous_pickup": "int",
+        "continuous_drop_off": "int",
     },
     "calendar": {
         "service_id": "string",
@@ -120,6 +134,9 @@ GTFS_FILES: dict[str, dict[str, str]] = {
         "feed_start_date": "date",
         "feed_end_date": "date",
         "feed_version": "string",
+        "default_lang": "lang",
+        "feed_contact_email": "string",
+        "feed_contact_url": "string",
     },
     "translations": {
         "table_name": "string",
