@@ -32,3 +32,33 @@ def stage_tables(
 def read_staged(spark: SparkSession, staged: dict[str, str]) -> dict[str, DataFrame]:
     """Re-read the staged tables — flat scans with full pushdown support."""
     return {name: spark.read.parquet(path) for name, path in staged.items()}
+
+
+def stage_tables_bucketed(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    database: str,
+    location: str,
+    bucket_specs: dict[str, tuple[str, int]],
+) -> None:
+    """Bucketed staging: co-located joins for the repeated-join keys.
+
+    ``bucket_specs`` maps table name -> (bucket column, n buckets).
+    Tables bucketed (and sorted) on the same key with the same bucket
+    count join WITHOUT an Exchange — this is the SCALE.md claim that the
+    orphan fixpoint and the C11 fact joins become shuffle-free once
+    stop_times/trips are staged bucketed by trip_id. Verified by
+    tests/test_staging.py::test_bucketed_join_has_no_exchange.
+
+    Catalog tables (saveAsTable) are required — bucketing metadata lives
+    in the catalog, not the parquet files.
+    """
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{location}'"
+    )
+    for name, df in tables.items():
+        writer = df.write.mode("overwrite").format("parquet")
+        if name in bucket_specs:
+            col, n = bucket_specs[name]
+            writer = writer.bucketBy(n, col).sortBy(col)
+        writer.saveAsTable(f"{database}.{name}")
