@@ -50,6 +50,42 @@ def test_date_and_lang_casts(feed):
     assert ag["A1"] == "de"
 
 
+def test_corrupt_rows_captured_not_fatal(spark, tmp_path):
+    """B1 tolerant parse: malformed rows land in _corrupt_record under
+    PERMISSIVE instead of failing the scan (gtfsclean --fix-zip,
+    import.sh:50-52)."""
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    (d / "stops.txt").write_text(
+        'stop_id,stop_name,stop_lat,stop_lon\n'
+        'OK1,Fine Stop,52.5,13.4\n'
+        'BAD1,"unclosed quote,52.6,13.5\n'
+        'OK2,Also Fine,52.7,13.6\n'
+    )
+    raw = GF.read_raw(spark, str(d), "stops")
+    rows = raw.collect()
+    good = [r for r in rows if r[GF.schemas.CORRUPT_COL] is None]
+    bad = [r for r in rows if r[GF.schemas.CORRUPT_COL] is not None]
+    assert {r.stop_id for r in good} >= {"OK1"}
+    assert len(bad) >= 1  # the malformed line is captured, not fatal
+    typed = GF.cast_typed(raw, "stops")
+    assert typed.count() == len(rows)  # cast never drops rows (B3's job)
+
+
+def test_gtfs_time_roundtrip(spark):
+    from postgis_gtfs_importer_spark.functions.gtfs_time import (
+        gtfs_time_to_secs,
+        secs_to_gtfs_time,
+    )
+
+    secs = [0, 59, 3600, 86399, 90600, 172799]  # incl. >24h values
+    df = spark.createDataFrame([(s,) for s in secs], "s int")
+    out = df.select(
+        "s", gtfs_time_to_secs(secs_to_gtfs_time(F.col("s"))).alias("rt")
+    ).collect()
+    assert all(r.s == r.rt for r in out)
+
+
 def test_reordered_subset_extra_columns(spark, tmp_path):
     """GTFS columns are matched by NAME: reordered/missing/extra columns
     must parse correctly (the spec mandates names, not positions)."""
