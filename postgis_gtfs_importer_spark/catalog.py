@@ -155,16 +155,30 @@ class LocalCatalog:
         )
 
     # -- the snapshot sink ---------------------------------------------------
-    def write_tables(self, db_name: str, tables: dict[str, DataFrame]) -> None:
+    def write_tables(
+        self,
+        db_name: str,
+        tables: dict[str, DataFrame],
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> None:
         """Write every table into the snapshot — the C17/C18 analog.
 
         Parquet overwrite per table; errors abort the pipeline before the
         pointer flip, so readers (who only follow published pointers)
-        never see partial data.
+        never see partial data. ``partition_by`` maps table name →
+        partition columns: the date-sliced relations (arrivals_departures,
+        service_days) are partitioned by date so consumer queries with a
+        date predicate prune partitions at planning time instead of
+        scanning the full expansion (PartitionFilters in .explain —
+        tests/test_publish.py::test_partitioned_snapshot_prunes).
         """
         base = os.path.join(self.root, db_name)
         for name, df in tables.items():
-            df.write.mode("overwrite").parquet(os.path.join(base, name))
+            writer = df.write.mode("overwrite")
+            cols = (partition_by or {}).get(name)
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(os.path.join(base, name))
 
     def read_table(self, db_name: str, table: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, db_name, table))
@@ -189,10 +203,17 @@ class LocalCatalog:
                 if os.path.isdir(os.path.join(base, t))
             ]
             for t in existing:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{os.path.join(base, t)}/*.parquet')"
+                tdir = os.path.join(base, t)
+                partitioned = any(
+                    "=" in e and os.path.isdir(os.path.join(tdir, e))
+                    for e in os.listdir(tdir)
                 )
+                src = (
+                    f"read_parquet('{tdir}/**/*.parquet', hive_partitioning=1)"
+                    if partitioned
+                    else f"read_parquet('{tdir}/*.parquet')"
+                )
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
             con.execute("BEGIN")
             con.execute(sql)
             con.execute("COMMIT")

@@ -97,6 +97,11 @@ def run_import(
         )
         return {**tables, "import_metadata": rec}
 
+    # date-sliced relations partition by date so consumer date predicates
+    # prune at planning time (overridable via publish_kwargs)
+    publish_kwargs.setdefault(
+        "partition_by", {"arrivals_departures": ["date"]}
+    )
     result = import_gtfs_atomically(
         spark,
         catalog,

@@ -126,6 +126,7 @@ def import_gtfs_atomically(
     postprocessing_dir: str | None = None,
     post_hooks: Sequence[Callable[[dict[str, DataFrame]], dict[str, DataFrame] | None]] = (),
     determine_dbs_to_retain: RetentionPolicy = default_retention,
+    partition_by: dict[str, list[str]] | None = None,
     continue_on_failure_deleting_old_db: bool = False,
     dsn_file_path: str | None = None,
     dsn_entry_name: str = "gtfs",
@@ -204,7 +205,10 @@ def import_gtfs_atomically(
             replaced = hook(tables)
             if replaced is not None:
                 tables = replaced
-        catalog.write_tables(db_name, tables)
+        if partition_by:  # backends without partition support take 2 args
+            catalog.write_tables(db_name, tables, partition_by=partition_by)
+        else:
+            catalog.write_tables(db_name, tables)
         _run_postprocessing_files(catalog, db_name, postprocessing_dir)
         result.import_duration_ms = (time.monotonic() - t0) * 1000
 

@@ -170,6 +170,32 @@ def test_dsn_file_written_on_publish(spark, catalog, tmp_path):
     assert res.new_import["db_name"] in content
 
 
+def test_partitioned_snapshot_prunes(spark, catalog, tmp_path):
+    """Date-partitioned snapshot tables prune at planning time: a date
+    predicate must reach the scan as a PartitionFilter, not a row filter."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (f"T{i}", dt.date(2024, 1, 1 + i % 5), i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "trip_id string, date date, x long")
+    catalog.ensure_bookkeeping()
+    catalog.create_database("gtfs_part_test")
+    catalog.write_tables(
+        "gtfs_part_test", {"arrivals_departures": df},
+        partition_by={"arrivals_departures": ["date"]},
+    )
+    back = catalog.read_table("gtfs_part_test", "arrivals_departures")
+    q = back.filter(F.col("date") == dt.date(2024, 1, 3))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "2024-01-03" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert q.count() == 20
+
+
 def test_format_db_name_parity():
     # {prefix}{unix_ts}_{digest} (index.js:55-62)
     assert format_db_name("gtfs_", 1700000000, "ab12cd") == "gtfs_1700000000_ab12cd"
