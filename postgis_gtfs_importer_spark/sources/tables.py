@@ -26,6 +26,13 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects unless this (runtime-settable) legacy conf is on. Set it
+        # here, not only in our session factory: the external driver
+        # builds its own SparkSession and would otherwise fail with
+        # PARQUET_TYPE_ILLEGAL on every events-based query.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
     # (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
