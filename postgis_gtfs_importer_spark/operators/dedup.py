@@ -292,17 +292,77 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_dedup(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5, **kw
+def connected_components(
+    pairs: DataFrame, max_iters: int = 12
 ) -> DataFrame:
-    """Keep one canonical doc per near-dup cluster (min id of the pair graph).
+    """(id, component) for every node of the pair graph — component is the
+    minimum id reachable from the node.
 
-    Connected components approximated by dropping the greater id of every
-    pair — exact for the dominant pair/star clusters; full CC iterates to
-    fixpoint (see operators.cleaning orphan fixpoint for the pattern).
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow). Classic
+    distributed CC: per round one join + one aggregate, lineage cut per
+    iteration (the Spark iterative-algorithm pattern), early exit when a
+    round changes nothing.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = materialize(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = materialize(
+        edges.select(F.col("src").alias("id")).distinct().withColumn(
+            "component", F.col("id")
+        )
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("__ncomp"))
+        )
+        new_labels = materialize(
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("__ncomp", F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "__old"), "id")
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    full_cc: bool = True, **kw,
+) -> DataFrame:
+    """Keep one canonical doc per near-dup cluster (min id of the cluster).
+
+    ``full_cc=True`` resolves clusters with connected_components (exact:
+    a doc chained to the cluster minimum only through intermediates is
+    still dropped). ``full_cc=False`` is the cheaper one-pass
+    approximation (drop the greater id of every pair) — exact only for
+    star-shaped clusters whose center is the minimum.
     """
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **kw)
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if full_cc:
+        comp = connected_components(pairs)
+        drop = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 
 

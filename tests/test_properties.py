@@ -106,6 +106,18 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, texts):
     assert lsh_pairs <= exact_pairs
 
 
+def test_connected_components_chain_beats_pair_drop(spark):
+    """Path graph 1–5, 3–5: node 3 reaches the minimum (1) only through 5.
+    Pair-drop keeps {1, 3}; CC correctly collapses to {1}."""
+    pairs = spark.createDataFrame(
+        [(1, 5, 900000), (3, 5, 900000)], "id_a long, id_b long, jaccard_e6 long"
+    )
+    comp = {
+        r.id: r.component for r in DD.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 3: 1, 5: 1}
+
+
 # -- service minimization round-trip ---------------------------------------
 
 service_strategy = st.lists(
