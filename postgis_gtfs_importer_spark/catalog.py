@@ -115,14 +115,18 @@ class LocalCatalog:
     # -- scans (A9/A10) ------------------------------------------------------
     def list_recorded_imports(self, prefix: str) -> list[ImportRecord]:
         """A9: prefix filter + project + sort desc by imported_at
-        (index.js:183-198)."""
-        rows = self._con.execute(
-            f"""SELECT db_name, imported_at, feed_digest
-                FROM {BOOKKEEPING_TABLE}
-                WHERE substr(db_name, 1, ?) = ?
-                ORDER BY imported_at DESC""",
-            (len(prefix), prefix),
-        ).fetchall()
+        (index.js:183-198). A missing bookkeeping table reads as empty —
+        the reference tolerates the missing relation (index.js:199-203)."""
+        try:
+            rows = self._con.execute(
+                f"""SELECT db_name, imported_at, feed_digest
+                    FROM {BOOKKEEPING_TABLE}
+                    WHERE substr(db_name, 1, ?) = ?
+                    ORDER BY imported_at DESC""",
+                (len(prefix), prefix),
+            ).fetchall()
+        except sqlite3.OperationalError:
+            return []
         return [ImportRecord(*r) for r in rows]
 
     def list_databases(self, prefix: str) -> list[str]:
@@ -237,6 +241,29 @@ class LocalCatalog:
     def connection_info(self, db_name: str) -> dict[str, str]:
         """What a DSN entry (A22) points at for this backend."""
         return {"path": os.path.join(self.root, db_name)}
+
+    def latest_import(self, prefix: str) -> ImportRecord | None:
+        """The published pointer consumers follow (A9 head — what the DSN
+        file serializes, import.js:289-308)."""
+        recs = self.list_recorded_imports(prefix)
+        return recs[0] if recs else None
+
+    def open_latest(self, prefix: str) -> dict[str, DataFrame]:
+        """Consumer API: every table of the latest published snapshot.
+
+        Readers only ever follow the bookkeeping pointer — they never see
+        a half-built import (the blue/green guarantee, README.md:13-19 of
+        the reference). Raises if nothing has been published yet.
+        """
+        rec = self.latest_import(prefix)
+        if rec is None:
+            raise LookupError(f"no published import with prefix {prefix!r}")
+        base = os.path.join(self.root, rec.db_name)
+        return {
+            t: self.read_table(rec.db_name, t)
+            for t in sorted(os.listdir(base))
+            if os.path.isdir(os.path.join(base, t))
+        }
 
     def close(self) -> None:
         self._con.close()

@@ -68,6 +68,75 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via batched numpy matmul — the wide-dim path.
+
+    Same contract as brute_force_topk; the scoring kernel is a
+    mapInPandas stage doing one (batch × dim) · (dim × n_queries) GEMM
+    per Arrow batch instead of per-row expression folds — at dim ≥ a few
+    hundred this wins by the BLAS factor. Scores can differ from the
+    fold version in the last ulp (pairwise vs sequential summation), so
+    this variant is NOT oracle-registered; equivalence to the exact
+    operator is asserted with a tolerance in tests. The driver-visible
+    oracle-checked op remains brute_force_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    ).collect()
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.q_emb for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+
+    def score(batches):
+        for pdf in batches:
+            M = np.array(list(pdf["emb"]), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qn.T  # (batch, n_queries)
+            n_rows = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "q_id": np.tile(q_ids, n_rows),
+                    "score": np.round(S.reshape(-1), 6),
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    scored = c.mapInPandas(
+        score,
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("q_id", LongType()),
+                StructField("score", DoubleType()),
+            ]
+        ),
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "score", "rn")
+    )
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,

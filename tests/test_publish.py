@@ -170,6 +170,17 @@ def test_dsn_file_written_on_publish(spark, catalog, tmp_path):
     assert res.new_import["db_name"] in content
 
 
+def test_open_latest_follows_pointer(spark, catalog):
+    clock = make_clock()
+    with pytest.raises(LookupError):
+        catalog.open_latest(PREFIX)
+    publish(spark, catalog, "aaaaaa", now=clock)
+    r2 = publish(spark, catalog, "bbbbbb", now=clock)
+    tables = catalog.open_latest(PREFIX)
+    assert set(tables) == {"t"} and tables["t"].count() == 3
+    assert catalog.latest_import(PREFIX).db_name == r2.new_import["db_name"]
+
+
 def test_partitioned_snapshot_prunes(spark, catalog, tmp_path):
     """Date-partitioned snapshot tables prune at planning time: a date
     predicate must reach the scan as a PartitionFilter, not a row filter."""

@@ -34,6 +34,25 @@ def test_similar_shapes_identical_geometry_first(feed):
     assert best["SH2"] == ("SH1", 0.0)
 
 
+def test_matmul_topk_matches_fold_topk(spark):
+    """The GEMM scoring path agrees with the oracle-checked fold path:
+    identical neighbor sets, scores within float tolerance."""
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_matmul,
+    )
+    from postgis_gtfs_importer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    fold = brute_force_topk(emb, q, k=5)
+    gemm = brute_force_topk_matmul(emb, q, k=5)
+    f = {(r.q_id, r.vec_id): r.score for r in fold.collect()}
+    g = {(r.q_id, r.vec_id): r.score for r in gemm.collect()}
+    assert set(f) == set(g)
+    assert all(abs(f[k_] - g[k_]) <= 2e-6 for k_ in f)
+
+
 def test_salted_join_equals_plain_join(spark):
     large = spark.createDataFrame(
         [(i % 3, i) for i in range(300)], "k int, v int"  # key skew: 3 keys
