@@ -430,6 +430,36 @@ class PostgresCatalog:
             "dbname": db_name,
         }
 
+    def latest_import(self, prefix: str):
+        recs = self.list_recorded_imports(prefix)
+        return recs[0] if recs else None
+
+    def open_latest(self, prefix: str) -> dict[str, DataFrame]:
+        """Consumer API twin of LocalCatalog.open_latest: JDBC reads of
+        every public table in the latest published snapshot DB."""
+        rec = self.latest_import(prefix)
+        if rec is None:
+            raise LookupError(f"no published import with prefix {prefix!r}")
+        import psycopg2
+
+        con = psycopg2.connect(dbname=rec.db_name, **self._cfg)
+        try:
+            with con.cursor() as cur:
+                cur.execute(
+                    "SELECT table_name FROM information_schema.tables"
+                    " WHERE table_schema = 'public' AND table_type = 'BASE TABLE'"
+                )
+                names = [r[0] for r in cur.fetchall()]
+        finally:
+            con.close()
+        url = self._jdbc_url(rec.db_name)
+        return {
+            t: self.spark.read.jdbc(
+                url, f"public.{t}", properties=self._jdbc_opts
+            )
+            for t in sorted(names)
+        }
+
     def close(self) -> None:
         self._meta.close()
         self._mgmt.close()
