@@ -368,6 +368,92 @@ def remove_redundant_trips(tables: Tables) -> Tables:
     return out
 
 
+def fuzzy_stop_pairs(
+    tables: Tables,
+    radius_m: float = 100.0,
+    name_jaccard: float = 0.5,
+) -> DataFrame:
+    """Fuzzy stop-duplicate candidates: nearby AND similarly named.
+
+    The SURVEY §7 extension of exact-match B15: candidate pairs come from
+    a lat/lon grid-cell equi-join (cell size ≈ radius, 3×3 neighbor
+    probe — never an all-pairs cross join, the same blocking pattern as
+    trajectories.similar_shapes_topk), then are verified by haversine
+    distance ≤ radius_m and token-Jaccard of the lowercased stop names ≥
+    name_jaccard. Output: stop_id_a < stop_id_b, dist_m, name_jaccard_e6.
+    Feeding the pairs into dedup.connected_components + remap_fk turns
+    this into full fuzzy dedup; kept separate because merging nearby
+    stops is a policy decision (platforms vs duplicates).
+    """
+    stops = tables["stops"].filter(
+        F.col("stop_lat").isNotNull() & F.col("stop_lon").isNotNull()
+    )
+    cell_deg = max(radius_m, 1.0) / 111_320.0  # ≈ meters per degree lat
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.coalesce("stop_name", F.lit("")))), r"\s+")
+    )
+    side = stops.select(
+        F.col("stop_id").alias("id"),
+        F.col("stop_lat").alias("lat"),
+        F.col("stop_lon").alias("lon"),
+        toks.alias("toks"),
+        F.floor(F.col("stop_lat") / cell_deg).alias("cx"),
+        F.floor(F.col("stop_lon") / cell_deg).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = side.withColumn("o", F.explode(offsets)).select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.col("toks").alias("toks_a"),
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("toks").alias("toks_b"),
+        "cx",
+        "cy",
+    )
+    pairs = a.join(b, ["cx", "cy"]).filter(F.col("id_a") < F.col("id_b"))
+
+    # haversine (meters) as pure column arithmetic
+    rad = 3.141592653589793 / 180.0
+    dlat = (F.col("lat_b") - F.col("lat_a")) * rad
+    dlon = (F.col("lon_b") - F.col("lon_a")) * rad
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.col("lat_a") * rad)
+        * F.cos(F.col("lat_b") * rad)
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist_m = 2 * 6_371_000.0 * F.asin(F.sqrt(h))
+
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.withColumn("dist_m", dist_m)
+        .withColumn(
+            "name_jaccard_e6",
+            F.floor(jac * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .filter(
+            (F.col("dist_m") <= radius_m)
+            & (F.col("name_jaccard_e6") >= int(name_jaccard * 1e6))
+        )
+        .select("id_a", "id_b", "dist_m", "name_jaccard_e6")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B10 — orphan deletion (fixpoint of semi-joins)
 # ---------------------------------------------------------------------------

@@ -264,6 +264,23 @@ def test_dedup_trips_identical_stop_sequences(feed):
     assert out["stop_times"].filter(F.col("trip_id") == "T1dup").count() == 0
 
 
+def test_fuzzy_stop_pairs(feed):
+    """S1a/S1b: platforms ~25m apart sharing 'hauptbahnhof gleis' tokens
+    (jaccard 2/4); exact duplicates S3/S3dup at distance 0, jaccard 1."""
+    pairs = {
+        (r.id_a, r.id_b): (r.dist_m, r.name_jaccard_e6)
+        for r in CL.fuzzy_stop_pairs(feed, radius_m=100, name_jaccard=0.5).collect()
+    }
+    assert ("S1a", "S1b") in pairs
+    d, j = pairs[("S1a", "S1b")]
+    assert 0 < d < 50 and j == 500000
+    assert pairs[("S3", "S3dup")][0] == 0.0
+    assert pairs[("S3", "S3dup")][1] == 1000000
+    # distant stops never pair regardless of name
+    assert all(a.startswith("S1") == b.startswith("S1")
+               or pairs[(a, b)][0] <= 100 for a, b in pairs)
+
+
 def test_orphan_fixpoint(feed):
     out = CL.delete_orphans(feed)
     assert out["shapes"].filter(F.col("shape_id") == "SHORPHAN").count() == 0
