@@ -356,15 +356,21 @@ class PostgresCatalog:
             cur.execute("ROLLBACK")
 
     def list_recorded_imports(self, prefix: str) -> list[ImportRecord]:
-        with self._meta.cursor() as cur:
-            cur.execute(
-                f"""SELECT db_name, imported_at, feed_digest
-                    FROM {BOOKKEEPING_TABLE}
-                    WHERE substring(db_name FOR %s) = %s
-                    ORDER BY imported_at DESC""",
-                (len(prefix), prefix),
-            )
-            return [ImportRecord(*r) for r in cur.fetchall()]
+        import psycopg2
+
+        try:
+            with self._meta.cursor() as cur:
+                cur.execute(
+                    f"""SELECT db_name, imported_at, feed_digest
+                        FROM {BOOKKEEPING_TABLE}
+                        WHERE substring(db_name FOR %s) = %s
+                        ORDER BY imported_at DESC""",
+                    (len(prefix), prefix),
+                )
+                return [ImportRecord(*r) for r in cur.fetchall()]
+        except psycopg2.errors.UndefinedTable:
+            # missing relation tolerated (index.js:199-203)
+            return []
 
     def list_databases(self, prefix: str) -> list[str]:
         with self._mgmt.cursor() as cur:
