@@ -181,6 +181,43 @@ def test_open_latest_follows_pointer(spark, catalog):
     assert catalog.latest_import(PREFIX).db_name == r2.new_import["db_name"]
 
 
+def test_consumer_story_publish_then_query(spark, tmp_path):
+    """The reference's end-state, end to end: import a feed atomically,
+    follow the published pointer, query the snapshot — what a PostGIS
+    consumer does via the DSN file, done engine-side via open_latest +
+    the spark.sql surface."""
+    from pyspark.sql import functions as F
+
+    from postgis_gtfs_importer_spark.sources.tables import register_gtfs_views
+
+    zip_path = write_feed_zip(str(tmp_path / "gtfs.zip"))
+    cat = LocalCatalog(spark, str(tmp_path / "snapshots"))
+    try:
+        res = run_import(
+            spark, cat, db_prefix=PREFIX,
+            zip_path=zip_path, extract_dir=str(tmp_path / "x"),
+        )
+        assert res.new_import is not None
+        snapshot = cat.open_latest(PREFIX)
+        assert {"stops", "trips", "arrivals_departures"} <= set(snapshot)
+        register_gtfs_views(snapshot)
+        out = spark.sql(
+            """
+            SELECT date, count(*) AS n_departures
+            FROM arrivals_departures
+            WHERE stop_id = 'S2' AND departure_time BETWEEN 8*3600 AND 9*3600
+            GROUP BY date ORDER BY date
+            """
+        ).collect()
+        assert out and all(r.n_departures >= 1 for r in out)
+        # partition pruning reaches the consumer's scan too
+        q = snapshot["arrivals_departures"].filter(F.col("date") == out[0].date)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+    finally:
+        cat.close()
+
+
 def test_partitioned_snapshot_prunes(spark, catalog, tmp_path):
     """Date-partitioned snapshot tables prune at planning time: a date
     predicate must reach the scan as a PartitionFilter, not a row filter."""
