@@ -25,3 +25,33 @@ semantics (Douglas-Peucker shape simplification, multimodal decode stubs).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import postgis_gtfs_importer_spark`
+    free of a SparkSession/py4j import cost until first use)."""
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    if name == "run_import":
+        from .plans.pipeline import run_import
+
+        return run_import
+    if name == "LocalCatalog":
+        from .catalog import LocalCatalog
+
+        return LocalCatalog
+    if name == "PostgresCatalog":
+        from .catalog import PostgresCatalog
+
+        return PostgresCatalog
+    if name == "read_feed":
+        from .sources.gtfs_feed import read_feed
+
+        return read_feed
+    if name == "clean_feed":
+        from .operators.cleaning import clean_feed
+
+        return clean_feed
+    raise AttributeError(name)
