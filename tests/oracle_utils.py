@@ -49,6 +49,21 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     if len(sp) != len(oracle_df):
         problems.append(f"rowcount: spark={len(sp)} oracle={len(oracle_df)}")
+    # The driver hashes the *string form* of values, so an int64 column on
+    # one side vs float64 on the other ("99111" vs "99111.0") hash-diverges
+    # even when every value is numerically equal. _canon() below collapses
+    # integral floats, which would mask exactly that — so flag kind drift
+    # (int vs float) explicitly here. Root cause seen in round 1: DuckDB
+    # sum(BIGINT) returns HUGEINT -> pandas float64; oracles must
+    # CAST(sum(...) AS BIGINT).
+    for c in sorted(sp.columns):
+        a_kind = sp[c].dtype.kind
+        b_kind = oracle_df[c].dtype.kind
+        if {a_kind, b_kind} == {"i", "f"} or {a_kind, b_kind} == {"u", "f"}:
+            problems.append(
+                f"dtype kind drift on {c!r}: spark={sp[c].dtype} oracle={oracle_df[c].dtype}"
+                " (driver hash would diverge; cast the oracle side)"
+            )
     a, b = _canon(sp), _canon(oracle_df)
     if len(a) == len(b):
         neq = (a != b).any(axis=1)
