@@ -410,10 +410,19 @@ class PostgresCatalog:
             f"jdbc:postgresql://{self._cfg['host']}:{self._cfg['port']}/{db_name}"
         )
 
-    def write_tables(self, db_name: str, tables: dict[str, DataFrame]) -> None:
+    def write_tables(
+        self,
+        db_name: str,
+        tables: dict[str, DataFrame],
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> None:
+        """Same signature as LocalCatalog.write_tables — run_import passes
+        partition_by unconditionally, so this backend must accept it.
+        JDBC rows aren't parquet-partitioned; the pruning analog is a
+        post-load B-tree index on the partition columns."""
         from .sinks.postgis import write_snapshot
 
-        write_snapshot(self, db_name, tables)
+        write_snapshot(self, db_name, tables, partition_by=partition_by)
 
     def execute_sql(self, db_name: str, sql: str) -> None:
         """Run one SQL script against a snapshot DB in a single transaction

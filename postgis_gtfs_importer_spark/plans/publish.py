@@ -205,10 +205,7 @@ def import_gtfs_atomically(
             replaced = hook(tables)
             if replaced is not None:
                 tables = replaced
-        if partition_by:  # backends without partition support take 2 args
-            catalog.write_tables(db_name, tables, partition_by=partition_by)
-        else:
-            catalog.write_tables(db_name, tables)
+        catalog.write_tables(db_name, tables, partition_by=partition_by)
         _run_postprocessing_files(catalog, db_name, postprocessing_dir)
         result.import_duration_ms = (time.monotonic() - t0) * 1000
 

@@ -76,12 +76,39 @@ ALTER DEFAULT PRIVILEGES IN SCHEMA {schema} GRANT SELECT ON TABLES TO {api_role}
 """
 
 
+def post_load_ddl(
+    table_names,
+    schema: str = "public",
+    partition_by: dict[str, list[str]] | None = None,
+) -> list[str]:
+    """All DDL run after the bulk load, in order: spatial columns + GIST
+    (C6), primary keys, and a B-tree index per ``partition_by`` column set
+    — the row-store analog of the LocalCatalog's parquet partition
+    pruning (a consumer date predicate walks the index instead of a
+    seq-scan of the full expansion)."""
+    stmts: list[str] = []
+    for name, ddl in SPATIAL_DDL.items():
+        if name in table_names:
+            stmts.extend(ddl)
+    for name, pk in PRIMARY_KEYS.items():
+        if name in table_names:
+            stmts.append(f"ALTER TABLE {schema}.{name} ADD PRIMARY KEY ({pk})")
+    for name, cols in sorted((partition_by or {}).items()):
+        if name in table_names and cols:
+            stmts.append(
+                f"CREATE INDEX {name}_{'_'.join(cols)}_idx"
+                f" ON {schema}.{name} ({', '.join(cols)})"
+            )
+    return stmts
+
+
 def write_snapshot(
     catalog,
     db_name: str,
     tables: dict[str, DataFrame],
     schema: str = "public",
     num_partitions: int = 8,
+    partition_by: dict[str, list[str]] | None = None,
 ) -> None:
     """Write all tables into the snapshot DB, then apply post-load DDL.
 
@@ -98,15 +125,8 @@ def write_snapshot(
             .options(**catalog._jdbc_opts)
             .jdbc(url, f"{schema}.{name}")
         )
-    for name, ddl in SPATIAL_DDL.items():
-        if name in tables:
-            for stmt in ddl:
-                catalog.execute_sql(db_name, stmt)
-    for name, pk in PRIMARY_KEYS.items():
-        if name in tables:
-            catalog.execute_sql(
-                db_name, f"ALTER TABLE {schema}.{name} ADD PRIMARY KEY ({pk})"
-            )
+    for stmt in post_load_ddl(set(tables), schema, partition_by):
+        catalog.execute_sql(db_name, stmt)
 
 
 def _flatten_for_jdbc(df: DataFrame) -> DataFrame:

@@ -1,0 +1,73 @@
+"""Golden tests for the Postgres-facing SQL/DDL surface (C6/C8/C9) and
+the PostgresCatalog write signature — everything that can be verified
+without a live server. The live-server end-to-end lives in
+tests/test_pg_live.py (skipped when no Postgres is available)."""
+
+from __future__ import annotations
+
+import inspect
+
+from postgis_gtfs_importer_spark.sinks.postgis import (
+    PRIMARY_KEYS,
+    SPATIAL_DDL,
+    post_load_ddl,
+    postgrest_grants_sql,
+)
+
+
+def test_post_load_ddl_order_and_content():
+    stmts = post_load_ddl(
+        {"stops", "trips", "arrivals_departures"},
+        partition_by={"arrivals_departures": ["date"], "absent_table": ["x"]},
+    )
+    # spatial DDL first (C6), then PKs, then partition-pruning indexes
+    assert stmts[:3] == SPATIAL_DDL["stops"]
+    assert "ALTER TABLE public.stops ADD PRIMARY KEY (stop_id)" in stmts
+    assert "ALTER TABLE public.trips ADD PRIMARY KEY (trip_id)" in stmts
+    assert (
+        "CREATE INDEX arrivals_departures_date_idx"
+        " ON public.arrivals_departures (date)" in stmts
+    )
+    # partition_by entries for tables not being written are ignored
+    assert not any("absent_table" in s for s in stmts)
+    # GIST index appears after the geometry column exists
+    gist = [s for s in stmts if "USING GIST" in s]
+    assert gist and stmts.index(gist[0]) > stmts.index(SPATIAL_DDL["stops"][0])
+
+
+def test_post_load_ddl_schema_targeting():
+    stmts = post_load_ddl({"trips"}, schema="gtfs")
+    assert "ALTER TABLE gtfs.trips ADD PRIMARY KEY (trip_id)" in stmts
+
+
+def test_post_load_ddl_empty():
+    assert post_load_ddl(set()) == []
+    assert post_load_ddl({"nation"}) == []  # no spatial/PK/partition entries
+
+
+def test_postgres_catalog_write_tables_accepts_partition_by():
+    """run_import always passes partition_by= (plans/pipeline.py default
+    partitions arrivals_departures by date); every catalog backend must
+    accept the kwarg or the PG path dies with TypeError after CREATE
+    DATABASE."""
+    from postgis_gtfs_importer_spark.catalog import LocalCatalog, PostgresCatalog
+
+    for backend in (PostgresCatalog, LocalCatalog):
+        sig = inspect.signature(backend.write_tables)
+        assert "partition_by" in sig.parameters, backend.__name__
+        assert sig.parameters["partition_by"].default is None
+
+
+def test_postgrest_grants_sql_roundtrip():
+    sql = postgrest_grants_sql(schema="api", api_role="anon_ro")
+    assert "CREATE ROLE anon_ro NOLOGIN" in sql
+    assert "GRANT USAGE ON SCHEMA api TO anon_ro" in sql
+    assert "GRANT SELECT ON ALL TABLES IN SCHEMA api TO anon_ro" in sql
+    assert "ALTER DEFAULT PRIVILEGES IN SCHEMA api" in sql
+
+
+def test_spatial_ddl_tables_have_coordinates_or_wkt():
+    # the DDL must reference only columns the corresponding tables carry
+    assert any("stop_lon" in s for s in SPATIAL_DDL["stops"])
+    assert any("ST_GeogFromText(wkt)" in s for s in SPATIAL_DDL["shapes_aggregated"])
+    assert set(PRIMARY_KEYS) == {"agency", "stops", "routes", "trips"}
