@@ -10,6 +10,10 @@ configured catalog backend:
     GTFS_TMP_DIR               (default /tmp/gtfs, lib.sh:11-15)
     GTFS_POSTPROCESSING_D_PATH (optional hook dir, import.js:75)
     PATH_TO_DSN_FILE           (optional pointer file, import.js:289-308)
+    POSTGREST_USER/POSTGREST_PASSWORD
+                               (required when PATH_TO_DSN_FILE is set —
+                               import.js:295-304; without credentials a
+                               PgBouncer consumer cannot authenticate)
     GTFS_SNAPSHOT_ROOT         (LocalCatalog root; default $GTFS_TMP_DIR/snapshots)
     PGHOST/PGPORT/PGUSER/PGPASSWORD/PGDATABASE
                                (if set, use PostgresCatalog — A21)
@@ -35,6 +39,13 @@ def main() -> None:
     prefix = _require("GTFS_IMPORTER_DB_PREFIX") + "_"
     tmp_dir = os.environ.get("GTFS_TMP_DIR", "/tmp/gtfs")
     os.makedirs(tmp_dir, exist_ok=True)
+    dsn_file_path = os.environ.get("PATH_TO_DSN_FILE")
+    dsn_user = dsn_password = None
+    if dsn_file_path:
+        # import.js:295-304 — the pointer file is only useful to a
+        # PgBouncer consumer with credentials; fail before any work.
+        dsn_user = _require("POSTGREST_USER")
+        dsn_password = _require("POSTGREST_PASSWORD")
 
     from .plans.pipeline import run_import
     from .session import get_spark
@@ -70,7 +81,9 @@ def main() -> None:
         extract_dir=os.path.join(tmp_dir, "gtfs"),
         user_agent=user_agent,
         postprocessing_dir=os.environ.get("GTFS_POSTPROCESSING_D_PATH"),
-        dsn_file_path=os.environ.get("PATH_TO_DSN_FILE"),
+        dsn_file_path=dsn_file_path,
+        dsn_user=dsn_user,
+        dsn_password=dsn_password,
         cleaning=cleaning,
         skip_cleaning=cleaning is None,
     )

@@ -192,15 +192,22 @@ class LocalCatalog:
 
         Parity with ``psql -1 -v ON_ERROR_STOP=1 -f file.sql``
         (/root/reference/import.sh:141): the script sees every snapshot
-        table as a view, runs atomically, and any table it CREATEs is
-        exported back into the snapshot as parquet. DuckDB is the local
-        SQL executor, standing in for the snapshot Postgres.
+        table as a writable DuckDB TABLE (reference postprocessing.d
+        scripts UPDATE/ALTER existing tables, not just CREATE new ones),
+        runs atomically, and afterwards every base table — mutated or
+        created — is exported back into the snapshot as parquet,
+        preserving each table's partition layout. DuckDB is the local SQL
+        executor, standing in for the snapshot Postgres.
         """
+        import shutil
+        import tempfile
+
         import duckdb
 
         base = os.path.join(self.root, db_name)
         con = duckdb.connect()
         try:
+            part_cols: dict[str, list[str]] = {}
             existing = [
                 t
                 for t in os.listdir(base)
@@ -208,33 +215,57 @@ class LocalCatalog:
             ]
             for t in existing:
                 tdir = os.path.join(base, t)
-                partitioned = any(
-                    "=" in e and os.path.isdir(os.path.join(tdir, e))
-                    for e in os.listdir(tdir)
+                cols = sorted(
+                    {
+                        e.split("=", 1)[0]
+                        for e in os.listdir(tdir)
+                        if "=" in e and os.path.isdir(os.path.join(tdir, e))
+                    }
                 )
+                part_cols[t] = cols
                 src = (
                     f"read_parquet('{tdir}/**/*.parquet', hive_partitioning=1)"
-                    if partitioned
+                    if cols
                     else f"read_parquet('{tdir}/*.parquet')"
                 )
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+                con.execute(f"CREATE TABLE {t} AS SELECT * FROM {src}")
             con.execute("BEGIN")
             con.execute(sql)
             con.execute("COMMIT")
-            created = [
+            tables = [
                 r[0]
                 for r in con.execute(
                     "SELECT table_name FROM information_schema.tables"
                     " WHERE table_type = 'BASE TABLE'"
                 ).fetchall()
             ]
-            for t in created:
+            for t in tables:
+                cols = [
+                    c
+                    for c in part_cols.get(t, [])
+                    if c
+                    in {
+                        r[0]
+                        for r in con.execute(
+                            f"SELECT name FROM pragma_table_info('{t}')"
+                        ).fetchall()
+                    }
+                ]
+                tmp = tempfile.mkdtemp(dir=base, prefix=f".{t}-")
+                if cols:
+                    con.execute(
+                        f"COPY {t} TO '{tmp}' (FORMAT PARQUET,"
+                        f" PARTITION_BY ({', '.join(cols)}))"
+                    )
+                else:
+                    con.execute(
+                        f"COPY {t} TO '{os.path.join(tmp, 'part-00000.parquet')}'"
+                        " (FORMAT PARQUET)"
+                    )
                 out_dir = os.path.join(base, t)
-                os.makedirs(out_dir, exist_ok=True)
-                con.execute(
-                    f"COPY {t} TO '{os.path.join(out_dir, 'part-00000.parquet')}'"
-                    " (FORMAT PARQUET)"
-                )
+                if os.path.isdir(out_dir):
+                    shutil.rmtree(out_dir)
+                os.replace(tmp, out_dir)
         finally:
             con.close()
 

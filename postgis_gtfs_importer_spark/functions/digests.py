@@ -65,4 +65,10 @@ def composite_feed_digest(zip_path: str, postprocessing_dir: str | None) -> str:
             p = os.path.join(postprocessing_dir, name)
             if os.path.isfile(p):
                 parts.append(digest_file(p))
+    if len(parts) == 1:
+        # No postprocessing files contributed: keep the raw zip digest,
+        # as the reference does (import.js:201-227) — re-digesting here
+        # would diverge from existing bookkeeping rows and force one
+        # spurious re-import against a pre-existing meta DB.
+        return feed_digest
     return digest_string("".join(parts))

@@ -47,14 +47,23 @@ def salted_two_stage_agg(
 
 
 def _merge_expr(name: str, expr: Column) -> Column:
-    """Merge partials: sum/count partials re-sum; min/max re-apply."""
+    """Merge partials: sum/count partials re-sum; min/max re-apply.
+
+    Only decomposable aggregates are mergeable this way — avg, stddev,
+    count-distinct etc. would silently produce wrong results if allowed
+    to fall through to summation, so anything else is rejected."""
     s = expr._jc.toString().lower()
     if s.startswith("min("):
         return F.min(name)
     if s.startswith("max("):
         return F.max(name)
-    # sum and count partials both merge by summation
-    return F.sum(name)
+    if s.startswith(("sum(", "count(")):
+        return F.sum(name)
+    raise ValueError(
+        f"two_stage_agg only supports sum/count/min/max partials; got"
+        f" {name}={s!r} (avg, distinct and higher moments do not merge by"
+        " re-aggregation — compute them from sum/count partials instead)"
+    )
 
 
 def salted_join(

@@ -130,6 +130,8 @@ def import_gtfs_atomically(
     continue_on_failure_deleting_old_db: bool = False,
     dsn_file_path: str | None = None,
     dsn_entry_name: str = "gtfs",
+    dsn_user: str | None = None,
+    dsn_password: str | None = None,
     now: Callable[[], int] = lambda: int(time.time()),
 ) -> ImportResult:
     """Run one atomic import cycle. See module docstring for the states.
@@ -213,7 +215,11 @@ def import_gtfs_atomically(
         catalog.record_import(ImportRecord(db_name, imported_at, feed_digest))
         if dsn_file_path:
             write_dsn_file(
-                dsn_file_path, dsn_entry_name, catalog.connection_info(db_name)
+                dsn_file_path,
+                dsn_entry_name,
+                catalog.connection_info(db_name),
+                user=dsn_user,
+                password=dsn_password,
             )
 
         catalog.commit()  # the atomic pointer flip (import.js:310-311)

@@ -305,5 +305,31 @@ def test_run_import_end_to_end(spark, tmp_path):
         assert not res3.import_skipped and res3.new_import is not None
         counts = cat.read_table(res3.new_import["db_name"], "route_trip_counts")
         assert counts.count() > 0
+
+        # hooks may also MUTATE existing tables (documented reference use
+        # of postprocessing.d) — the UPDATE must be visible in the
+        # published snapshot, and partitioned tables must keep their
+        # hive layout through the re-export
+        (ppd / "01-route-counts.sql").unlink()
+        (ppd / "02-mutate.sql").write_text(
+            "UPDATE stops SET stop_name = 'RENAMED' ;"
+        )
+        res4 = run_import(
+            spark,
+            cat,
+            db_prefix=PREFIX,
+            zip_path=zip_path,
+            extract_dir=str(tmp_path / "extracted"),
+            postprocessing_dir=str(ppd),
+        )
+        assert not res4.import_skipped and res4.new_import is not None
+        db4 = res4.new_import["db_name"]
+        stops4 = cat.read_table(db4, "stops")
+        assert stops4.filter(stops4.stop_name != "RENAMED").count() == 0
+        ad_dir = os.path.join(cat.root, db4, "arrivals_departures")
+        assert any(e.startswith("date=") for e in os.listdir(ad_dir)), (
+            "partition layout lost in postprocessing re-export"
+        )
+        assert cat.read_table(db4, "arrivals_departures").count() > 0
     finally:
         cat.close()

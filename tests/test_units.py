@@ -53,6 +53,11 @@ def test_digest_parity_with_reference_semantics(tmp_path):
     d_missing = composite_feed_digest(str(z), str(tmp_path / "nope"))
     # ENOENT swallowed (import.js:221-226): same as no dir
     assert d_no_dir == d_missing
+    # with no postprocessing parts the raw zip digest passes through
+    # unchanged (import.js:201-227) — no spurious re-digest
+    from postgis_gtfs_importer_spark.functions.digests import digest_file
+
+    assert d_no_dir == digest_file(str(z))
     ppd = tmp_path / "postprocessing.d"
     ppd.mkdir()
     (ppd / ".dotfile").write_text("ignored")
