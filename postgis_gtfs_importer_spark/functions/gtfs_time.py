@@ -57,10 +57,28 @@ def gtfs_date(col: Column | str) -> Column:
 def absolute_timestamp(date_col: Column | str, secs_col: Column | str, tz_col: Column | str) -> Column:
     """service_date + seconds, interpreted in the agency timezone, as UTC.
 
-    Correctly handles >24h times across DST transitions: the local wall time
-    is computed from the service-day midnight in the agency tz, then
-    converted to UTC (gtfs-via-postgres arrivals_departures semantics,
-    SURVEY.md §2.C11).
+    gtfs-via-postgres semantics (``(date + time_interval) AT TIME ZONE
+    agency_timezone``, the arrivals_departures view generated at
+    /root/reference/import.sh:124): calendar wall-clock addition, then a
+    PostgreSQL-rules conversion to an instant. >24h times roll into the
+    next wall day; in a DST gap both engines shift forward. The one
+    divergence is the ambiguous fall-back hour: java.time resolves to the
+    EARLIER instant (pre-transition offset) while PostgreSQL/ICU resolve
+    to the LATER one (post-transition offset) — so after the base
+    ``to_utc_timestamp`` we probe ``+1h`` and ``+30m`` (half-hour DST
+    zones, e.g. Australia/Lord_Howe) candidates and keep the later
+    instant iff it maps back to the same wall time. Pure column
+    expressions, whole-stage codegen, no UDF; verified against the DuckDB
+    oracle on both 2024 Europe/Berlin transitions (Q:
+    arrivals_departures_abs).
     """
+    tz = _c(tz_col)
     local = F.timestamp_add("SECOND", _c(secs_col), F.to_timestamp(_c(date_col)))
-    return F.to_utc_timestamp(local, _c(tz_col))
+    u1 = F.to_utc_timestamp(local, tz)
+    u_hour = F.timestamp_add("HOUR", F.lit(1), u1)
+    u_half = F.timestamp_add("MINUTE", F.lit(30), u1)
+    return (
+        F.when(F.from_utc_timestamp(u_hour, tz) == local, u_hour)
+        .when(F.from_utc_timestamp(u_half, tz) == local, u_half)
+        .otherwise(u1)
+    )
