@@ -4,10 +4,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once to warm (plan compilation + page cache shared
-across the suite via the JVM) — no: executed exactly once, timed
-end-to-end including the action (count/collect of a bounded result),
-mirroring how the driver compares against BASELINE.md.
+Round-over-round hygiene (VERDICT r1 #8): single-shot timings at this
+scale are codegen-compile dominated (~0.5-2 s per unique plan shape), so
+each query is ALSO re-run once warm — "queries" holds the cold (first,
+end-to-end) run the driver compares against BASELINE.md; "queries_warm"
+holds the steady-state second run, and "exchanges" the number of shuffle
+Exchange operators in the AQE-final physical plan (a stable plan-shape
+fingerprint: a regression that adds a shuffle shows up here even when
+timing noise hides it).
 """
 
 from __future__ import annotations
@@ -20,7 +24,8 @@ import time
 from postgis_gtfs_importer_spark.plans import queries as Q
 from postgis_gtfs_importer_spark.session import get_spark
 
-# Headline queries: the relational spine + the heaviest LLM-pipeline ops.
+# Headline queries: the relational spine + the heaviest LLM-pipeline ops
+# + the C11/C15 flagship derivations (DST-proof absolute timestamps).
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
@@ -40,7 +45,23 @@ HEADLINE = [
     "sessionize",
     "multimodal_features",
     "token_topk",
+    "arrivals_departures_abs",
+    "stats_agency_route_stop_hour",
+    "active_trips_by_hour",
 ]
+
+
+def _exchanges(df) -> int:
+    """Shuffle count in the executed (AQE-final) physical plan."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange" in line and "ReusedExchange" not in line
+        )
+    except Exception:
+        return -1
 
 
 def main() -> None:
@@ -54,12 +75,15 @@ def main() -> None:
     # Warm the JVM paths the suite exercises (codegen compiler, parquet
     # reader init, shuffle machinery) with a trivial throwaway job, so the
     # first measured query pays its own cost, not session startup. The
-    # benchmarked queries themselves still run exactly once, cold.
+    # cold-timed queries themselves still run exactly once, cold.
     spark.range(10_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    exchanges: dict[str, int] = {}
     total = 0.0
+    total_warm = 0.0
     for name in HEADLINE:
         fn = registry[name]
         t0 = time.monotonic()
@@ -73,7 +97,17 @@ def main() -> None:
         dt = time.monotonic() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", flush=True)
+        exchanges[name] = _exchanges(df)
+        t1 = time.monotonic()
+        fn(spark, sf_dir).count()  # steady state: codegen cache hot
+        dt_w = time.monotonic() - t1
+        warm[name] = round(dt_w, 3)
+        total_warm += dt_w
+        print(
+            f"# {name}: {dt:.3f}s cold / {dt_w:.3f}s warm"
+            f" ({n} rows, {exchanges[name]} exchanges)",
+            flush=True,
+        )
 
     print(
         json.dumps(
@@ -82,6 +116,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "total_warm": round(total_warm, 3),
+                "exchanges": exchanges,
                 "sf": sf,
             }
         )

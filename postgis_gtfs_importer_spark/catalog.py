@@ -509,3 +509,235 @@ class PostgresCatalog:
     def close(self) -> None:
         self._meta.close()
         self._mgmt.close()
+
+
+class PsqlCatalog:
+    """Live-PostgreSQL catalog over psql subprocesses — zero Python
+    driver dependencies, exactly the reference's own architecture (it
+    drives everything through spawned psql: the held lock connection
+    import.js:115-132, ``gtfs-to-sql … | psql`` import.sh:124-132, and
+    ``psql -1`` hooks import.sh:141).
+
+    Same interface as LocalCatalog/PostgresCatalog. Three connection
+    roles, as in the reference:
+
+      * ``_meta``   — ONE held PsqlSession on the meta DB: bookkeeping
+        lock (A17), transaction bracket (A18), record INSERT/DELETE.
+      * mgmt        — one-shot autocommit psql calls: CREATE/DROP
+        DATABASE outside any transaction (A19, import.js:115-118).
+      * loaders     — per-partition psql COPY children, executor-side
+        (C17/C18 via sinks.pg_copy.copy_dataframe_psql).
+
+    Spatial DDL (C6) is feature-gated on the postgis extension being
+    available server-side; PKs and partition-pruning indexes always run.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        host: str,
+        port: int = 5432,
+        user: str = "postgres",
+        meta_db: str = "postgres",
+        load_partitions: int = 8,
+    ):
+        from .sinks.psql_exec import PsqlSession
+
+        self.spark = spark
+        self.host, self.port, self.user = host, port, user
+        self.meta_db = meta_db
+        self.load_partitions = load_partitions
+        self._meta = PsqlSession(host=host, port=port, user=user, dbname=meta_db)
+
+    # -- one-shot helpers ----------------------------------------------------
+
+    def _once(self, dbname: str, statements: list[str]) -> list[list[str]]:
+        from .sinks.psql_exec import psql_once
+
+        return psql_once(self.host, self.port, self.user, dbname, statements)
+
+    # -- bookkeeping + lock (A8/A15-A18) --------------------------------------
+
+    def ensure_bookkeeping(self) -> None:
+        self._meta.execute(
+            f"""CREATE TABLE IF NOT EXISTS {BOOKKEEPING_TABLE} (
+                db_name TEXT PRIMARY KEY,
+                imported_at INTEGER NOT NULL,
+                feed_digest TEXT NOT NULL
+            )"""
+        )
+
+    def begin_exclusive(self) -> None:
+        from .sinks.psql_exec import PsqlError
+
+        self._meta.execute("BEGIN")
+        try:
+            self._meta.execute(
+                f"LOCK TABLE {BOOKKEEPING_TABLE} IN EXCLUSIVE MODE NOWAIT"
+            )
+        except PsqlError as e:
+            self._meta.execute("ROLLBACK")
+            if e.sqlstate == "55P03":  # lock_not_available
+                raise ImportLockedError(
+                    "another import is running (bookkeeping lock held)"
+                ) from e
+            raise
+
+    def commit(self) -> None:
+        self._meta.execute("COMMIT")
+
+    def rollback(self) -> None:
+        self._meta.execute("ROLLBACK")
+
+    def list_recorded_imports(self, prefix: str) -> list[ImportRecord]:
+        from .sinks.psql_exec import PsqlError
+
+        q = prefix.replace("'", "''")
+        try:
+            rows = self._meta.execute(
+                f"""SELECT db_name, imported_at, feed_digest
+                    FROM {BOOKKEEPING_TABLE}
+                    WHERE substring(db_name FOR {len(prefix)}) = '{q}'
+                    ORDER BY imported_at DESC, db_name DESC"""
+            )
+        except PsqlError as e:
+            if e.sqlstate == "42P01":  # missing relation tolerated
+                return []  # (index.js:199-203)
+            raise
+        return [ImportRecord(r[0], int(r[1]), r[2]) for r in rows]
+
+    def record_import(self, rec: ImportRecord) -> None:
+        db = rec.db_name.replace("'", "''")
+        dg = rec.feed_digest.replace("'", "''")
+        self._meta.execute(
+            f"INSERT INTO {BOOKKEEPING_TABLE} (db_name, imported_at,"
+            f" feed_digest) VALUES ('{db}', {int(rec.imported_at)}, '{dg}')"
+        )
+
+    def remove_import_record(self, db_name: str) -> None:
+        db = db_name.replace("'", "''")
+        self._meta.execute(
+            f"DELETE FROM {BOOKKEEPING_TABLE} WHERE db_name = '{db}'"
+        )
+
+    # -- DB lifecycle (A10/A14/A19) -------------------------------------------
+
+    def list_databases(self, prefix: str) -> list[str]:
+        q = prefix.replace("'", "''")
+        rows = self._once(
+            self.meta_db,
+            [
+                f"""SELECT datname FROM pg_catalog.pg_database
+                    WHERE substring(datname FOR {len(prefix)}) = '{q}'
+                    ORDER BY datname ASC"""
+            ],
+        )
+        # A11: never treat the meta DB itself as a snapshot
+        return [r[0] for r in rows if r[0] != self.meta_db]
+
+    def create_database(self, db_name: str) -> None:
+        self._once(self.meta_db, [f'CREATE DATABASE "{db_name}"'])
+
+    def drop_database(self, db_name: str) -> None:
+        self._once(self.meta_db, [f'DROP DATABASE "{db_name}"'])
+
+    # -- snapshot sink (C17/C18) ----------------------------------------------
+
+    def _postgis_available(self) -> bool:
+        rows = self._once(
+            self.meta_db,
+            ["SELECT count(*) FROM pg_available_extensions"
+             " WHERE name = 'postgis'"],
+        )
+        return bool(rows and rows[0][0] != "0")
+
+    def write_tables(
+        self,
+        db_name: str,
+        tables: dict[str, DataFrame],
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> None:
+        from .sinks.pg_copy import copy_dataframe_psql
+        from .sinks.postgis import (
+            _flatten_for_jdbc,
+            post_load_ddl,
+            spark_schema_to_pg_ddl,
+        )
+
+        with_postgis = self._postgis_available()
+        if with_postgis:
+            self.execute_sql(db_name, "CREATE EXTENSION IF NOT EXISTS postgis")
+        for name, df in tables.items():
+            flat = _flatten_for_jdbc(df)
+            self._once(
+                db_name, [spark_schema_to_pg_ddl(name, flat.schema)]
+            )
+            copy_dataframe_psql(
+                flat.repartition(self.load_partitions),
+                self.host, self.port, self.user, db_name, name,
+            )
+        for stmt in post_load_ddl(set(tables), "public", partition_by):
+            if not with_postgis and (
+                "geography(" in stmt or "USING GIST" in stmt
+                or "ST_" in stmt
+            ):
+                log.warning("postgis unavailable; skipping: %s", stmt[:80])
+                continue
+            self.execute_sql(db_name, stmt)
+
+    def execute_sql(self, db_name: str, sql: str) -> None:
+        """One atomic script — ``psql -1 -v ON_ERROR_STOP=1``
+        (import.sh:141)."""
+        from .sinks.psql_exec import psql_script
+
+        psql_script(self.host, self.port, self.user, db_name, sql)
+
+    def read_table(self, db_name: str, table: str) -> DataFrame:
+        """Consumer read: COPY TO STDOUT CSV → Spark csv reader (header +
+        schema inference). The convenience path for tests/consumers
+        without a JDBC driver on the classpath."""
+        import subprocess
+        import tempfile
+
+        from .sinks.psql_exec import _base_args, _env
+
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".csv", delete=False
+        )
+        cmd = _base_args(self.host, self.port, self.user, db_name) + [
+            "-c",
+            f'COPY (SELECT * FROM "{table}") TO STDOUT'
+            " WITH (FORMAT CSV, HEADER)",
+        ]
+        subprocess.run(
+            cmd, stdout=tmp, env=_env(), check=True, text=True
+        )
+        tmp.close()
+        return self.spark.read.csv(tmp.name, header=True, inferSchema=True)
+
+    def connection_info(self, db_name: str) -> dict[str, str]:
+        return {
+            "host": self.host,
+            "port": str(self.port),
+            "dbname": db_name,
+        }
+
+    def latest_import(self, prefix: str) -> ImportRecord | None:
+        recs = self.list_recorded_imports(prefix)
+        return recs[0] if recs else None
+
+    def open_latest(self, prefix: str) -> dict[str, DataFrame]:
+        rec = self.latest_import(prefix)
+        if rec is None:
+            raise LookupError(f"no published import with prefix {prefix!r}")
+        rows = self._once(
+            rec.db_name,
+            ["""SELECT table_name FROM information_schema.tables
+                WHERE table_schema = 'public' AND table_type = 'BASE TABLE'
+                ORDER BY table_name"""],
+        )
+        return {r[0]: self.read_table(rec.db_name, r[0]) for r in rows}
+
+    def close(self) -> None:
+        self._meta.close()

@@ -101,3 +101,31 @@ def copy_dataframe(df: DataFrame, dsn: str, table: str) -> None:
         copy_partition(it, n, dsn, table, columns)
 
     df.foreachPartition(load)
+
+
+def copy_dataframe_psql(
+    df: DataFrame,
+    host: str,
+    port: int,
+    user: str,
+    dbname: str,
+    table: str,
+) -> None:
+    """Parallel COPY load through psql children — no Python driver needed
+    (the reference's own load path, ``… | psql`` import.sh:124-132).
+
+    One psql subprocess per partition, executor-side: N partitions load
+    concurrently at COPY speed. The frame must already be flattened.
+    """
+    from .psql_exec import copy_into
+
+    columns = list(df.columns)
+    n = len(columns)
+
+    def load(it):
+        copy_into(
+            host, port, user, dbname, table, columns,
+            rows_to_copy_text(it, n),
+        )
+
+    df.foreachPartition(load)

@@ -129,6 +129,46 @@ def write_snapshot(
         catalog.execute_sql(db_name, stmt)
 
 
+#: Spark typeName -> PostgreSQL column type (flattened frames only —
+#: array/struct/map become JSON text via _flatten_for_jdbc first).
+#: TimestampType holds UTC instants; they land in timestamptz with
+#: PGTZ=UTC on the COPY wire (sinks.psql_exec).
+_PG_TYPES = {
+    "long": "bigint",
+    "integer": "integer",
+    "short": "smallint",
+    "byte": "smallint",
+    "double": "double precision",
+    "float": "real",
+    "string": "text",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def spark_schema_to_pg_ddl(
+    table: str, schema, pg_schema: str = "public"
+) -> str:
+    """CREATE TABLE DDL for a flattened Spark schema — the gtfs-to-sql
+    DDL-then-COPY load shape (/root/reference/import.sh:124)."""
+    cols = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t == "decimal":
+            pg = f"numeric({f.dataType.precision}, {f.dataType.scale})"
+        elif t in _PG_TYPES:
+            pg = _PG_TYPES[t]
+        else:
+            raise ValueError(
+                f"unsupported type {t!r} for COPY load of {table}.{f.name}"
+                " (flatten arrays/structs first)"
+            )
+        cols.append(f'"{f.name}" {pg}')
+    return f'CREATE TABLE {pg_schema}."{table}" ({", ".join(cols)})'
+
+
 def _flatten_for_jdbc(df: DataFrame) -> DataFrame:
     """Serialize array/struct columns to JSON strings for the row store."""
     from pyspark.sql import functions as F

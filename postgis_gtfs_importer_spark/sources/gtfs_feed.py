@@ -40,13 +40,21 @@ def download_feed(
 ) -> bool:
     """Conditional mirror of the feed zip (A1). Returns True if modified.
 
-    Sends If-Modified-Since from the existing file's mtime, mirroring
-    curl-mirror's behavior (/root/reference/download.sh:25-29; tool
-    installed Dockerfile:52-58). 304 → keep the existing copy.
+    Full curl-mirror parity (/root/reference/download.sh:25-29; tool
+    installed Dockerfile:52-58): sends If-Modified-Since from the
+    existing file's mtime AND If-None-Match from the ETag remembered in a
+    ``<dest>.etag`` sidecar (curl-mirror's --etag-save/--etag-compare).
+    304 → keep the existing copy.
     """
+    etag_path = dest_path + ".etag"
     headers = {"User-Agent": user_agent}
     if os.path.exists(dest_path):
         headers["If-Modified-Since"] = formatdate(os.path.getmtime(dest_path), usegmt=True)
+        if os.path.exists(etag_path):
+            with open(etag_path) as f:
+                etag = f.read().strip()
+            if etag:
+                headers["If-None-Match"] = etag
     req = urllib.request.Request(url, headers=headers)
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
@@ -58,6 +66,12 @@ def download_feed(
             if lm:
                 ts = parsedate_to_datetime(lm).timestamp()
                 os.utime(dest_path, (ts, ts))
+            new_etag = resp.headers.get("ETag")
+            if new_etag:
+                with open(etag_path, "w") as f:
+                    f.write(new_etag)
+            elif os.path.exists(etag_path):
+                os.remove(etag_path)  # server stopped sending ETags
             return True
     except urllib.error.HTTPError as e:
         if e.code == 304:

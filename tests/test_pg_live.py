@@ -1,0 +1,313 @@
+"""Live-PostgreSQL integration of the full publish surface (A8-A19,
+C6/C8/C9/C17/C18) over the PsqlCatalog — a scratch Postgres 15 server on
+a unix socket, started per test session. Exercises for real what round 1
+could only property-test on the LocalCatalog twin: the held NOWAIT lock
+(import.js:128-132), the two-connection CREATE/DROP DATABASE dance
+(import.js:115-118), psql-COPY bulk load (import.sh:124-132), the
+pointer flip (import.js:310-316), postprocessing hooks (import.sh:141),
+PostgREST grants, and the partition-index DDL.
+
+Skipped automatically when no Postgres server binaries are available.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import subprocess
+
+import pytest
+
+from postgis_gtfs_importer_spark.catalog import (
+    ImportLockedError,
+    PsqlCatalog,
+)
+from postgis_gtfs_importer_spark.plans.pipeline import run_import
+from postgis_gtfs_importer_spark.plans.publish import import_gtfs_atomically
+
+from .gtfs_fixtures import write_feed_zip
+from .test_publish import make_clock
+
+PG_BINDIR = "/usr/lib/postgresql/15/bin"
+PORT = 54399
+PREFIX = "gtfs_"
+
+
+def _pg_available() -> bool:
+    return (
+        shutil.which("psql") is not None
+        and shutil.which("runuser") is not None
+        and subprocess.run(
+            ["runuser", "-u", "postgres", "--", "true"], capture_output=True
+        ).returncode
+        == 0
+        and subprocess.run(
+            [f"{PG_BINDIR}/pg_ctl", "--version"], capture_output=True
+        ).returncode
+        == 0
+    )
+
+
+pytestmark = pytest.mark.skipif(
+    not _pg_available(), reason="no live Postgres server available"
+)
+
+
+@pytest.fixture(scope="session")
+def pg_server():
+    import pathlib
+    import tempfile
+
+    # NOT pytest's tmp_path: /tmp/pytest-of-root/* is 0700 root-owned, so
+    # the postgres OS user (initdb refuses to run as root) can't enter it
+    base = pathlib.Path(tempfile.mkdtemp(prefix="pglive-", dir="/tmp"))
+    data = base / "data"
+    subprocess.run(["chmod", "777", str(base)], check=True)
+    subprocess.run(
+        ["runuser", "-u", "postgres", "--", f"{PG_BINDIR}/initdb",
+         "-D", str(data), "--auth-local=trust", "--no-sync", "-U", "postgres"],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        ["runuser", "-u", "postgres", "--", f"{PG_BINDIR}/pg_ctl",
+         "-D", str(data),
+         "-o", f"-k {base} -p {PORT} -c listen_addresses='' -F",
+         "-l", str(base / "log"), "start"],
+        check=True, capture_output=True,
+    )
+    try:
+        yield {"host": str(base), "port": PORT, "user": "postgres"}
+    finally:
+        subprocess.run(
+            ["runuser", "-u", "postgres", "--", f"{PG_BINDIR}/pg_ctl",
+             "-D", str(data), "-m", "immediate", "stop"],
+            capture_output=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture()
+def catalog(spark, pg_server):
+    cat = PsqlCatalog(spark, **pg_server)
+    yield cat
+    # drop anything the test published, so tests are independent
+    try:
+        cat.rollback()
+    except Exception:
+        pass
+    for db in cat.list_databases(PREFIX):
+        try:
+            cat.drop_database(db)
+        except Exception:
+            pass
+    try:
+        cat._meta.execute(
+            "DROP TABLE IF EXISTS latest_successful_imports"
+        )
+    except Exception:
+        pass
+    cat.close()
+
+
+def _psql(pg, dbname, sql):
+    out = subprocess.run(
+        ["psql", "-h", pg["host"], "-p", str(pg["port"]), "-U", pg["user"],
+         "-d", dbname, "-qAtX", "-F", "\x1f", "-c", sql],
+        capture_output=True, text=True, check=True,
+    )
+    return [line for line in out.stdout.splitlines() if line]
+
+
+def test_full_import_cycle_against_live_postgres(spark, catalog, pg_server, tmp_path):
+    """run_import end-to-end: clean, derive, COPY-load, flip pointer."""
+    zip_path = write_feed_zip(str(tmp_path / "gtfs.zip"))
+    res = run_import(
+        spark,
+        catalog,
+        db_prefix=PREFIX,
+        zip_path=zip_path,
+        extract_dir=str(tmp_path / "extracted"),
+    )
+    assert res.new_import is not None
+    db = res.new_import["db_name"]
+
+    # tables physically exist in the snapshot DB with sane row counts
+    tables = set(
+        _psql(pg_server, db,
+              "SELECT table_name FROM information_schema.tables"
+              " WHERE table_schema = 'public'")
+    )
+    assert {"stops", "trips", "routes", "stop_times",
+            "arrivals_departures", "import_metadata"} <= tables
+    n_stops = int(_psql(pg_server, db, "SELECT count(*) FROM stops")[0])
+    spark_stops = int(catalog.read_table(db, "stops").count())
+    assert n_stops > 0 and n_stops == spark_stops
+    n_ad = int(_psql(pg_server, db,
+                     "SELECT count(*) FROM arrivals_departures")[0])
+    assert n_ad > 0
+
+    # C8-adjacent: PK DDL applied (trips.trip_id primary key)
+    pk = _psql(pg_server, db,
+               "SELECT count(*) FROM information_schema.table_constraints"
+               " WHERE table_name = 'trips' AND constraint_type = 'PRIMARY KEY'")
+    assert pk == ["1"]
+    # partition-pruning analog: B-tree index on arrivals_departures(date)
+    idx = _psql(pg_server, db,
+                "SELECT indexname FROM pg_indexes"
+                " WHERE tablename = 'arrivals_departures'")
+    assert "arrivals_departures_date_idx" in idx
+
+    # bookkeeping pointer flipped (A15/A22)
+    rec = catalog.latest_import(PREFIX)
+    assert rec is not None and rec.db_name == db
+
+    # idempotence: same zip again → skip (A6)
+    res2 = run_import(
+        spark, catalog, db_prefix=PREFIX, zip_path=zip_path,
+        extract_dir=str(tmp_path / "extracted"),
+    )
+    assert res2.import_skipped
+
+
+def test_lock_nowait_fails_fast_live(spark, catalog, pg_server):
+    """A17: a second importer fails immediately while the lock is held
+    (LOCK TABLE … IN EXCLUSIVE MODE NOWAIT, import.js:128-132)."""
+    catalog.ensure_bookkeeping()
+    catalog.begin_exclusive()  # holds the lock on the meta session
+    second = PsqlCatalog(spark, **pg_server)
+    try:
+        second.ensure_bookkeeping()  # CREATE IF NOT EXISTS; no conflict
+        with pytest.raises(ImportLockedError):
+            second.begin_exclusive()
+    finally:
+        second.close()
+        catalog.rollback()
+
+
+def test_retention_gc_drops_old_databases_live(spark, catalog, pg_server):
+    """A13/A14: retention keeps the newest 2; older snapshot DBs are
+    physically dropped and their bookkeeping rows deleted."""
+    now = make_clock()
+    results = []
+    for digest in ("aaaaaa", "bbbbbb", "cccccc", "dddddd"):
+        res = import_gtfs_atomically(
+            spark,
+            catalog,
+            db_prefix=PREFIX,
+            feed_digest=digest,
+            build_tables=lambda s, _db: {"t": s.range(5).toDF("id")},
+            now=now,
+        )
+        assert res.new_import is not None
+        results.append(res)
+    # keep-2 runs over imports recorded BEFORE the new one (import.js
+    # determineDbsToRetain), so the 4th import physically DROPs the 1st
+    assert results[0].new_import["db_name"] in results[3].deleted_databases
+    dbs = catalog.list_databases(PREFIX)
+    assert len(dbs) == 3  # newest 2 retained + the just-imported one
+    recs = catalog.list_recorded_imports(PREFIX)
+    assert [r.feed_digest for r in recs] == ["dddddd", "cccccc", "bbbbbb"]
+    # A11: meta DB never shows up as a snapshot
+    assert catalog.meta_db not in dbs
+
+
+def test_failed_import_rolls_back_and_gcs_orphan_live(spark, catalog):
+    """A18/A19: a build_tables crash aborts before the pointer flip; the
+    orphan DB is swept by the next successful run's reconciliation."""
+    def boom(s, _db):
+        raise RuntimeError("mid-import crash")
+
+    with pytest.raises(RuntimeError, match="mid-import crash"):
+        import_gtfs_atomically(
+            spark, catalog, db_prefix=PREFIX, feed_digest="deadbf",
+            build_tables=boom, now=make_clock(),
+        )
+    assert catalog.list_recorded_imports(PREFIX) == []
+    orphans = catalog.list_databases(PREFIX)  # DB minted outside the txn
+    res = import_gtfs_atomically(
+        spark, catalog, db_prefix=PREFIX, feed_digest="feedme",
+        build_tables=lambda s, _db: {"t": s.range(2).toDF("id")},
+        now=make_clock(1_700_100_000),
+    )
+    assert res.new_import is not None
+    left = catalog.list_databases(PREFIX)
+    for orphan in orphans:
+        assert orphan not in left  # A12 reconciliation swept it
+
+
+def test_postprocessing_hook_and_grants_live(spark, catalog, pg_server, tmp_path):
+    """A23 + C9: hook SQL mutates the live snapshot atomically; PostgREST
+    grants create the role + read-only privileges."""
+    from postgis_gtfs_importer_spark.sinks.postgis import postgrest_grants_sql
+
+    hooks = tmp_path / "postprocessing.d"
+    hooks.mkdir()
+    (hooks / "01-mutate.sql").write_text(
+        "UPDATE t SET id = id + 100;"
+        "CREATE TABLE t_doubled AS SELECT id * 2 AS id2 FROM t;"
+    )
+    res = import_gtfs_atomically(
+        spark, catalog, db_prefix=PREFIX, feed_digest="abc123",
+        build_tables=lambda s, _db: {"t": s.range(3).toDF("id")},
+        postprocessing_dir=str(hooks),
+        now=make_clock(),
+    )
+    db = res.new_import["db_name"]
+    assert _psql(pg_server, db, "SELECT min(id) FROM t") == ["100"]
+    assert _psql(pg_server, db, "SELECT count(*) FROM t_doubled") == ["3"]
+
+    catalog.execute_sql(db, postgrest_grants_sql())
+    grants = _psql(
+        pg_server, db,
+        "SELECT privilege_type FROM information_schema.table_privileges"
+        " WHERE grantee = 'web_anon' AND table_name = 't'",
+    )
+    assert grants == ["SELECT"]
+
+
+def test_copy_roundtrip_types_live(spark, catalog, pg_server):
+    """C17: COPY text-format escaping + type mapping round-trips NULLs,
+    tabs/newlines/backslashes, unicode, bools, dates and UTC timestamps."""
+    rows = [
+        (1, "plain", True, 1.5, dt.date(2024, 3, 31),
+         dt.datetime(2024, 3, 31, 1, 10, 0)),
+        (2, "tab\there \\ and\nnewline", False, -0.25,
+         dt.date(2024, 10, 27), dt.datetime(2024, 10, 27, 0, 30, 0)),
+        (3, None, None, None, None, None),
+        (4, "ünïcödé — ∑", True, 2.0**-40, dt.date(1999, 12, 31),
+         dt.datetime(2000, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, s string, b boolean, x double, d date, ts timestamp",
+    )
+    catalog.ensure_bookkeeping()
+    catalog.create_database("gtfs_typetest")
+    try:
+        catalog.write_tables("gtfs_typetest", {"vals": df})
+        got = _psql(
+            pg_server, "gtfs_typetest",
+            # newline-bearing values are flattened SQL-side so one result
+            # row stays one psql output line
+            "SELECT id, coalesce(replace(s, E'\\n', '<NL>'), '<null>'),"
+            " coalesce(b::text, '<null>'), coalesce(x::text, '<null>'),"
+            " coalesce(d::text, '<null>'),"
+            " coalesce(to_char(ts AT TIME ZONE 'UTC',"
+            "   'YYYY-MM-DD HH24:MI:SS'), '<null>')"
+            " FROM vals ORDER BY id",
+        )
+        assert got[0].split("\x1f") == [
+            "1", "plain", "true", "1.5", "2024-03-31", "2024-03-31 01:10:00"]
+        f2 = got[1].split("\x1f")
+        assert f2[1] == "tab\there \\ and<NL>newline"
+        assert f2[4] == "2024-10-27" and f2[5] == "2024-10-27 00:30:00"
+        assert got[2].split("\x1f")[1:] == ["<null>"] * 5
+        f4 = got[3].split("\x1f")
+        assert f4[1] == "ünïcödé — ∑"
+        # escaped content round-trips exactly (COPY text escapes)
+        raw = _psql(pg_server, "gtfs_typetest",
+                    "SELECT s = E'tab\\there \\\\ and\\nnewline'"
+                    " FROM vals WHERE id = 2")
+        assert raw == ["t"]
+    finally:
+        catalog.drop_database("gtfs_typetest")

@@ -75,3 +75,58 @@ def test_cleaning_config_from_env():
     assert cfg.remove_red_stops is False
     assert cfg.min_shapes is True
     assert cfg.delete_orphans is True  # untouched default
+
+
+def test_download_feed_conditional_mirror(tmp_path):
+    """A1 curl-mirror parity: If-Modified-Since + If-None-Match from the
+    .etag sidecar (--etag-save/--etag-compare, Dockerfile:52-58);
+    304 keeps the local copy, a changed ETag re-downloads."""
+    import http.server
+    import threading
+
+    from postgis_gtfs_importer_spark.sources.gtfs_feed import download_feed
+
+    state = {"etag": '"v1"', "body": b"feed-v1", "requests": []}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            state["requests"].append(dict(self.headers))
+            if self.headers.get("If-None-Match") == state["etag"]:
+                self.send_response(304)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("ETag", state["etag"])
+            self.send_header(
+                "Last-Modified", "Wed, 01 Jan 2025 00:00:00 GMT"
+            )
+            self.send_header("Content-Length", str(len(state["body"])))
+            self.end_headers()
+            self.wfile.write(state["body"])
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}/feed.zip"
+    dest = str(tmp_path / "feed.zip")
+    try:
+        # first fetch: downloads, saves the ETag sidecar
+        assert download_feed(url, dest) is True
+        assert open(dest, "rb").read() == b"feed-v1"
+        assert open(dest + ".etag").read() == '"v1"'
+
+        # second fetch: If-None-Match sent, 304, local copy kept
+        assert download_feed(url, dest) is False
+        assert state["requests"][-1].get("If-None-Match") == '"v1"'
+        assert state["requests"][-1].get("If-Modified-Since") is not None
+        assert open(dest, "rb").read() == b"feed-v1"
+
+        # server publishes a new version: re-download, sidecar updated
+        state["etag"], state["body"] = '"v2"', b"feed-v2"
+        assert download_feed(url, dest) is True
+        assert open(dest, "rb").read() == b"feed-v2"
+        assert open(dest + ".etag").read() == '"v2"'
+    finally:
+        srv.shutdown()
