@@ -541,6 +541,7 @@ class PsqlCatalog:
         user: str = "postgres",
         meta_db: str = "postgres",
         load_partitions: int = 8,
+        pg_schema: str = "public",
     ):
         from .sinks.psql_exec import PsqlSession
 
@@ -548,6 +549,7 @@ class PsqlCatalog:
         self.host, self.port, self.user = host, port, user
         self.meta_db = meta_db
         self.load_partitions = load_partitions
+        self.pg_schema = pg_schema  # C8 --schema targeting
         self._meta = PsqlSession(host=host, port=port, user=user, dbname=meta_db)
 
     # -- one-shot helpers ----------------------------------------------------
@@ -668,16 +670,22 @@ class PsqlCatalog:
         with_postgis = self._postgis_available()
         if with_postgis:
             self.execute_sql(db_name, "CREATE EXTENSION IF NOT EXISTS postgis")
+        schema = self.pg_schema
+        if schema != "public":
+            self._once(
+                db_name, [f'CREATE SCHEMA IF NOT EXISTS "{schema}"']
+            )
         for name, df in tables.items():
             flat = _flatten_for_jdbc(df)
             self._once(
-                db_name, [spark_schema_to_pg_ddl(name, flat.schema)]
+                db_name, [spark_schema_to_pg_ddl(name, flat.schema, schema)]
             )
             copy_dataframe_psql(
                 flat.repartition(self.load_partitions),
-                self.host, self.port, self.user, db_name, name,
+                self.host, self.port, self.user, db_name,
+                f'{schema}."{name}"',
             )
-        for stmt in post_load_ddl(set(tables), "public", partition_by):
+        for stmt in post_load_ddl(set(tables), schema, partition_by):
             if not with_postgis and (
                 "geography(" in stmt or "USING GIST" in stmt
                 or "ST_" in stmt
@@ -707,7 +715,7 @@ class PsqlCatalog:
         )
         cmd = _base_args(self.host, self.port, self.user, db_name) + [
             "-c",
-            f'COPY (SELECT * FROM "{table}") TO STDOUT'
+            f'COPY (SELECT * FROM {self.pg_schema}."{table}") TO STDOUT'
             " WITH (FORMAT CSV, HEADER)",
         ]
         subprocess.run(
@@ -733,8 +741,9 @@ class PsqlCatalog:
             raise LookupError(f"no published import with prefix {prefix!r}")
         rows = self._once(
             rec.db_name,
-            ["""SELECT table_name FROM information_schema.tables
-                WHERE table_schema = 'public' AND table_type = 'BASE TABLE'
+            [f"""SELECT table_name FROM information_schema.tables
+                WHERE table_schema = '{self.pg_schema}'
+                AND table_type = 'BASE TABLE'
                 ORDER BY table_name"""],
         )
         return {r[0]: self.read_table(rec.db_name, r[0]) for r in rows}

@@ -311,3 +311,42 @@ def test_copy_roundtrip_types_live(spark, catalog, pg_server):
         assert raw == ["t"]
     finally:
         catalog.drop_database("gtfs_typetest")
+
+
+def test_schema_targeting_live(spark, pg_server):
+    """C8 --schema: snapshot tables land in a non-public schema; PK and
+    consumer reads follow (gtfs-via-postgres --schema,
+    /root/reference/import.sh:126 invocation surface)."""
+    cat = PsqlCatalog(spark, **pg_server, pg_schema="gtfs")
+    try:
+        res = import_gtfs_atomically(
+            spark, cat, db_prefix=PREFIX, feed_digest="5cheee",
+            build_tables=lambda s, _db: {
+                "trips": s.createDataFrame(
+                    [("t1", "r1"), ("t2", "r1")], "trip_id string, route_id string"
+                )
+            },
+            now=make_clock(),
+        )
+        db = res.new_import["db_name"]
+        assert _psql(pg_server, db,
+                     "SELECT table_schema FROM information_schema.tables"
+                     " WHERE table_name = 'trips'") == ["gtfs"]
+        pk = _psql(pg_server, db,
+                   "SELECT count(*) FROM information_schema.table_constraints"
+                   " WHERE table_name = 'trips' AND table_schema = 'gtfs'"
+                   " AND constraint_type = 'PRIMARY KEY'")
+        assert pk == ["1"]
+        assert cat.read_table(db, "trips").count() == 2
+        assert set(cat.open_latest(PREFIX)) == {"trips"}
+    finally:
+        for db in cat.list_databases(PREFIX):
+            try:
+                cat.drop_database(db)
+            except Exception:
+                pass
+        try:
+            cat._meta.execute("DROP TABLE IF EXISTS latest_successful_imports")
+        except Exception:
+            pass
+        cat.close()
