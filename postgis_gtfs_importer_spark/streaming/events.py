@@ -195,9 +195,11 @@ def dedup_stream(
 
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "append"
-) -> None:
+):
     """Drain a bounded stream (Trigger.AvailableNow) into an in-memory
-    table for inspection/testing; blocks until exhausted."""
+    table for inspection/testing; blocks until exhausted. Returns the
+    (terminated) query so callers can read progress metrics, e.g.
+    numRowsDroppedByWatermark."""
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)
@@ -206,3 +208,4 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    return q

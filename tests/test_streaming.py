@@ -130,3 +130,64 @@ def test_poll_loop_digest_gate(spark, tmp_path):
     assert results[0].new_import is not None
     assert results[1].import_skipped and results[2].import_skipped
     assert slept == [60, 60]
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics (SURVEY §2 streaming): an event arriving
+    micro-batches later with event time hours behind the watermark is
+    DROPPED — numRowsDroppedByWatermark records it and its window never
+    materializes — while watermark-closed on-time windows emit exactly.
+
+    Note the file source needs THREE phases here: with
+    Trigger.AvailableNow the watermark advanced by batch N only takes
+    effect for filtering in batch N+2 (it is computed at commit and
+    applied at next plan), so the late file must not be the immediate
+    successor of the watermark-advancing file."""
+    import os
+    import time
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    d = str(tmp_path / "late_stream")
+    os.makedirs(d)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, SE.EVENT_SCHEMA).coalesce(1).write.mode(
+            mode
+        ).parquet(d)
+
+    # phase 1: on-time event at 00:15 + an event at 10:00 that will push
+    # the watermark to 09:30
+    write(
+        [
+            (0, 0, "typeA", base + dt.timedelta(minutes=15), "1.0", "{}"),
+            (2, 0, "typeA", base + dt.timedelta(hours=10), "1.0", "{}"),
+        ],
+        "overwrite",
+    )
+    time.sleep(1.1)  # distinct mtimes: the file source batches by them
+    # phase 2: on-time filler so the 09:30 watermark becomes effective
+    write([(5, 0, "typeA", base + dt.timedelta(hours=10, minutes=5), "1.0", "{}")],
+          "append")
+    time.sleep(1.1)
+    # phase 3: the late event — 05:00, hours behind the 09:30 watermark
+    write([(3, 0, "typeA", base + dt.timedelta(hours=5), "1.0", "{}")], "append")
+
+    stream = SE.stream_events(spark, d, max_files_per_trigger=1)
+    q = SE.run_to_memory(
+        SE.windowed_stats_stream(stream, "1 hour", "30 minutes"),
+        "late_stats",
+    )
+    got = {
+        r.window_start: r.n_events for r in spark.table("late_stats").collect()
+    }
+    # the on-time 00:00 window closed and emitted exactly once
+    assert got.get(base) == 1
+    # the late event's 05:00 window would be closed too (06:00 < 09:30) —
+    # its ABSENCE proves the row was dropped, not merely held back…
+    assert base + dt.timedelta(hours=5) not in got
+    # …and the state operator accounted for the drop explicitly
+    dropped = sum(
+        o.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for o in p.get("stateOperators", [])
+    )
+    assert dropped == 1
