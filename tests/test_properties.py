@@ -186,3 +186,40 @@ def test_sessionize_partitions_events(spark, evts):
         # n_events*gap covers the duration (necessary condition)
         if r.n_events > 1:
             assert r.duration_sec <= (r.n_events - 1) * 1800
+
+
+def test_cc_star_equals_propagation_on_random_graphs(spark):
+    """Large-star/small-star contraction (O(log² n) rounds, diameter-
+    independent — the 100 TB path) must produce exactly the labels of
+    min-label propagation, including long chains (diameter stress) and
+    self-loop-only nodes."""
+    import random
+
+    from postgis_gtfs_importer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cases = [
+        [(i, i + 1) for i in range(30)],  # 30-hop chain
+        [(0, i) for i in range(1, 10)],  # star
+        [(1, 2), (2, 3), (10, 11), (12, 11), (5, 5)],  # self-loop island
+    ]
+    for s in range(5):
+        random.seed(100 + s)
+        n = random.randint(5, 60)
+        cases.append(
+            [(random.randint(0, n), random.randint(0, n)) for _ in range(n)]
+        )
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        a = {
+            (r.id, r.component)
+            for r in connected_components(df, 40, algorithm="star").collect()
+        }
+        b = {
+            (r.id, r.component)
+            for r in connected_components(
+                df, 80, algorithm="propagate"
+            ).collect()
+        }
+        assert a == b, pairs
