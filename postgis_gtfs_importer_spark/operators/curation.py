@@ -1,0 +1,268 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Deterministic hash splits/sampling, benchmark decontamination, repetition
+scoring, and PII redaction — the operations a 100 TB pretraining-data
+pipeline runs after cleaning (BASELINE.json "north_star"; they extend the
+reference's cleaning family, gtfsclean flags at
+/root/reference/import.sh:38-111, to corpus scale).
+
+Scale design, shared across the family:
+- Split/sample assignment is a pure column expression over a key hash —
+  no shuffle, no RNG state, reproducible under retries/re-partitioning
+  (Spark's ``df.sample`` is seed+partition dependent; a content hash is
+  not). The same expression evaluates identically in the DuckDB oracle.
+- Decontamination joins the corpus against the *benchmark* shingle index,
+  which is broadcast: benchmarks are KBs-to-MBs while the corpus is TBs,
+  so the corpus never shuffles — the classic build-small-probe-large
+  asymmetry.
+- Repetition stats are per-row higher-order array functions (JVM-side,
+  codegen) — embarrassingly parallel, zero shuffles.
+- PII redaction is a chain of ``regexp_replace`` column expressions kept
+  RE2-compatible (no lookarounds/backrefs) so the identical pattern runs
+  in Spark (Java regex), DuckDB, and PostgreSQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows
+
+# ---------------------------------------------------------------------------
+# Deterministic hash bucketing (split + sample assignment)
+# ---------------------------------------------------------------------------
+
+#: Number of buckets the key hash is reduced into. 10_000 gives 0.01%
+#: granularity for split weights/sampling rates while keeping the bucket
+#: in safe BIGINT range on every engine.
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, salt: str = "", buckets: int = HASH_BUCKETS) -> Column:
+    """Stable bucket in [0, buckets) from md5 of the (salted) key string.
+
+    First 8 hex chars of md5 -> 32-bit int -> modulo. md5 of an identical
+    string is identical in Spark, DuckDB and PostgreSQL, so assignment is
+    engine-portable and immune to partitioning/ordering — the property
+    ``df.sample``/``rand(seed)`` do NOT have. SQL twin:
+    ``CAST('0x' || substr(md5(<salt> || CAST(key AS VARCHAR)), 1, 8) AS BIGINT) % buckets``.
+    """
+    key_c = key if isinstance(key, Column) else F.col(key)
+    keyed = F.concat(F.lit(salt), key_c.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def hash_bucket_sql(key_sql: str, salt: str = "", buckets: int = HASH_BUCKETS) -> str:
+    """The DuckDB/ANSI twin of :func:`hash_bucket` (same bits, same bucket)."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {buckets}"
+    )
+
+
+def assign_split(
+    key: Column | str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> Column:
+    """Deterministic train/val/test(/...) assignment from split weights.
+
+    ``weights`` maps split name -> fraction (must sum to ~1; the last
+    split absorbs rounding). Assignment is by cumulative threshold over
+    :func:`hash_bucket`, so a document's split never changes when the
+    corpus grows, is re-partitioned, or is re-read — the invariant that
+    makes incremental 100 TB pipelines possible (re-runs never leak val
+    docs into train).
+    """
+    bucket = hash_bucket(key, salt=salt)
+    names = list(weights)
+    expr: Column | None = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * HASH_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def assign_split_sql(key_sql: str, weights: dict[str, float], salt: str = "split") -> str:
+    """SQL twin of :func:`assign_split` (identical thresholds)."""
+    bucket = hash_bucket_sql(key_sql, salt=salt)
+    names = list(weights)
+    parts = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        parts.append(f"WHEN ({bucket}) < {int(round(acc * HASH_BUCKETS))} THEN '{name}'")
+    if not parts:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically by key hash.
+
+    The rebalancing pass of corpus curation (downsample overrepresented
+    strata, keep rare ones whole). Pure filter — no shuffle, no RNG; the
+    kept set is a function of (key, salt) only, so re-runs and unions of
+    incremental batches agree. Rates are quantized to 1/HASH_BUCKETS.
+    """
+    rate_expr: Column = F.lit(default_rate)
+    for stratum, rate in rates.items():
+        rate_expr = F.when(F.col(stratum_col) == stratum, F.lit(rate)).otherwise(
+            rate_expr
+        )
+    threshold = F.round(rate_expr * HASH_BUCKETS).cast("long")
+    return df.filter(hash_bucket(key_col, salt=salt) < threshold)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag corpus docs sharing >= min_shared word n-grams with a benchmark.
+
+    The eval-set decontamination pass every pretraining pipeline needs:
+    any document that contains a benchmark n-gram is suspect (n=8..13 in
+    production; configurable). Returns one row per contaminated doc:
+    ``(id, n_shared_ngrams, n_bench_docs)`` — distinct shared shingles and
+    how many distinct benchmark docs they came from.
+
+    Scale: the benchmark shingle index is tiny (benchmarks are MBs) and is
+    **broadcast**, so the TB-scale corpus side never shuffles for the
+    join; the only exchange is the final per-doc aggregate, keyed on doc
+    id (uniform — no skew). Corpus shingling is a generator expression,
+    not a materialized all-shingles table.
+    """
+    corpus_sh = shingle_rows(corpus, id_col, text_col, n=n)
+    bench_sh = (
+        shingle_rows(benchmark, id_col, text_col, n=n)
+        .withColumnRenamed("id", "bench_id")
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return (
+        hits.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_ngrams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate scoring
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram repetition profile (boilerplate/loop detector).
+
+    For word n-grams of each doc: total count, distinct count, the
+    duplicate ratio ``1 - distinct/total`` (scaled e6), and the highest
+    single n-gram multiplicity. High dup ratio = generated/boilerplate
+    text — a standard quality-filter signal.
+
+    All four are per-row array expressions (``transform``/``filter``/
+    ``array_distinct`` over the token array): JVM-side, zero shuffles,
+    linear scan parallelism. The per-distinct-gram count is O(g^2) in the
+    *document's own* gram count — bounded by doc length, independent of
+    corpus size, so it scales to any corpus. Docs shorter than n words
+    report zeros.
+    """
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_positions = F.size(toks) - (n - 1)
+    # sequence(1, 0) is DESCENDING in Spark — short docs must take the
+    # empty-array branch, not the sequence.
+    grams = F.when(
+        n_positions <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_positions, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    g = F.col("_grams")
+    distinct = F.array_distinct(g)
+    max_mult = F.when(F.size(g) == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(distinct, lambda d: F.size(F.filter(g, lambda x: x == d)))
+        )
+    )
+    dup_ratio_e6 = F.when(F.size(g) == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (1.0 - F.size(distinct) / F.size(g)) * F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("long")
+    )
+    return (
+        df.withColumn("_grams", grams)
+        .select(
+            id_col,
+            F.size(g).alias("n_ngrams"),
+            F.size(distinct).alias("n_distinct"),
+            dup_ratio_e6.alias("dup_ratio_e6"),
+            max_mult.alias("max_multiplicity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: RE2-compatible patterns (no lookarounds) — identical semantics in Spark
+#: (Java regex), DuckDB and PostgreSQL. Deliberately precise-over-recall:
+#: a redaction operator must never corrupt non-PII text.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+IPV4_PATTERN = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) match counts for a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(IPV4_PATTERN), 0)),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails/phones/IPv4s with typed placeholder tokens.
+
+    Order matters and is fixed (email -> phone -> ip) so the output is
+    deterministic; placeholders contain no PII-pattern characters, so the
+    chain is idempotent: redact(redact(x)) == redact(x).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
+    out = F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+    return F.regexp_replace(out, IPV4_PATTERN, "[IP]")

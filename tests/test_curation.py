@@ -1,0 +1,127 @@
+"""Unit tests for operators/curation.py — deterministic splits/sampling,
+decontamination, repetition stats, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.operators import curation as C
+
+
+def test_assign_split_is_stable_under_repartition_and_growth(spark):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = spark.range(500).select(F.col("id").alias("doc_id"))
+    a1 = {
+        r.doc_id: r.split
+        for r in base.select(
+            "doc_id", C.assign_split("doc_id", w).alias("split")
+        ).collect()
+    }
+    # same keys, different partitioning and a grown corpus
+    grown = spark.range(1000).select(F.col("id").alias("doc_id")).repartition(7)
+    a2 = {
+        r.doc_id: r.split
+        for r in grown.select(
+            "doc_id", C.assign_split("doc_id", w).alias("split")
+        ).collect()
+    }
+    assert all(a2[k] == v for k, v in a1.items())
+    # proportions roughly honored (md5 is uniform)
+    n_train = sum(1 for v in a2.values() if v == "train")
+    assert 0.72 <= n_train / 1000 <= 0.88
+    assert set(a2.values()) == {"train", "val", "test"}
+
+
+def test_assign_split_disjoint_and_exhaustive(spark):
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    df = spark.range(2000).select(C.assign_split("id", w).alias("split"))
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    s1 = C.stratified_sample(df, "doc_id", "lang", {"en": 0.3}, default_rate=1.0)
+    s2 = C.stratified_sample(df.repartition(5), "doc_id", "lang", {"en": 0.3})
+    ids1 = {r.doc_id for r in s1.collect()}
+    ids2 = {r.doc_id for r in s2.collect()}
+    assert ids1 == ids2
+    # de kept whole, en downsampled to ~30%
+    de = [i for i in ids1 if i % 2 == 1]
+    en = [i for i in ids1 if i % 2 == 0]
+    assert len(de) == 200
+    assert 30 <= len(en) <= 90
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench 4-gram
+            (2, "one two three four five six"),  # disjoint
+            (3, "Beta Gamma DELTA epsilon trailing words"),  # case-insensitive hit
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_shared_ngrams, r.n_bench_docs)
+        for r in C.decontaminate(corpus, bench, n=4).collect()
+    }
+    assert out == {1: (1, 1), 3: (1, 1)}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "w1 w2 w3 w4")], "doc_id long, text string"
+    )
+    plan = C.decontaminate(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),  # grams: 7 total, 3 distinct, max mult 3
+            (1, "x y"),  # shorter than n
+            (2, ""),
+            (3, "p q r s"),  # 2 grams, all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in C.repetition_stats(df, n=3).collect()}
+    assert (rows[0].n_ngrams, rows[0].n_distinct, rows[0].max_multiplicity) == (7, 3, 3)
+    assert rows[0].dup_ratio_e6 == 571429  # floor((1 - 3/7)*1e6 + .5)
+    assert (rows[1].n_ngrams, rows[1].dup_ratio_e6, rows[1].max_multiplicity) == (0, 0, 0)
+    assert (rows[2].n_ngrams, rows[3].n_ngrams, rows[3].max_multiplicity) == (0, 2, 1)
+
+
+def test_redact_pii_idempotent_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "write a.b+c@ex-1.co.uk or call +49-123-4567-890 from 10.0.0.1"),
+            (1, "clean text, no pii; v1.2.3 is not an ip"),
+        ],
+        "doc_id long, text string",
+    )
+    e, p, i = C.pii_counts("text")
+    once = df.select(
+        "doc_id",
+        e.alias("e"), p.alias("p"), i.alias("i"),
+        C.redact_pii("text").alias("red"),
+    )
+    rows = {r.doc_id: r for r in once.collect()}
+    assert (rows[0].e, rows[0].p, rows[0].i) == (1, 1, 1)
+    assert rows[0].red == "write [EMAIL] or call [PHONE] from [IP]"
+    assert (rows[1].e, rows[1].p, rows[1].i) == (0, 0, 0)
+    assert rows[1].red == rows[1].red  # unchanged text survives
+    twice = once.select("doc_id", C.redact_pii("red").alias("red2"), "red")
+    assert all(r.red2 == r.red for r in twice.collect())
