@@ -209,3 +209,34 @@ def run_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+TESTDATA_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_testdata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's events.parquet (TIMESTAMP(NANOS)).
+
+    Mirrors sources.tables.load_table's nanos handling: declare ts as
+    LongType under spark.sql.legacy.parquet.nanosAsLong and truncate to
+    microseconds — the same instant the batch reader (and DuckDB) sees,
+    so streaming results are oracle-comparable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory: stream the sf_dir with
+    # a glob filter selecting only the events table.
+    raw = (
+        spark.readStream.schema(TESTDATA_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
