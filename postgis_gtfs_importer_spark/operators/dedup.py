@@ -576,3 +576,72 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
         .select("id_a", "id_b", "jaccard_e6")
     )
+
+
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.05,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ngram_jaccard_pairs with hot-shingle (stop-shingle) capping.
+
+    The inverted-index self-join is quadratic in each shingle's document
+    frequency: one shingle present in 1M docs alone produces 5*10^11
+    candidate rows — the plan-killer at 100 TB that AQE's skew-join can
+    split but not shrink. The standard set-similarity fix: exclude
+    shingles with df > max_df from CANDIDATE GENERATION (they carry ~no
+    signal — a shingle in half the corpus identifies nothing), then
+    verify candidates exactly on the FULL shingle sets.
+
+    Semantics: identical to the uncapped operator except that a pair
+    whose shared shingles are ALL hot is missed — for Jaccard >=
+    threshold pairs this requires every discriminating shingle to be a
+    stop-shingle, which is the boilerplate-only-overlap case dedup
+    explicitly doesn't want. The hot set (heavy hitters) is tiny by
+    definition, so it broadcasts; candidate buckets are bounded by
+    max_df, making the join's worst case max_df^2 per shingle —
+    tunable, not data-dependent.
+    """
+    assert threshold > 0, "threshold must be > 0 (zero-overlap pairs are pruned)"
+    src = df.withColumnRenamed(block_col, "blk") if block_col != "blk" else df
+    sh = materialize(shingle_rows(src, id_col, text_col, n, extra_cols=["blk"]))
+    sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard_e6",
+            _jaccard_e6(F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
+        .select("id_a", "id_b", "jaccard_e6")
+    )

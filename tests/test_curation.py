@@ -125,3 +125,27 @@ def test_redact_pii_idempotent_and_counts(spark):
     assert rows[1].red == rows[1].red  # unchanged text survives
     twice = once.select("doc_id", C.redact_pii("red").alias("red2"), "red")
     assert all(r.red2 == r.red for r in twice.collect())
+
+
+def test_ngram_capped_matches_uncapped_on_corpus(spark):
+    """df-capping drops only all-hot-overlap pairs; on the test corpus the
+    capped operator must return a subset of the uncapped pairs with
+    identical (exact, full-set) jaccard values."""
+    from postgis_gtfs_importer_spark.operators import dedup as DD
+    from postgis_gtfs_importer_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(id_col="doc_id", text_col="text", block_col="lang", n=3,
+              threshold=0.05)
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard_e6
+        for r in DD.ngram_jaccard_pairs(d, **kw).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard_e6
+        for r in DD.ngram_jaccard_pairs_capped(d, **kw, max_df=5).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert all(uncapped[k] == v for k, v in capped.items())
+    # the cap must not cost recall on real near-dups here
+    assert capped == uncapped
