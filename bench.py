@@ -48,6 +48,11 @@ HEADLINE = [
     "arrivals_departures_abs",
     "stats_agency_route_stop_hour",
     "active_trips_by_hour",
+    "decontaminate",
+    "ngram_jaccard_capped",
+    "repetition_profile",
+    "hash_split",
+    "streaming_windowed_stats",
 ]
 
 
