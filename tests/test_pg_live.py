@@ -350,3 +350,39 @@ def test_schema_targeting_live(spark, pg_server):
         except Exception:
             pass
         cat.close()
+
+
+def test_copy_sink_throughput_floor_live(spark, catalog, pg_server):
+    """C17 sink benchmark (SURVEY §4 'swap-in COPY if JDBC >2x off'):
+    measure the parallel psql-COPY path on a real table and assert a
+    conservative throughput floor. Prints the measured rate so rounds
+    can compare (recorded in docs/SCALE.md)."""
+    import time
+
+    from postgis_gtfs_importer_spark.sinks.pg_copy import copy_dataframe_psql
+    from postgis_gtfs_importer_spark.sinks.postgis import spark_schema_to_pg_ddl
+    from postgis_gtfs_importer_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").repartition(8)
+    li = li.persist()
+    n = li.count()  # materialize before timing: measure the sink, not the scan
+
+    db = "gtfs_copybench"
+    catalog.create_database(db)
+    try:
+        _psql(pg_server, db, spark_schema_to_pg_ddl("lineitem", li.schema))
+        t0 = time.monotonic()
+        copy_dataframe_psql(
+            li, host=pg_server["host"], port=pg_server["port"],
+            user=pg_server["user"], dbname=db, table='public."lineitem"',
+        )
+        elapsed = time.monotonic() - t0
+        assert int(_psql(pg_server, db, "SELECT count(*) FROM lineitem")[0]) == n
+        rate = n / elapsed
+        print(f"\nCOPY sink: {n} rows in {elapsed:.2f}s = {rate:,.0f} rows/s")
+        # conservative floor — a regression to row-at-a-time INSERTs or a
+        # serialization bug shows up as orders of magnitude, not percent
+        assert rate > 10_000
+    finally:
+        li.unpersist()
+        catalog.drop_database(db)
