@@ -266,3 +266,54 @@ def redact_pii(col: Column | str) -> Column:
     out = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
     out = F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
     return F.regexp_replace(out, IPV4_PATTERN, "[IP]")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (context-window layout for training)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int = 1,
+    salt: str = "pack",
+) -> DataFrame:
+    """Token-stream packing: lay documents end-to-end into fixed-capacity
+    context windows (the GPT-style concat-then-split layout).
+
+    Each document is assigned a shard (md5 bucket of its id), ordered
+    deterministically within the shard, and given its token offset in
+    the shard's concatenated stream via a windowed running sum. From the
+    offset, the window span is pure arithmetic:
+    ``window_first = start_off // capacity``,
+    ``window_last = (start_off + n_tokens - 1) // capacity`` — documents
+    may span windows, exactly like production sequence packing.
+
+    Scale: the ONLY shuffle is the per-shard window (partitionBy shard,
+    orderBy id). Sharding first is the point — a single global running
+    sum would serialize the corpus through one task, while per-shard
+    packing is embarrassingly parallel and still deterministic (shard
+    and order are both content-addressed, so re-runs and incremental
+    unions produce identical layouts per shard). Empty documents are
+    excluded (they occupy no tokens).
+    """
+    shard = hash_bucket(id_col, salt=salt, buckets=n_shards)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(id_col)
+    t = F.col(tokens_col).cast("long")
+    return (
+        df.filter(F.col(tokens_col) > 0)
+        .withColumn("shard", shard)
+        .withColumn("end_off", F.sum(t).over(w))
+        .select(
+            id_col,
+            "shard",
+            F.col(tokens_col).alias("n_tokens"),
+            (F.col("end_off") - t).alias("start_off"),
+            F.floor((F.col("end_off") - t) / capacity).cast("long").alias("window_first"),
+            F.floor((F.col("end_off") - 1) / capacity).cast("long").alias("window_last"),
+        )
+    )

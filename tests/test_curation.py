@@ -149,3 +149,30 @@ def test_ngram_capped_matches_uncapped_on_corpus(spark):
     assert all(uncapped[k] == v for k, v in capped.items())
     # the cap must not cost recall on real near-dups here
     assert capped == uncapped
+
+
+def test_pack_sequences_layout_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, 10 + (i % 7) * 30) for i in range(100)] + [(200, 0)],
+        "doc_id long, n_tokens int",
+    )
+    out = C.pack_sequences(df, "doc_id", "n_tokens", capacity=64, n_shards=3)
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.doc_id))
+    assert all(r.doc_id != 200 for r in rows)  # empty docs excluded
+    # within each shard: contiguous token stream, no gaps or overlaps
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 3
+    for shard_rows in by_shard.values():
+        off = 0
+        for r in shard_rows:
+            assert r.start_off == off
+            assert r.window_first == off // 64
+            assert r.window_last == (off + r.n_tokens - 1) // 64
+            off += r.n_tokens
+    # deterministic under repartition
+    out2 = C.pack_sequences(
+        df.repartition(7), "doc_id", "n_tokens", capacity=64, n_shards=3
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
