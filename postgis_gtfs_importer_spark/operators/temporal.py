@@ -1,0 +1,70 @@
+"""Temporal join operators Spark's built-ins don't provide directly.
+
+As-of (point-in-time) join — every left row picks the latest right row
+with ``right.ts <= left.ts`` per key — is the backbone of feature
+backfills, rates-at-event-time lookups, and GTFS-RT state alignment
+(streaming/gtfs_rt.py holds the stream-static variant). Spark has no
+ASOF JOIN; the naive theta-join (``l.k = r.k AND l.ts >= r.ts`` + window
+to keep the max) materializes every (left, earlier-right) pair — at
+100 TB that is a quadratic blowup per key before the filter.
+
+``asof_join`` uses the union-then-window formulation instead: tag both
+inputs, union them, sort each key's single merged timeline once, and
+carry the last seen right values forward with ``last(..., ignorenulls)``.
+Cost: ONE shuffle (the per-key window sort) over left+right rows — linear,
+skew-bounded by the hottest key, identical to what a merge-join engine
+does, expressed entirely in DataFrame built-ins (codegen'd window, no
+UDF). DuckDB's native ASOF JOIN replays it as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    asof_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """Backward as-of left join: latest right values at-or-before left ts.
+
+    ``left`` and ``right`` must share the key columns ``on`` and the
+    (numeric or timestamp) order column ``ts_col``; ``value_cols`` are
+    carried from right to left (names must not collide with left's).
+    Left rows with no earlier right row get NULLs — ASOF LEFT JOIN
+    semantics, ties at equal ts match (>=).
+
+    Right rows with duplicate (key, ts) must be reduced beforehand (the
+    operator asserts nothing about which would win; dedup is the
+    caller's statement of intent).
+    """
+    l_tagged = left.withColumn("_side", F.lit(1))
+    r_tagged = (
+        right.select(*on, ts_col, *value_cols)
+        .withColumn("_side", F.lit(0))
+        .withColumn("_r_ts", F.col(ts_col))
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts => >= match semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+        F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias(asof_ts_col),
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"_f_{c}").alias(c) for c in value_cols
+    ] + [asof_ts_col]
+    return filled.filter(F.col("_side") == 1).select(*out_cols)
