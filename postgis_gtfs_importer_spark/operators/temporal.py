@@ -68,3 +68,49 @@ def asof_join(
         F.col(f"_f_{c}").alias(c) for c in value_cols
     ] + [asof_ts_col]
     return filled.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join ([lo, hi) containment) as a bucketed equi-join.
+
+    Spark plans ``p.ts >= i.lo AND p.ts < i.hi`` as a broadcast nested
+    loop / cartesian — quadratic, the plan that dies at scale. The
+    binned formulation: quantize the axis into buckets of
+    ``bucket_width``; each interval is exploded to the buckets it
+    overlaps (O(len/width + 1) rows), each point lands in exactly one
+    bucket; an equi-join on the bucket (+ optional keys) produces
+    candidates and the exact containment predicate filters them. A point
+    matches a candidate interval through exactly one bucket (its own),
+    so no dedup is needed.
+
+    Pick ``bucket_width`` near the typical interval length: explosion
+    stays O(1) per interval and each candidate has a ~50% hit rate.
+    Shuffle is keyed on (bucket, keys) — uniform when points are; hot
+    buckets (burst traffic) are AQE's skew-join case or a salting
+    candidate (operators/skew.py).
+    """
+    b = F.lit(int(bucket_width))
+    pts = points.withColumn("_b", F.floor(F.col(point_col) / b).cast("long"))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b).cast("long"),
+                F.floor((F.col(hi_col) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    join_keys = ["_b", *(keys or [])]
+    return (
+        pts.join(iv, join_keys)
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_b")
+    )

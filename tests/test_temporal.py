@@ -55,3 +55,44 @@ def test_asof_join_is_single_shuffle(spark):
     )
     assert n_exchanges == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_bucketed_containment_exact(spark):
+    from postgis_gtfs_importer_spark.operators.temporal import range_join_bucketed
+
+    pts = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "pid long, ts long"
+    )
+    iv = spark.createDataFrame(
+        [(100, 15, 45), (101, 40, 41), (102, 500, 600), (103, 0, 200)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_bucketed(
+            pts, iv, point_col="ts", lo_col="lo", hi_col="hi", bucket_width=32
+        ).collect()
+    }
+    expected = {
+        (p, i)
+        for p in range(20)
+        for i, (lo, hi) in [(100, (15, 45)), (101, (40, 41)), (102, (500, 600)), (103, (0, 200))]
+        if lo <= p * 10 < hi
+    }
+    assert got == expected
+    # [lo, hi) boundary spot-checks: ts=40 is inside [40,41) (lo inclusive),
+    # ts=0 inside [0,200); no point ever matches at ts == hi (exclusive)
+    assert (4, 101) in got and (0, 103) in got
+
+
+def test_range_join_no_nested_loop(spark):
+    from postgis_gtfs_importer_spark.operators.temporal import range_join_bucketed
+
+    pts = spark.createDataFrame([(1, 10)], "pid long, ts long")
+    iv = spark.createDataFrame([(2, 5, 15)], "iid long, lo long, hi long")
+    plan = (
+        range_join_bucketed(pts, iv, "ts", "lo", "hi", bucket_width=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
