@@ -96,3 +96,37 @@ def test_range_join_no_nested_loop(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_matches_naive_reference_on_random_inputs(spark):
+    """Property check vs an independent O(n*m) Python reference."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        keys = ["a", "b", "c"]
+        left_rows = [
+            (rng.choice(keys), rng.randrange(0, 50), f"l{i}")
+            for i in range(40)
+        ]
+        right_rows = list({
+            (rng.choice(keys), rng.randrange(0, 50)): i for i in range(25)
+        }.items())
+        right_rows = [(k, ts, float(v)) for (k, ts), v in right_rows]
+
+        left = spark.createDataFrame(left_rows, "k string, ts long, tag string")
+        right = spark.createDataFrame(right_rows, "k string, ts long, v double")
+        got = {
+            (r.k, r.ts, r.tag): (r.v, r.asof_ts)
+            for r in asof_join(
+                left, right, on=["k"], ts_col="ts", value_cols=["v"]
+            ).collect()
+        }
+
+        for k, ts, tag in left_rows:
+            cands = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= ts]
+            want = (None, None)
+            if cands:
+                best = max(cands)
+                want = (best[1], best[0])
+            assert got[(k, ts, tag)] == want, (trial, k, ts, got[(k, ts, tag)], want)
