@@ -419,3 +419,106 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "bucket", "vec_id", "score", "rn")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Persist the IVF index: inverted lists as cid-partitioned parquet.
+
+    The build-once/query-many shape of production ANN at scale: the
+    expensive pass (assignment of every corpus vector to its nearest
+    centroid) is written out partitioned by centroid id, so every later
+    query batch reads ONLY the ~nprobe/n_centroids fraction of the index
+    it probes — directory-level partition pruning, visible as
+    PartitionFilters in the scan (tests/test_approx.py pins it). The
+    centroid table (KBs) is stored alongside the lists.
+    """
+    from ..operators.dedup import materialize
+
+    cent = materialize(
+        _centroid_table(corpus, n_centroids, id_col, vec_col, centroids)
+    )
+    side = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        V.l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    assigned = _assign(side, F.broadcast(cent))
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted IVF index, reading only the probed lists.
+
+    Probe ranking replicates :func:`ivf_topk` exactly (round-6 cosine,
+    cid tiebreak), so results are identical to the in-memory operator on
+    the same corpus/quantizer. The probed centroid ids (a bounded,
+    <= n_centroids-element set) are collected driver-side to build the
+    ``cid IN (...)`` scan filter — that collect is the partition-pruning
+    mechanism, not a data-path smell: it moves KBs so the scan skips
+    (n_centroids - |probes|)/n_centroids of the index on disk.
+    """
+    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        V.l2_norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    probes = (
+        q.join(cent, F.lit(True))
+        .withColumn(
+            "csim",
+            F.round(
+                V.dot(F.col("q_emb"), F.col("cemb"))
+                / (F.col("q_nrm") * F.col("cnrm")),
+                6,
+            ),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("crn") <= nprobe)
+        .select("q_id", "q_emb", "q_nrm", "cid")
+    )
+    probe_cids = [r.cid for r in probes.select("cid").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = (
+        probes.join(lists.withColumnRenamed("cid", "cid_l"),
+                    F.col("cid") == F.col("cid_l"))
+        .drop("cid_l")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "score",
+            F.round(
+                V.dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "cid", "vec_id", "score", "rn")
+    )

@@ -92,3 +92,39 @@ def test_ivf_kmeans_recall_and_balance(spark):
     assert r_sampled >= 0.5 and r_kmeans >= 0.5  # both beat the floor
     mean_list = emb.count() / 16
     assert hot_sampled <= 4 * mean_list and hot_kmeans <= 4 * mean_list
+
+
+def test_persisted_ivf_index_matches_in_memory_and_prunes(spark, tmp_path):
+    """build_ivf_index + query_ivf_index == ivf_topk on the same corpus,
+    and the lists scan prunes to the probed centroid partitions."""
+    from pyspark.sql import functions as F
+
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+    from postgis_gtfs_importer_spark.sources.tables import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+
+    build_ivf_index(corpus, path, n_centroids=16)
+    via_index = query_ivf_index(spark, path, queries, k=5, nprobe=4)
+    in_memory = ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)
+
+    got = sorted(
+        (r.q_id, r.rn, r.vec_id, int(r.cid), r.score) for r in via_index.collect()
+    )
+    want = sorted(
+        (r.q_id, r.rn, r.vec_id, int(r.cid), r.score) for r in in_memory.collect()
+    )
+    assert got == want and len(got) == 25
+
+    # the lists scan must carry a cid partition filter (directory pruning:
+    # only the probed centroid partitions are read)
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[cid#\d+L? IN", plan), plan
