@@ -53,6 +53,10 @@ HEADLINE = [
     "repetition_profile",
     "hash_split",
     "streaming_windowed_stats",
+    "asof_join",
+    "range_join",
+    "pack_sequences",
+    "small_quantity_revenue",
 ]
 
 
