@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -217,7 +218,7 @@ TESTDATA_EVENT_SCHEMA = StructType(
         StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as nanos
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
-        StructField("value", StringType()),
+        StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
 )
