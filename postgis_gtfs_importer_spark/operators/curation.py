@@ -317,3 +317,37 @@ def pack_sequences(
             F.floor((F.col("end_off") - 1) / capacity).cast("long").alias("window_last"),
         )
     )
+
+
+def balanced_mixture(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample every stratum to the size of the smallest (uniform
+    mixture) — sampling rates derived FROM the data, then applied as a
+    deterministic hash filter.
+
+    The domain-mixing step of corpus assembly: unlike
+    :func:`stratified_sample` (rates given by the caller), the rate here
+    is ``min_stratum_count / stratum_count``, computed by a tiny
+    aggregate, broadcast back as per-stratum thresholds, and applied as
+    the same md5-bucket filter. Two-phase plan: one count aggregate
+    (map-side partials), then a broadcast join + filter over the corpus
+    — the corpus itself never shuffles. Thresholds quantize with
+    ``floor(x + 0.5)`` so the SQL oracle replays them bit-identically.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_cnt"))
+    mn = counts.agg(F.min("_cnt").alias("_mn"))
+    thresholds = counts.crossJoin(F.broadcast(mn)).select(
+        stratum_col,
+        F.floor(F.col("_mn") * HASH_BUCKETS / F.col("_cnt") + F.lit(0.5))
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .filter(hash_bucket(key_col, salt=salt) < F.col("_thr"))
+        .drop("_thr")
+    )

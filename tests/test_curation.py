@@ -176,3 +176,25 @@ def test_pack_sequences_layout_invariants(spark):
         df.repartition(7), "doc_id", "n_tokens", capacity=64, n_shards=3
     )
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
+
+
+def test_balanced_mixture_equalizes_strata(spark):
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "rare") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = C.balanced_mixture(df, "doc_id", "lang")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # rare kept whole; big/mid downsampled toward 40 (hash-uniform, so ±50%)
+    assert counts["rare"] == 40
+    assert 20 <= counts["big"] <= 60
+    assert 20 <= counts["mid"] <= 60
+    # deterministic under repartition
+    out2 = C.balanced_mixture(df.repartition(9), "doc_id", "lang")
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
+    # corpus side never shuffles for the threshold application: thresholds
+    # reach the filter via broadcast joins only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
