@@ -645,3 +645,46 @@ def ngram_jaccard_pairs_capped(
         .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
         .select("id_a", "id_b", "jaccard_e6")
     )
+
+
+def dedup_incremental(
+    new_batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str,
+    text_col: str,
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new ingestion batch against the already-ingested corpus.
+
+    The batch-over-time shape of a production pipeline: the historical
+    corpus is represented ONLY by its fingerprint index (``(fp_col)`` —
+    16 bytes/doc, not the documents), so deduping batch N+1 never
+    rescans 100 TB of text. Returns ``(survivors, new_fps)``:
+
+      * survivors — new-batch rows that are canonical within the batch
+        (min id per fingerprint) AND whose fingerprint is absent from
+        the index (left-anti join);
+      * new_fps — the survivors' fingerprints, to append to the index
+        for batch N+2.
+
+    Shuffles: one window on the fingerprint (intra-batch canonical
+    election, batch-sized not corpus-sized) and the anti-join keyed on
+    the fingerprint — both scale with the BATCH, the only corpus-sized
+    object is the fingerprint index itself. Fingerprint =
+    functions.text.fingerprint (md5 of whitespace-normalized lowercased
+    text), the same identity dedup_exact shuffles on.
+    """
+    from ..functions import text as TX
+
+    fp = TX.fingerprint(F.col(text_col)).alias(fp_col)
+    batch = new_batch.select("*", fp)
+    w = Window.partitionBy(fp_col)
+    canonical = (
+        batch.withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = canonical.join(
+        seen_fingerprints.select(fp_col), fp_col, "left_anti"
+    )
+    return survivors.drop(fp_col), survivors.select(fp_col)
