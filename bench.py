@@ -57,6 +57,8 @@ HEADLINE = [
     "range_join",
     "pack_sequences",
     "small_quantity_revenue",
+    "streaming_sessionize",
+    "dedup_incremental",
 ]
 
 
