@@ -1,0 +1,188 @@
+"""Text indexing operators for the training-data pipeline: document
+chunking, TF-IDF distinctive terms, and inverted-index construction.
+
+All three are pure DataFrame compositions — codegen'd array expressions
+plus hash aggregates; no UDF anywhere. The reference has no text-corpus
+surface (it delegates relational work to gtfs-via-postgres,
+/root/reference/import.sh:119-124); these extend the engine toward the
+LLM-corpus workload the same way operators/curation.py does.
+
+Determinism contract (shared with plans/queries.py): tokenization is
+lowercase whitespace splitting of ``trim(text)``; empty text yields zero
+tokens; every score is integer arithmetic (``div``) or fixed-point, so
+DuckDB replays each operator bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lower_tokens(text_col: Column | str) -> Column:
+    """Lowercase whitespace tokens; empty/blank text -> empty array.
+
+    Same definition as operators.dedup.token_rows and the DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')`` oracle twin.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(
+        F.length(F.trim(c)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.transform(F.split(F.trim(c), r"\s+"), lambda t: F.lower(t)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows (context chunks).
+
+    Chunk *i* covers tokens ``[i*stride, i*stride + chunk_size)``; the
+    last chunk may be short. A doc with ``n`` tokens yields
+    ``1 + ceil(max(n - chunk_size, 0) / stride)`` chunks; empty docs
+    yield none. This is the pre-training/RAG chunking pass (fixed-size
+    windows with overlap so no span is ever split across a boundary
+    without also appearing whole).
+
+    Plan shape: one Generate (explode of the chunk-index sequence) over
+    the scan — zero shuffles, cost linear in corpus size, embarrassingly
+    parallel at 100 TB. The chunk text is rebuilt by ``slice`` +
+    ``array_join`` from the token array, so payload bytes are touched
+    once per chunk, never shuffled.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = _lower_tokens(text_col)
+    n = F.size(toks)
+    extra = F.expr(
+        f"(greatest(_n - {chunk_size}, 0) + {stride - 1}) div {stride}"
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return (
+        df.select(
+            F.col(id_col), toks.alias("_toks"), n.cast("long").alias("_n")
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), extra)))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k distinctive terms per group by log-free TF-IDF.
+
+    ``score = (tf * n_docs) div df_docs`` — group-level term frequency
+    times inverse document frequency with the logarithm dropped so every
+    score is exact BIGINT arithmetic (cross-engine deterministic; ln()
+    is not guaranteed bit-identical between engines). The ranking it
+    induces is the classic one: corpus-wide terms (df ≈ N) score ≈ tf,
+    rare-but-frequent-here terms are boosted by N/df.
+
+    Plan shape: explode → two hash aggregates (term counts per group,
+    document frequency per term) → broadcast of the single-row corpus
+    count → top-k window per group. The big shuffles key on (group, tok)
+    and (tok) — high-cardinality, skew-resistant; the window partition is
+    per-group with only the aggregated vocabulary inside.
+
+    Returns (group, tok, tf, df_docs, score, rn), rn <= k.
+    """
+    from .dedup import token_rows
+
+    toks = token_rows(df, id_col, text_col, extra_cols=[group_col])
+    tf = toks.groupBy(group_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select("id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df_docs"))
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(n_docs), F.lit(True))
+        .withColumn("score", F.expr("(tf * n_docs) div df_docs"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group_col, "tok", "tf", "df_docs", "score", "rn")
+    )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    postings_cap: int = 8,
+) -> DataFrame:
+    """Token → postings-list index over the corpus.
+
+    Per token: document frequency, total term frequency, and the first
+    ``postings_cap`` doc ids (ascending) as a comma-joined preview. The
+    full postings live as the intermediate (tok, doc_id, tf_d) relation —
+    at 100 TB that relation is what you persist, bucketed by ``tok``
+    (exactly like the persisted IVF index in operators/similarity.py);
+    this function returns the bounded per-token summary.
+
+    The postings preview is bounded with a row_number window BEFORE any
+    collect_list, so no executor ever materializes a stopword's full
+    posting array (the skew-killer in naive collect-then-slice designs:
+    'the' can have billions of postings). Both aggregates and the window
+    key on ``tok`` — one shuffle partitioning, reused across the three
+    stages by AQE.
+
+    Returns (tok, df, total_tf, postings).
+    """
+    from .dedup import token_rows
+
+    per_doc = (
+        token_rows(df, id_col, text_col)
+        .groupBy("tok", "id")
+        .agg(F.count("*").alias("tf_d"))
+    )
+    stats = per_doc.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf_d").cast("long").alias("total_tf"),
+    )
+    w = Window.partitionBy("tok").orderBy(F.asc("id"))
+    preview = (
+        per_doc.withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= postings_cap)
+        .groupBy("tok")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        stats.join(preview, "tok")
+        .filter(F.col("df") >= min_df)
+        .select("tok", "df", "total_tf", "postings")
+    )

@@ -522,3 +522,85 @@ def query_ivf_index(
         .filter(F.col("rn") <= k)
         .select("q_id", "cid", "vec_id", "score", "rn")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    Cluster the corpus with the coarse quantizer (argmax-cosine against
+    broadcast centroids — the IVF assignment pass), then within each
+    cluster mark a vector as a duplicate when a lower-id vector in the
+    same cluster has cosine >= threshold (min-id canonical-representative
+    election, the same B6 id-stability rule as exact dedup). Keeping only
+    ``is_dup = 0`` rows is the SemDeDup pruning pass ("Semantic
+    deduplication removes ~50% of web data with minimal quality loss",
+    Abbas et al. 2023 — public arXiv:2303.09540).
+
+    Plan shape at 100 TB: assignment is a map-side broadcast pass (no
+    corpus shuffle); the quadratic cosine work is confined within
+    clusters — one shuffle keyed on ``cid``, candidate volume
+    sum(|cluster|²) instead of |corpus|². More centroids → smaller
+    clusters → less pair work but lower recall, the SemDeDup knob. The
+    cluster self-join mirrors cosine_dup_pairs' bucket self-join; the
+    deterministic sampled quantizer keeps it oracle-replayable (pass
+    ``centroids=kmeans_centroids(...)`` for the production quantizer).
+
+    Returns (vec_id, cid, is_dup) — is_dup as 0/1 BIGINT.
+    """
+    from ..operators.dedup import materialize
+
+    cent = F.broadcast(
+        materialize(
+            _centroid_table(corpus, n_centroids, id_col, vec_col, centroids)
+        )
+    )
+    side = materialize(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("emb"),
+            V.l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+    assigned = materialize(_assign(side, cent))
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "cid",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "cid",
+    )
+    score_e6 = F.floor(
+        V.dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("nrm_a") * F.col("nrm_b"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    dups = (
+        a.join(b, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score_e6", score_e6)
+        .filter(F.col("score_e6") >= int(threshold * 1e6))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(dups.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("is_dup"), F.lit(0)).cast("long").alias("is_dup"),
+        )
+    )

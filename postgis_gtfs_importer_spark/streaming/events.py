@@ -241,3 +241,54 @@ def stream_testdata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    window_sec: int = 3600,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval.
+
+    The attribution join: for every left event (e.g. a click), all right
+    events (e.g. purchases) by the same key with
+    ``left.ts <= right.ts <= left.ts + window_sec``. Both sides carry a
+    watermark and the join condition carries the time bound, so Spark
+    derives a state-eviction horizon for BOTH buffers — without it a
+    stream-stream join holds every row forever. State per side is
+    O(rate × (window + delay)), independent of stream age: the only
+    formulation that survives an unbounded stream on a 1000-executor
+    cluster. Batch oracle: the plain interval theta-join (same predicate
+    on the static table).
+
+    Column names are suffixed _l/_r to keep the joined schema unambiguous.
+
+    Returns (key, event_id_l, event_id_r, ts_l, ts_r, gap_sec).
+    """
+    l = left.withWatermark("ts", watermark_delay).select(
+        F.col(key).alias("k_l"),
+        F.col("event_id").alias("event_id_l"),
+        F.col("ts").alias("ts_l"),
+    )
+    r = right.withWatermark("ts", watermark_delay).select(
+        F.col(key).alias("k_r"),
+        F.col("event_id").alias("event_id_r"),
+        F.col("ts").alias("ts_r"),
+    )
+    joined = l.join(
+        r,
+        (F.col("k_l") == F.col("k_r"))
+        & (F.col("ts_r") >= F.col("ts_l"))
+        & (F.col("ts_r") <= F.col("ts_l") + F.expr(f"INTERVAL {window_sec} SECONDS")),
+        "inner",
+    )
+    return joined.select(
+        F.col("k_l").alias(key),
+        "event_id_l",
+        "event_id_r",
+        F.unix_timestamp("ts_l").alias("ts_l_epoch"),
+        F.unix_timestamp("ts_r").alias("ts_r_epoch"),
+        (F.unix_timestamp("ts_r") - F.unix_timestamp("ts_l")).alias("gap_sec"),
+    )

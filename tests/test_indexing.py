@@ -1,0 +1,152 @@
+"""Unit tests for the indexing operator family (chunking, TF-IDF,
+inverted index, semantic dedup, stream-stream interval join) on crafted
+inputs — the oracle-parity tests cover the testdata path."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.operators.indexing import (
+    build_inverted_index,
+    chunk_documents,
+    distinctive_terms,
+)
+from postgis_gtfs_importer_spark.operators.similarity import semantic_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    d = _docs(spark, [(1, text)])
+    out = chunk_documents(d, chunk_size=4, stride=3).collect()
+    # n=10, C=4, S=3 -> 1 + ceil(6/3) = 3 chunks
+    assert [r.chunk_idx for r in out] == [0, 1, 2]
+    chunks = {r.chunk_idx: r.chunk_text.split(" ") for r in out}
+    assert chunks[0] == ["t0", "t1", "t2", "t3"]
+    assert chunks[1] == ["t3", "t4", "t5", "t6"]
+    assert chunks[2] == ["t6", "t7", "t8", "t9"]
+    # consecutive chunks overlap by C - S = 1 token
+    assert chunks[0][-1] == chunks[1][0]
+    # every token covered
+    assert set().union(*chunks.values()) == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_edges(spark):
+    d = _docs(spark, [(1, ""), (2, "   "), (3, "one two"), (4, "A B C D E")])
+    out = chunk_documents(d, chunk_size=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # empty/blank docs produce no chunks
+    assert {k[0] for k in rows} == {3, 4}
+    # short doc: single chunk, short length
+    assert rows[(3, 0)].n_tokens == 2
+    assert rows[(3, 0)].chunk_text == "one two"
+    # n=5, C=4, S=3 -> 2 chunks, last one short + lowercased
+    assert rows[(4, 0)].chunk_text == "a b c d"
+    assert rows[(4, 1)].chunk_text == "d e"
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_size=0)
+
+
+def test_distinctive_terms_ranks_group_specific_tokens(spark):
+    rows = [
+        (1, "shared shared kernel kernel kernel", "code"),
+        (2, "shared kernel compiler", "code"),
+        (3, "shared shared sonnet sonnet sonnet", "poetry"),
+        (4, "shared sonnet meter", "poetry"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = distinctive_terms(d, "source", "doc_id", "text", k=2)
+    top = {r.source: r.tok for r in out.collect() if r.rn == 1}
+    # group-exclusive high-tf terms outrank the corpus-wide 'shared'
+    assert top == {"code": "kernel", "poetry": "sonnet"}
+    kernel = [r for r in out.collect() if r.tok == "kernel"][0]
+    # tf=4 occurrences in 'code', df=2 docs, N=4 docs -> score = 4*4 div 2
+    assert (kernel.tf, kernel.df_docs, kernel.score) == (4, 2, 8)
+
+
+def test_inverted_index_postings_bounded_sorted(spark):
+    rows = [(i, "common special" if i < 3 else "common") for i in range(10)]
+    d = _docs(spark, rows)
+    out = {r.tok: r for r in build_inverted_index(
+        d, min_df=2, postings_cap=4).collect()}
+    assert out["common"].df == 10
+    assert out["common"].total_tf == 10
+    # preview capped at 4, ascending doc ids
+    assert out["common"].postings == "0,1,2,3"
+    assert out["special"].postings == "0,1,2"
+    # min_df honored: nothing below 2 (no hapax in this corpus anyway)
+    assert all(r.df >= 2 for r in out.values())
+
+
+def test_inverted_index_min_df_filters(spark):
+    d = _docs(spark, [(1, "a b"), (2, "a")])
+    toks = {r.tok for r in build_inverted_index(d, min_df=2).collect()}
+    assert toks == {"a"}
+
+
+def test_semantic_dedup_flags_clustermates(spark):
+    # 4 identical vectors + 2 orthogonal ones; centroids = vec_id < 2
+    v1 = [1.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0]
+    rows = [(0, v1), (1, v2), (2, v1), (3, v1), (4, v1), (5, v2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cid, r.is_dup) for r in semantic_dedup(
+        emb, threshold=0.9, n_centroids=2).collect()}
+    # min-id representative of each duplicate set survives
+    assert out[0] == (0, 0)
+    assert out[1] == (1, 0)
+    # clustermates of a lower id above threshold are flagged
+    assert out[2] == (0, 1) and out[3] == (0, 1) and out[4] == (0, 1)
+    assert out[5] == (1, 1)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    from postgis_gtfs_importer_spark.streaming import events as SE
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(3):
+        for m in (0, 10, 50, 70, 200):
+            rows.append((eid, user, "click" if m % 20 == 0 else "purchase",
+                         base + dt.timedelta(minutes=m + user), "1.0", "{}"))
+            eid += 1
+    df = spark.createDataFrame(rows, SE.EVENT_SCHEMA)
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = SE.stream_events(spark, d)
+    joined = SE.interval_join_stream(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        window_sec=3600,
+    )
+    SE.run_to_memory(joined, "ij_test")
+    got = {
+        (r.user_id, r.event_id_l, r.event_id_r, r.gap_sec)
+        for r in spark.table("ij_test").collect()
+    }
+
+    b = spark.read.parquet(d)
+    l = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("el"),
+        F.col("ts").alias("tl"))
+    r = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ur"), F.col("event_id").alias("er"),
+        F.col("ts").alias("tr"))
+    batch = l.join(r, (F.col("u") == F.col("ur"))
+                   & (F.col("tr") >= F.col("tl"))
+                   & (F.col("tr") <= F.col("tl") + F.expr("INTERVAL 3600 SECONDS")))
+    expected = {
+        (x.u, x.el, x.er,
+         int(x.tr.timestamp()) - int(x.tl.timestamp()))
+        for x in batch.collect()
+    }
+    assert got == expected
+    assert got, "join should produce matches"
