@@ -1,0 +1,177 @@
+"""Distinct-counting sketches — KMV and HyperLogLog, deterministic.
+
+``approx_count_distinct`` exists in Spark, but its HLL++ register layout
+is engine-private: the result can't be oracle-checked, merged outside
+Spark, or persisted for reuse by another system. These operators build
+the sketches RELATIONALLY from an md5-derived 60-bit key, so:
+
+  * every intermediate (keys, registers) is a plain DataFrame — the
+    sketch state itself is queryable, persistable, and mergeable with
+    ``max``/``min`` aggregates (union two corpora's registers and re-max:
+    that IS the HLL merge);
+  * DuckDB replays the whole computation bit-for-bit (the driver's
+    correctness gate), because the hash, the bucket split, the rank and
+    the single IEEE division of the estimator are all exact expressions
+    shared by both engines.
+
+At 100 TB the point of a sketch is shuffle volume: exact
+``count(DISTINCT user_id)`` shuffles every distinct (group, value) pair;
+KMV shuffles at most ``k`` 8-byte keys per group AFTER a map-side
+partial top-k, HLL shuffles at most ``m = 2^p`` 1-byte-wide registers
+per group after a map-side partial max — both constant-size per group,
+both one shuffle. The estimator error is the textbook bound
+(~1/sqrt(k), ~1.04/sqrt(m)); tests assert it against exact counts.
+
+Determinism notes: the 60-bit key is ``conv(substr(md5(v),1,15),16,10)``
+(DuckDB twin: ``CAST(('0x' || substr(md5(v),1,15)) AS BIGINT)``) — same
+idiom as MinHash (operators/dedup.py). The HLL estimate's only float op
+is one division of two exactly-shared values; fixed-point rounding after
+a single IEEE op is engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 60-bit key space: 15 hex digits of md5.
+KEY_BITS = 60
+KEY_SPACE = float(2**KEY_BITS)
+
+
+def h60(col: Column | str) -> Column:
+    """60-bit uniform key from md5 — cross-engine deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values sketch state per group: the k smallest keys.
+
+    Distinct (group, key) → per-group ascending row_number → keep k.
+    The distinct aggregate is the map-side combine (duplicate values
+    collapse before the shuffle); the window moves at most the distinct
+    keys. Persist this to merge later: union + re-rank is the KMV merge.
+
+    Returns (group..., h, rn), rn <= k.
+    """
+    keys = (
+        df.select(*group_cols, h60(value_col).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return keys.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """KMV distinct-count estimate per group.
+
+    With fewer than k keys the sketch is exhaustive and the answer exact;
+    otherwise est = (k-1) * 2^60 / kth_min — the classic KMV estimator,
+    computed as ONE IEEE division of two exactly-shared numbers then
+    fixed-point rounded (engine-identical).
+
+    Returns (group..., n_keys, kth, est_distinct).
+    """
+    agg = kmv_sketch(df, group_cols, value_col, k).groupBy(
+        *group_cols
+    ).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("h").alias("kth"),
+    )
+    est = F.floor(
+        F.lit(float(k - 1) * KEY_SPACE) / F.col("kth").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return agg.withColumn(
+        "est_distinct",
+        F.when(F.col("n_keys") < k, F.col("n_keys")).otherwise(est),
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
+) -> DataFrame:
+    """HLL register table per group: (group..., bucket, register).
+
+    bucket = top ``p`` bits of the 60-bit key; register = max over the
+    bucket's keys of (position of the highest set bit of the remaining
+    ``w = 60 - p`` bits, counted from the top, + 1) — i.e.
+    ``w - bit_length(rem) + 1``, with all-zero rem → ``w + 1``.
+    bit_length is ``length(conv(rem, 10, 2))`` (DuckDB:
+    ``length(format('{:b}', rem))``) — exact string/integer ops, no log2.
+
+    The groupBy(max) is partial-aggregated map-side, so the shuffle
+    carries <= 2^p rows per group per input partition. Registers are
+    mergeable state: union + re-max = HLL merge.
+    """
+    w_bits = KEY_BITS - p
+    rem_mod = 2**w_bits
+    h = h60(value_col)
+    bucket = F.expr(f"_h div {rem_mod}").cast("long")
+    rem = F.col("_h") % F.lit(rem_mod)
+    bitlen = F.length(F.conv(F.col("_rem"), 10, 2))
+    rank = F.when(F.col("_rem") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - bitlen + 1
+    )
+    return (
+        df.select(*group_cols, h.alias("_h"))
+        .withColumn("bucket", bucket)
+        .withColumn("_rem", rem)
+        .withColumn("_rank", rank)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rank").cast("long").alias("register"))
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 64."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
+) -> DataFrame:
+    """Raw HyperLogLog estimate per group (no small-range correction —
+    the raw estimator keeps the arithmetic exact; callers needing the
+    linear-counting regime should use kmv_distinct, which is exact
+    there by construction).
+
+    Z is accumulated in EXACT integer arithmetic at scale 2^(w+1):
+    each register contributes ``1 << (w + 1 - register)`` and each of
+    the ``m - n`` absent buckets contributes ``2^(w+1)``; the sum fits
+    a BIGINT (m * 2^(w+1) = 2^(p+w+1) = 2^61). The estimate is then one
+    IEEE division, fixed-point rounded.
+
+    Returns (group..., n_buckets, z_scaled, hll_est).
+    """
+    m = 2**p
+    w_bits = KEY_BITS - p
+    scale = w_bits + 1
+    reg = hll_registers(df, group_cols, value_col, p)
+    z = reg.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - register)"))
+        .cast("long")
+        .alias("_zp"),
+    )
+    z_scaled = (
+        F.col("_zp") + (F.lit(m) - F.col("n_buckets")) * F.lit(2**scale)
+    ).cast("long")
+    num = hll_alpha(m) * m * m * float(2**scale)
+    est = F.floor(
+        F.lit(num) / F.col("z_scaled").cast("double") + F.lit(0.5)
+    ).cast("long")
+    return (
+        z.withColumn("z_scaled", z_scaled)
+        .withColumn("hll_est", est)
+        .select(*group_cols, "n_buckets", "z_scaled", "hll_est")
+    )

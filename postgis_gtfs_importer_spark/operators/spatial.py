@@ -258,7 +258,7 @@ def knn_join(
 def shape_length(
     shape_points: DataFrame,
     shape_col: str = "shape_id",
-    seq_col: str = "seq",
+    seq_col: str | list[str] = "seq",
     lat_col: str = "lat",
     lon_col: str = "lon",
 ) -> DataFrame:
@@ -271,9 +271,16 @@ def shape_length(
     exact integer aggregation — engine- and order-independent (a raw
     double sum would depend on partitioning).
 
+    ``seq_col`` may be a list: when the sequence number alone is not a
+    key (GTFS shapes.txt tolerates duplicate shape_pt_sequence values),
+    callers append value tiebreakers (e.g. ["seq", "lat", "lon"]) so the
+    traversal order — and therefore the sum — is a pure function of the
+    data, not of partitioning.
+
     Returns (shape_id, n_points, length_mm).
     """
-    w = Window.partitionBy(shape_col).orderBy(F.asc(seq_col))
+    seq_cols = [seq_col] if isinstance(seq_col, str) else list(seq_col)
+    w = Window.partitionBy(shape_col).orderBy(*[F.asc(c) for c in seq_cols])
     seg_mm = F.floor(
         haversine_meters(
             F.lag(F.col(lat_col)).over(w),

@@ -1,0 +1,104 @@
+"""Unit tests for the deterministic KMV / HLL sketches: exactness below
+k, estimator error bounds vs exact counts, and mergeability of the
+sketch state (the property that makes them usable as persisted state at
+100 TB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.operators.sketches import (
+    hll_distinct,
+    hll_registers,
+    kmv_distinct,
+    kmv_sketch,
+)
+
+
+def _vals(spark, n, group="g"):
+    return spark.range(n).select(
+        F.lit(group).alias("g"), F.col("id").alias("v")
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    df = _vals(spark, 40)
+    row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert (row.n_keys, row.est_distinct) == (40, 40)
+
+
+def test_kmv_estimate_within_bound(spark):
+    # n=2000 >> k=64: relative sd ~ 1/sqrt(k-2) ~ 12.7%; 3-sigma bound
+    df = _vals(spark, 2000)
+    row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert row.n_keys == 64
+    assert abs(row.est_distinct - 2000) / 2000 < 0.40
+
+
+def test_kmv_duplicates_collapse(spark):
+    df = _vals(spark, 500).union(_vals(spark, 500))
+    a = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    b = kmv_distinct(_vals(spark, 500), ["g"], "v", k=64).collect()[0]
+    assert a.est_distinct == b.est_distinct
+
+
+def test_kmv_merge_is_union_then_rerank(spark):
+    whole = kmv_sketch(_vals(spark, 3000), ["g"], "v", k=64)
+    left = kmv_sketch(_vals(spark, 1500), ["g"], "v", k=64)
+    right = kmv_sketch(
+        spark.range(1500, 3000).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        ),
+        ["g"], "v", k=64,
+    )
+    from pyspark.sql import Window
+
+    merged = (
+        left.select("g", "h").union(right.select("g", "h")).distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g").orderBy(F.asc("h"))),
+        )
+        .filter(F.col("rn") <= 64)
+    )
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in whole.collect()
+    )
+
+
+def test_hll_estimate_within_bound(spark):
+    # m=64 registers: relative sd ~ 1.04/sqrt(64) = 13%; 3-sigma bound
+    df = _vals(spark, 5000)
+    row = hll_distinct(df, ["g"], "v", p=6).collect()[0]
+    assert abs(row.hll_est - 5000) / 5000 < 0.40
+
+
+def test_hll_registers_mergeable(spark):
+    whole = hll_registers(_vals(spark, 4000), ["g"], "v", p=6)
+    left = hll_registers(_vals(spark, 2000), ["g"], "v", p=6)
+    right = hll_registers(
+        spark.range(2000, 4000).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        ),
+        ["g"], "v", p=6,
+    )
+    merged = (
+        left.union(right)
+        .groupBy("g", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert sorted(
+        (r.bucket, r.register) for r in merged.collect()
+    ) == sorted((r.bucket, r.register) for r in whole.collect())
+
+
+def test_hll_register_range_and_grouping(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(3)],
+        "g string, v long",
+    )
+    regs = hll_registers(df, ["g"], "v", p=6).collect()
+    assert all(1 <= r.register <= 55 for r in regs)
+    assert {r.g for r in regs} == {"a", "b"}
+    # b has at most 3 occupied buckets
+    assert len([r for r in regs if r.g == "b"]) <= 3
