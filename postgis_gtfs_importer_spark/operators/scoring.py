@@ -1,0 +1,109 @@
+"""Model scoring — the hashing-trick linear classifier, Spark-first.
+
+A trained quality classifier (fastText-style linear model over hashed
+bag-of-words) is the standard corpus-filtering step between heuristics
+(functions/text.py quality scores) and an LLM judge. At 100 TB the only
+viable plan is: featurize map-side, broadcast the weight vector, reduce
+per document — the corpus never shuffles for the model, only the
+(doc, score) aggregate exchanges. That plan is exactly what these
+operators produce; swap ``linear_weights``' deterministic fixture for a
+trained coefficient table (same (bucket, w_e3) schema, e.g. exported
+from pyspark.ml LogisticRegression) for production.
+
+Weights are integers (fixed-point 1e-3), so scores are exact BIGINT sums
+— aggregation-order-independent and bit-replayable by DuckDB: the
+whole scoring pass is oracle-checked, which no opaque model binary
+would allow. Feature hashing uses the 32-bit md5-prefix idiom shared
+with MinHash (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def h32(col: Column | str) -> Column:
+    """32-bit bucket key from md5 — cross-engine deterministic
+    (DuckDB twin: CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 1024,
+) -> DataFrame:
+    """Hashing-trick featurization: token → md5 bucket in [0, dims).
+
+    Map-side only (explode + hash + modulo inside codegen); the
+    (id, bucket, tf) aggregate is the first shuffle and is
+    partial-aggregated before it. Empty documents yield no rows.
+
+    Returns (id, bucket, tf).
+    """
+    from .dedup import token_rows
+
+    toks = token_rows(df, id_col, text_col)
+    return (
+        toks.withColumn("bucket", h32("tok") % dims)
+        .groupBy("id", "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def linear_weights(
+    spark: SparkSession, dims: int = 1024, seed: str = "w"
+) -> DataFrame:
+    """Deterministic integer weight table (bucket, w_e3), w_e3 in
+    [-1000, 1000] — the replayable stand-in for trained coefficients.
+    Tiny (dims rows): always broadcast."""
+    return spark.range(dims).select(
+        F.col("id").alias("bucket"),
+        (
+            h32(F.concat(F.lit(seed + ":"), F.col("id").cast("string")))
+            % 2001
+            - 1000
+        ).alias("w_e3"),
+    )
+
+
+def score_documents(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 1024,
+    threshold_e3: int = 0,
+) -> DataFrame:
+    """Linear score per document: sum over token occurrences of the
+    token bucket's weight (= Σ_b tf_b · w_b), plus a keep/drop label.
+
+    Plan: tokens hash map-side, the weight table broadcasts, and ONE
+    shuffle (keyed on the doc id, partial-summed map-side) produces the
+    scores. Integer arithmetic end to end. Documents with no tokens
+    produce no row (same contract as hashed_features).
+
+    Returns (id, n_tokens, score_e3, label).
+    """
+    from .dedup import token_rows
+
+    toks = token_rows(df, id_col, text_col).withColumn(
+        "bucket", h32("tok") % dims
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_e3").cast("long").alias("score_e3"),
+        )
+    )
+    return scored.withColumn(
+        "label",
+        F.when(F.col("score_e3") >= threshold_e3, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

@@ -1,0 +1,80 @@
+"""Unit tests for the hashing-trick linear scorer: hand-computable
+scores via a crafted weight table, featurization correctness, and the
+broadcast plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.operators.scoring import (
+    hashed_features,
+    linear_weights,
+    score_documents,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bucket_of(spark, tok, dims):
+    from postgis_gtfs_importer_spark.operators.scoring import h32
+
+    return (
+        spark.range(1)
+        .select((h32(F.lit(tok)) % dims).alias("b"))
+        .collect()[0]
+        .b
+    )
+
+
+def test_hashed_features_counts_tf(spark):
+    d = _docs(spark, [(1, "cat cat dog"), (2, "dog")])
+    dims = 64
+    cat, dog = _bucket_of(spark, "cat", dims), _bucket_of(spark, "dog", dims)
+    out = {(r.id, r.bucket): r.tf for r in
+           hashed_features(d, dims=dims).collect()}
+    if cat != dog:
+        assert out[(1, cat)] == 2 and out[(1, dog)] == 1
+    else:  # hash collision: both tokens share the bucket
+        assert out[(1, cat)] == 3
+    assert out[(2, dog)] == 1
+
+
+def test_score_matches_hand_sum(spark):
+    dims = 32
+    d = _docs(spark, [(1, "x y x"), (2, "z")])
+    w = linear_weights(spark, dims=dims)
+    wmap = {r.bucket: r.w_e3 for r in w.collect()}
+    out = {r.id: r for r in score_documents(d, w, dims=dims).collect()}
+    bx, by, bz = (_bucket_of(spark, t, dims) for t in "xyz")
+    assert out[1].score_e3 == 2 * wmap[bx] + wmap[by]
+    assert out[1].n_tokens == 3
+    assert out[2].score_e3 == wmap[bz]
+    assert out[2].label == (1 if wmap[bz] >= 0 else 0)
+
+
+def test_threshold_controls_label(spark):
+    d = _docs(spark, [(1, "alpha beta gamma")])
+    w = linear_weights(spark, dims=128)
+    lo = score_documents(d, w, dims=128, threshold_e3=-(10**9)).collect()[0]
+    hi = score_documents(d, w, dims=128, threshold_e3=10**9).collect()[0]
+    assert (lo.label, hi.label) == (1, 0)
+
+
+def test_weights_bounded_and_deterministic(spark):
+    a = linear_weights(spark, dims=256).collect()
+    b = linear_weights(spark, dims=256).collect()
+    assert sorted((r.bucket, r.w_e3) for r in a) == sorted(
+        (r.bucket, r.w_e3) for r in b
+    )
+    assert all(-1000 <= r.w_e3 <= 1000 for r in a)
+
+
+def test_scoring_plan_broadcasts_weights(spark):
+    d = _docs(spark, [(i, f"tok{i} tok{i+1}") for i in range(50)])
+    df = score_documents(d, linear_weights(spark, dims=64), dims=64)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
