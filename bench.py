@@ -59,6 +59,17 @@ HEADLINE = [
     "small_quantity_revenue",
     "streaming_sessionize",
     "dedup_incremental",
+    "chunk_documents",
+    "inverted_index",
+    "semantic_dedup",
+    "streaming_interval_join",
+    "stops_radius_pairs",
+    "nearest_stops",
+    "shape_lengths",
+    "kmv_distinct_users",
+    "hll_distinct_users",
+    "snapshot_diff",
+    "classifier_scores",
 ]
 
 
