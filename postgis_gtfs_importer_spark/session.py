@@ -41,10 +41,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # The driver-generated events table stores TIMESTAMP(NANOS), which
-        # Spark's parquet reader rejects by default; read as long and
-        # convert in sources.tables.load_table.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Local-bench parquet files are single-digit-MB; the 128MB default
         # would scan each as ONE partition, idling every other core. At
         # cluster scale (multi-GB files) the default is correct — this is

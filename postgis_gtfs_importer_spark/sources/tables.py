@@ -26,22 +26,16 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects unless this (runtime-settable) legacy conf is on. Set it
-        # here, not only in our session factory: the external driver
-        # builds its own SparkSession and would otherwise fail with
-        # PARQUET_TYPE_ILLEGAL on every events-based query.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-    # (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-    # the same precision DuckDB's TIMESTAMP cast uses.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # Oracle-comparability contract: the testdata's events.ts is parquet
+    # Timestamp(MICROS, isAdjustedToUTC=false) — Spark reads it natively as
+    # TIMESTAMP_NTZ, and DuckDB's epoch()/epoch_us() treat it as naive-UTC.
+    # Pin the session timezone so any NTZ<->TIMESTAMP cast downstream (e.g.
+    # unix_micros(ts.cast("timestamp"))) preserves the naive instant even
+    # when the caller's session (the external driver builds its own) runs
+    # in a non-UTC zone. Runtime-settable conf; set here, not only in our
+    # session factory, for exactly that external-session case.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

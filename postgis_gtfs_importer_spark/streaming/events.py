@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -215,7 +216,7 @@ def run_to_memory(
 TESTDATA_EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as nanos
+        StructField("ts", TimestampNTZType()),  # parquet Timestamp(MICROS, tz-naive)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -225,14 +226,18 @@ TESTDATA_EVENT_SCHEMA = StructType(
 
 
 def stream_testdata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the driver's events.parquet (TIMESTAMP(NANOS)).
+    """readStream over the driver's events.parquet.
 
-    Mirrors sources.tables.load_table's nanos handling: declare ts as
-    LongType under spark.sql.legacy.parquet.nanosAsLong and truncate to
-    microseconds — the same instant the batch reader (and DuckDB) sees,
-    so streaming results are oracle-comparable.
+    The file stores ts as parquet Timestamp(MICROS, isAdjustedToUTC=false):
+    declare it TIMESTAMP_NTZ (exactly what the batch reader infers —
+    sources.tables.load_table and this loader see the same instants) and
+    cast to TIMESTAMP for the streaming machinery (watermarks, window(),
+    the state API's epoch-ms timeouts all operate on instants). The
+    session timezone is pinned to UTC first, so the NTZ->TIMESTAMP cast is
+    identity on the naive value and results stay oracle-comparable
+    regardless of the caller session's zone.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The file stream source requires a directory: stream the sf_dir with
     # a glob filter selecting only the events table.
     raw = (
@@ -240,7 +245,7 @@ def stream_testdata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def interval_join_stream(

@@ -191,3 +191,27 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for o in p.get("stateOperators", [])
     )
     assert dropped == 1
+
+
+def test_stream_testdata_events_matches_batch_instants(spark):
+    """The streaming loader over the REAL driver parquet (sf0.001) sees the
+    exact instants the batch loader sees — the r2 regression was here: the
+    file stores Timestamp(MICROS, tz-naive) and the stream schema declared
+    long nanos, collapsing every ts 1000x toward 1970. Pin the contract:
+    same row count, identical (event_id, epoch-micros) multiset."""
+    from postgis_gtfs_importer_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    stream = SE.stream_testdata_events(spark, sf_dir).select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    SE.run_to_memory(stream, "real_events_stream")
+    streamed = spark.table("real_events_stream")
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).isEmpty()
+    # and the instants are sane: every event inside the generator's window
+    lo = streamed.agg(F.min("us")).first()[0]
+    assert lo > 1_500_000_000 * 1_000_000  # after 2017, not near 1970
