@@ -195,6 +195,13 @@ def dedup_stream(
     )
 
 
+#: Progress metrics of the most recent ``run_to_memory`` drain — the bench
+#: harness reads these after a registry streaming query returns its batch
+#: DataFrame (the query object itself is not surfaced through the registry
+#: signature). Keys: numRowsDroppedByWatermark, stateRows, inputRows.
+LAST_RUN_METRICS: dict[str, int] = {}
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "append"
 ):
@@ -210,6 +217,27 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    LAST_RUN_METRICS.clear()
+    LAST_RUN_METRICS.update(
+        {
+            "numRowsDroppedByWatermark": sum(
+                o.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                for o in p.get("stateOperators", [])
+            ),
+            "stateRows": max(
+                (
+                    o.get("numRowsTotal", 0)
+                    for p in q.recentProgress
+                    for o in p.get("stateOperators", [])
+                ),
+                default=0,
+            ),
+            "inputRows": sum(
+                int(p.get("numInputRows", 0)) for p in q.recentProgress
+            ),
+        }
+    )
     return q
 
 

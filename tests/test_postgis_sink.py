@@ -71,3 +71,38 @@ def test_spatial_ddl_tables_have_coordinates_or_wkt():
     assert any("stop_lon" in s for s in SPATIAL_DDL["stops"])
     assert any("ST_GeogFromText(wkt)" in s for s in SPATIAL_DDL["shapes_aggregated"])
     assert set(PRIMARY_KEYS) == {"agency", "stops", "routes", "trips"}
+
+
+def test_spatial_ddl_golden():
+    """C6 golden pin (VERDICT r2 #6): the postgis extension is absent in
+    this container, so the geography/GIST DDL can't execute live — assert
+    the EXACT statements instead, verbatim, in execution order. This is
+    the reference's --stops-location-index surface
+    (/root/reference/import.sh:126): geography(Point,4326) column,
+    backfill from (stop_lon, stop_lat), GIST index. Any drift in type,
+    SRID, column or index name breaks consumers of published snapshots
+    and must show up as a diff in THIS test, not in production DDL."""
+    assert SPATIAL_DDL["stops"] == [
+        "ALTER TABLE stops ADD COLUMN stop_loc geography(POINT, 4326)",
+        "UPDATE stops SET stop_loc = ST_SetSRID("
+        "ST_MakePoint(stop_lon, stop_lat), 4326)::geography "
+        "WHERE stop_lon IS NOT NULL AND stop_lat IS NOT NULL",
+        "CREATE INDEX stops_stop_loc_idx ON stops USING GIST (stop_loc)",
+    ]
+    assert SPATIAL_DDL["shapes_aggregated"] == [
+        "ALTER TABLE shapes_aggregated ADD COLUMN shape geography(LINESTRING, 4326)",
+        "UPDATE shapes_aggregated SET shape = ST_GeogFromText(wkt)",
+        "CREATE INDEX shapes_aggregated_shape_idx ON shapes_aggregated USING GIST (shape)",
+    ]
+    # and the live path emits them ordered: spatial first, then PKs, then
+    # partition indexes (SURVEY §4: index creation strictly post-load)
+    stmts = post_load_ddl(
+        {"stops", "shapes_aggregated", "trips"},
+        partition_by={"trips": ["service_id"]},
+    )
+    spatial = [s for s in stmts if "geography(" in s or "GIST" in s or "ST_" in s]
+    assert spatial == SPATIAL_DDL["stops"] + SPATIAL_DDL["shapes_aggregated"]
+    assert stmts.index("ALTER TABLE public.trips ADD PRIMARY KEY (trip_id)") > max(
+        stmts.index(s) for s in spatial
+    )
+    assert stmts[-1] == "CREATE INDEX trips_service_id_idx ON public.trips (service_id)"
