@@ -80,12 +80,19 @@ HEADLINE = [
     "hll_distinct_users",
     "snapshot_diff",
     "classifier_scores",
+    "source_cap",
+    "pmi_bigrams",
+    "bm25_topk",
+    "streaming_dedup",
+    "streaming_enrich",
 ]
 
 STREAMING_QUERIES = {
     "streaming_windowed_stats",
     "streaming_sessionize",
     "streaming_interval_join",
+    "streaming_dedup",
+    "streaming_enrich",
 }
 
 

@@ -24,7 +24,7 @@ Scale design, shared across the family:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingle_rows
@@ -350,4 +350,37 @@ def balanced_mixture(
         df.join(F.broadcast(thresholds), stratum_col)
         .filter(hash_bucket(key_col, salt=salt) < F.col("_thr"))
         .drop("_thr")
+    )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per stratum,
+    preferring the highest ``order_col`` (quality score, length, …) with
+    the id as deterministic tiebreak — the per-domain cap every
+    web-scale corpus applies so no single site dominates training data.
+
+    Expressed as the rank<=k window because that is the form Spark's
+    optimizer rewrites with WindowGroupLimit (3.5+): each map task keeps
+    only its local top-``cap`` per stratum BEFORE the shuffle, so a
+    stratum with a billion rows ships ~cap × n_tasks rows, not a billion
+    — the hot-domain skew never reaches one reducer. Contrast a
+    collect_list-then-slice formulation, which materializes the whole
+    stratum on one executor (the skew-killer build_inverted_index also
+    avoids).
+
+    Returns the input columns plus ``rank`` (1-based within stratum).
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .withColumn("rank", F.col("rank").cast("long"))
     )

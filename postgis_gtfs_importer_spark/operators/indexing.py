@@ -186,3 +186,151 @@ def build_inverted_index(
         .filter(F.col("df") >= min_df)
         .select("tok", "df", "total_tf", "postings")
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI (tokenizer/vocab
+    induction: which token pairs co-occur far above chance).
+
+    The log is dropped and a PMI *ratio* is reported fixed-point instead:
+    ``c_ab * Tu / (c_a c_b)`` with Tu the corpus unigram total — i.e.
+    p(a)p(b) in the denominator and the bigram count normalized by Tu
+    rather than the bigram total Tb. Since Tb is a corpus constant,
+    dividing by Tu instead rescales every ratio by the same factor:
+    the induced RANKING is identical to textbook PMI, and skipping Tb
+    saves an entire extra pass over the corpus (the bigram relation
+    would otherwise be built twice — once to count, once to total).
+    Every arithmetic input is an exact BIGINT count and the ratio is one
+    fixed left-associative chain of IEEE double ops, deterministic under
+    identical op order on every engine — so the DuckDB twin matches
+    bit-for-bit without trusting cross-engine ``ln``. Ordering uses the
+    ROUNDED integer (plus the bigram itself as tiebreak), never a raw
+    double, so rank boundaries cannot drift either.
+
+    Plan shape: one shuffle keyed on the doc id for the adjacency window
+    (lead over token positions — same partitioning as shingle_rows, reused
+    by AQE), then two hash aggregates (bigram counts, unigram counts) on
+    high-cardinality skew-free keys; the unigram relation is vocab-sized,
+    so its two per-side joins broadcast and its total is a single-row
+    broadcast whose subtree Spark reuses (ReusedExchange); final top-k is
+    a global TakeOrderedAndProject — no full sort materializes.
+
+    Returns (bigram, c_ab, ratio_e6), at most k rows.
+    """
+    from .dedup import token_rows
+
+    toks = token_rows(df, id_col, text_col).filter(F.col("tok") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toks.withColumn("tok2", F.lead("tok").over(w))
+        .filter(F.col("tok2").isNotNull())
+        .groupBy("tok", "tok2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    totals = F.broadcast(uni.agg(F.sum("c_tok").cast("long").alias("tu")))
+    ua = uni.select(F.col("tok").alias("_a"), F.col("c_tok").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("_b"), F.col("c_tok").alias("c_b"))
+    ratio = (
+        F.col("c_ab").cast("double")
+        * F.col("tu") / F.col("c_a") / F.col("c_b")
+    )
+    return (
+        bg.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(ua), bg.tok == F.col("_a"))
+        .join(F.broadcast(ub), bg.tok2 == F.col("_b"))
+        .crossJoin(totals)
+        .select(
+            F.concat_ws(" ", "tok", "tok2").alias("bigram"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.floor(ratio * F.lit(1e6) + F.lit(0.5)).cast("long").alias("ratio_e6"),
+        )
+        .orderBy(F.desc("ratio_e6"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms.
+
+    The scoring path of the inverted-index family (build_inverted_index
+    persists the postings; this consumes them): per (doc, term),
+    ``idf(term) * tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))`` with the
+    BM25+ always-positive idf ``ln(1 + (N - df + .5)/(df + .5))``. Each
+    per-term score is rounded to e6 fixed-point BEFORE summing, so the
+    per-doc total is exact integer addition — accumulation order (which
+    differs between engines) cannot move the result.
+
+    Plan shape for a 100 TB corpus: the term filter is pushed below the
+    tokenize-aggregate (only query-term postings shuffle — the index scan
+    analog); doc lengths are one hash aggregate keyed on the doc id; the
+    tiny (term, df, idf) relation broadcasts; top-k is
+    TakeOrderedAndProject. Nothing materializes per-corpus state beyond
+    the per-doc length relation, which a persisted index would pre-store.
+
+    Returns (doc_id, n_terms_hit, score_e6), at most k rows, ranked by
+    (score_e6 desc, doc_id asc).
+    """
+    from .dedup import token_rows
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    toks = token_rows(df, id_col, text_col).filter(F.col("tok") != "")
+    dl = toks.groupBy("id").agg(F.count("*").cast("long").alias("dl"))
+    corpus = F.broadcast(
+        dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("id", "tok")
+        .agg(F.count("*").cast("long").alias("tf_d"))
+    )
+    dfreq = F.broadcast(
+        tf.groupBy("tok").agg(F.count("*").cast("long").alias("df_t"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    sat = (F.col("tf_d") * F.lit(k1 + 1.0)) / (
+        F.col("tf_d")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(dl, "id")
+        .join(dfreq, "tok")
+        .crossJoin(corpus)
+        .select(
+            "id",
+            F.floor(idf * sat * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("s_e6"),
+        )
+    )
+    return (
+        per_term.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.sum("s_e6").cast("long").alias("score_e6"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_terms_hit", "score_e6")
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -77,6 +77,12 @@ _FRONT: list[str] = [
     "snapshot_diff",
     "merge_upsert",
     "classifier_scores",
+    # round-3 additions
+    "source_cap",
+    "pmi_bigrams",
+    "bm25_topk",
+    "streaming_dedup",
+    "streaming_enrich",
 ]
 
 
@@ -2323,7 +2329,7 @@ def streaming_windowed_stats_query(spark: SparkSession, sf_dir: str) -> DataFram
                                 watermark_delay="30 minutes")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"swin_stats_{_STREAM_QUERY_SEQ[0]}"
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode="complete", state_partitions=8)
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("window_start_epoch"),
         "event_type",
@@ -2807,7 +2813,7 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize_stream(ev, gap_sec=1800, watermark_delay="30 minutes")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"ssess_{_STREAM_QUERY_SEQ[0]}"
-    run_to_memory(sess, name, output_mode="append")
+    run_to_memory(sess, name, output_mode="append", state_partitions=8)
     return spark.table(name).select(
         "user_id",
         "session_start_epoch",
@@ -3042,7 +3048,7 @@ def streaming_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"sij_{_STREAM_QUERY_SEQ[0]}"
-    run_to_memory(joined, name, output_mode="append")
+    run_to_memory(joined, name, output_mode="append", state_partitions=8)
     return spark.table(name)
 
 
@@ -3479,3 +3485,216 @@ def classifier_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_t(spark, sf_dir, "documents"))
     w = linear_weights(spark, dims=1024, seed="w")
     return score_documents(d, w, "doc_id", "text", dims=1024)
+
+
+# ===========================================================================
+# Round-3 additions: domain capping, collocations, BM25, streaming dedup
+# ===========================================================================
+
+
+@register(
+    "source_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def source_cap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping: at most 20 documents per source,
+    preferring the longest (n_chars), doc_id as deterministic tiebreak —
+    the anti-domination pass of every web-corpus pipeline.
+
+    operators/curation.py::cap_per_stratum — the rank<=k window form
+    Spark rewrites with WindowGroupLimit: map-side partial top-k per
+    source BEFORE the shuffle, so a hot domain ships ~cap rows per task,
+    never its full row set (pinned in tests/test_scale_smoke.py).
+    """
+    from ..operators.curation import cap_per_stratum
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return cap_per_stratum(
+        d.select("doc_id", "source", "n_chars"),
+        stratum_col="source", order_col="n_chars", id_col="doc_id", cap=20,
+    )
+
+
+@register(
+    "pmi_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, pos, tok
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(t, 1) - 1 AS pos,
+               unnest(list_transform(t, x -> lower(x))) AS tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    bg AS (
+      SELECT a.tok, b.tok AS tok2, count(*) AS c_ab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.tok, b.tok
+    ),
+    uni AS (SELECT tok, count(*) AS c_tok FROM toks GROUP BY tok),
+    tot AS (
+      SELECT (SELECT CAST(sum(c_tok) AS BIGINT) FROM uni) AS tu
+    )
+    SELECT bg.tok || ' ' || bg.tok2 AS bigram,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(floor(CAST(c_ab AS DOUBLE) * tu / ua.c_tok / ub.c_tok
+                      * 1e6 + 0.5) AS BIGINT) AS ratio_e6
+    FROM bg
+    JOIN uni ua ON ua.tok = bg.tok
+    JOIN uni ub ON ub.tok = bg.tok2
+    CROSS JOIN tot
+    WHERE c_ab >= 5
+    ORDER BY ratio_e6 DESC, bigram ASC
+    LIMIT 100
+    """,
+)
+def pmi_bigrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 adjacent bigrams by PMI ratio
+    (log-free fixed-point — see operators/indexing.py::pmi_bigrams for
+    the cross-engine determinism argument). The tokenizer-induction /
+    vocabulary-analysis pass of a corpus pipeline."""
+    from ..operators.indexing import pmi_bigrams
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return pmi_bigrams(d, id_col="doc_id", text_col="text",
+                       min_count=5, k=100)
+
+
+@register(
+    "bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 regexp_split_to_array(trim(text), '\\s+'),
+                 x -> lower(x))) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf_d
+      FROM toks WHERE tok IN ('join', 'vector', 'scan', 'window')
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t
+              FROM tf GROUP BY tok),
+    per_term AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * ((tf_d * 2.2) / (tf_d + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               * 1e6 + 0.5) AS BIGINT) AS s_e6
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN dfreq USING (tok)
+      CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(s_e6) AS BIGINT) AS score_e6
+    FROM per_term
+    GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed 4-term query — the
+    scoring consumer of the inverted-index family. Per-term scores are
+    e6-fixed-point BEFORE the per-doc sum, so accumulation order cannot
+    move the total (operators/indexing.py::bm25_topk)."""
+    from ..operators.indexing import bm25_topk
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return bm25_topk(
+        d, query_terms=["join", "vector", "scan", "window"],
+        id_col="doc_id", text_col="text", k1=1.2, b=0.75, k=20,
+    )
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup run for real over the driver's events
+    parquet: dropDuplicatesWithinWatermark keeps the first arrival per
+    (user_id, event_type) and bounds state by the watermark horizon.
+    WHICH row wins depends on arrival order (not deterministic under
+    replay), but the emitted KEY SET is exactly the distinct keys — so
+    the query projects the keys, and the oracle is plain DISTINCT.
+
+    streaming/events.py::dedup_stream; at scale the same plan dedups an
+    unbounded firehose with state bounded by rate x watermark, the only
+    tractable contract for streaming dedup.
+    """
+    from ..streaming.events import (
+        dedup_stream,
+        run_to_memory,
+        stream_testdata_events,
+    )
+
+    ev = stream_testdata_events(spark, sf_dir)
+    dd = dedup_stream(ev, key_cols=["user_id", "event_type"],
+                      watermark_delay="30 minutes")
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"sdedup_{_STREAM_QUERY_SEQ[0]}"
+    run_to_memory(dd, name, output_mode="append", state_partitions=8)
+    return spark.table(name).select("user_id", "event_type")
+
+
+@register(
+    "streaming_enrich",
+    """
+    SELECT e.event_id, e.user_id, n.n_name AS nation, e.event_type
+    FROM events e
+    JOIN nation n ON n.n_nationkey = e.user_id % 25
+    """,
+)
+def streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join run for real: the event stream joined
+    to a broadcast dimension table (synthetic user->nation mapping on
+    user_id % 25 — the testdata ships no users dim; the mapping is
+    deterministic so the oracle is the plain batch join).
+
+    The per-event lookup pattern of every enrichment pipeline: the
+    static side broadcasts once per micro-batch plan, the stream never
+    shuffles, state stays empty (inner stream-static joins are
+    stateless). streaming/gtfs_rt.py holds the domain twin (TripUpdate
+    feed x published snapshot); this entry puts the mechanism itself
+    under the driver's oracle gate.
+    """
+    from ..streaming.events import run_to_memory, stream_testdata_events
+
+    ev = stream_testdata_events(spark, sf_dir)
+    dim = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = ev.join(
+        F.broadcast(dim), (F.col("user_id") % 25) == F.col("n_nationkey")
+    ).select(
+        "event_id", "user_id", F.col("n_name").alias("nation"), "event_type"
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"senrich_{_STREAM_QUERY_SEQ[0]}"
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)

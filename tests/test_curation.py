@@ -198,3 +198,17 @@ def test_balanced_mixture_equalizes_strata(spark):
     # reach the filter via broadcast joins only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cap_per_stratum_caps_and_orders(spark):
+    from postgis_gtfs_importer_spark.operators.curation import cap_per_stratum
+
+    rows = [(i, "hot" if i < 50 else "cold", i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality long")
+    out = cap_per_stratum(df, "source", "quality", "doc_id", cap=5)
+    pdf = out.toPandas()
+    assert (pdf.groupby("source").size() <= 5).all()
+    hot = pdf[pdf.source == "hot"].sort_values("rank")
+    # highest quality first; doc_id ascending breaks ties deterministically
+    assert list(hot["quality"]) == sorted(hot["quality"], reverse=True)
+    assert hot.iloc[0]["quality"] == 6 and hot.iloc[0]["doc_id"] == 6

@@ -150,3 +150,46 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert got, "join should produce matches"
+
+
+def test_pmi_bigrams_finds_collocation(spark):
+    from postgis_gtfs_importer_spark.operators.indexing import pmi_bigrams
+
+    # "new york" always adjacent; filler tokens are independent
+    rows = [(i, "new york " + " ".join(f"w{j}" for j in range(i % 3 + 1)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_bigrams(df, min_count=5, k=10).collect()
+    assert out, "no bigrams returned"
+    by_bigram = {r.bigram: r for r in out}
+    # the designed collocation is present, in every doc, above chance.
+    # (it need not be rank 1: rarer all-or-nothing pairs like "w1 w2"
+    # score higher — PMI's known rare-pair preference, by design.)
+    ny = by_bigram["new york"]
+    assert ny.c_ab == 20
+    assert ny.ratio_e6 > 1_000_000
+    # "york new" never occurs adjacently
+    assert "york new" not in by_bigram
+    # ranked by rounded integer, descending
+    vals = [r.ratio_e6 for r in out]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    from postgis_gtfs_importer_spark.operators.indexing import bm25_topk
+
+    rows = [
+        (1, "join join join filler filler"),
+        (2, "join filler filler filler filler"),
+        (3, "filler filler filler filler filler"),
+        (4, "join vector filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["join", "vector"], k=4).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # no query term -> no row
+    assert ids[0] == 4   # two distinct terms beat repeated one term here
+    assert out[0].n_terms_hit == 2
+    # equal-length docs, saturating tf: doc 1 (tf=3) above doc 2 (tf=1)
+    assert ids.index(1) < ids.index(2)
+    assert all(r.score_e6 > 0 for r in out)

@@ -90,3 +90,20 @@ def test_arrivals_departures_at_volume(spark, big_feed):
         .orderBy("date").first()
     )
     assert row.t_arrival == dt.datetime(2024, 1, 1, 4, 2)  # 05:02 local
+
+
+def test_cap_per_stratum_plans_window_group_limit(spark):
+    """The per-domain cap must plan as WindowGroupLimit (map-side partial
+    top-k per stratum before the shuffle) — the property that keeps a
+    hot domain from shipping its full row set to one reducer. A Spark
+    upgrade or a formulation change that silently loses the rewrite
+    shows up here, not at 100 TB."""
+    from postgis_gtfs_importer_spark.operators.curation import cap_per_stratum
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS STRING) AS source", "id % 13 AS q"
+    )
+    out = cap_per_stratum(df, "source", "q", "doc_id", cap=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
