@@ -85,6 +85,7 @@ HEADLINE = [
     "bm25_topk",
     "streaming_dedup",
     "streaming_enrich",
+    "scd2_apply",
 ]
 
 STREAMING_QUERIES = {

@@ -85,3 +85,88 @@ def merge_upsert(
     """
     keep = target.join(source, pk_cols, "left_anti")
     return keep.unionByName(source)
+
+
+def scd2_apply(
+    history: DataFrame,
+    source: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str],
+    batch_id: int,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) apply: fold a new snapshot into
+    a versioned history table.
+
+    ``history`` carries the payload (``pk_cols`` + ``compare_cols``) plus
+    ``valid_from``/``valid_to`` batch stamps; ``valid_to IS NULL`` marks
+    the current version. Applying ``source`` at ``batch_id``:
+
+      * pk gone from source      -> current row closed (valid_to = batch)
+      * payload changed          -> current row closed + new open version
+      * unchanged                -> current row untouched
+      * brand-new pk             -> new open version
+      * already-closed rows      -> pass through untouched (never joined)
+
+    The reference keeps whole-database snapshots side by side for exactly
+    this history question (retention top-k, import.js:237-268) but ships
+    no row-level versioning; this is that capability as an operator, and
+    the temporal complement of ``snapshot_diff``/``merge_upsert``.
+
+    Plan shape: ONE full-outer join on the pk between the CURRENT slice
+    and the source — closed history (the bulk of a long-lived table: its
+    row count grows with every batch, the current slice doesn't) is
+    filtered out before the shuffle and unioned back untouched. Change
+    classification compares md5 fingerprints computed map-side
+    (row_fingerprint); each joined row then emits its 0-2 output versions
+    through one array+explode, so the branch logic adds no second join
+    and no second shuffle. Idempotent: re-applying the same source at the
+    same batch_id reproduces the same history (closing and re-opening use
+    equal stamps, and unchanged fingerprints short-circuit).
+    """
+    payload = [*pk_cols, *compare_cols]
+    cur = history.filter(F.col(valid_to_col).isNull())
+    closed = history.filter(F.col(valid_to_col).isNotNull())
+    b = F.lit(int(batch_id)).cast("long")
+
+    c = cur.select(
+        *[F.col(k).alias(f"_c_{k}") for k in payload],
+        F.col(valid_from_col).alias("_c_from"),
+        row_fingerprint(compare_cols).alias("_fp_c"),
+    )
+    s = source.select(
+        *[F.col(k).alias(f"_s_{k}") for k in payload],
+        row_fingerprint(compare_cols).alias("_fp_s"),
+    )
+    cond = [F.col(f"_c_{k}") == F.col(f"_s_{k}") for k in pk_cols]
+    j = c.join(s, cond, "full_outer")
+
+    def version(side: str, vfrom, vto) -> Column:
+        return F.struct(
+            *[F.col(f"_{side}_{k}").alias(k) for k in payload],
+            vfrom.cast("long").alias(valid_from_col),
+            vto.cast("long").alias(valid_to_col),
+        )
+
+    null_b = F.lit(None).cast("long")
+    out = F.when(
+        F.col("_fp_s").isNull(),  # deleted: close the current row
+        F.array(version("c", F.col("_c_from"), b)),
+    ).when(
+        F.col("_fp_c").isNull(),  # brand-new pk: open a version
+        F.array(version("s", b, null_b)),
+    ).when(
+        F.col("_fp_c") == F.col("_fp_s"),  # unchanged: keep current open
+        F.array(version("c", F.col("_c_from"), null_b)),
+    ).otherwise(  # changed: close old, open new
+        F.array(
+            version("c", F.col("_c_from"), b),
+            version("s", b, null_b),
+        )
+    )
+    applied = j.select(F.explode(out).alias("_v")).select("_v.*")
+    return closed.select(
+        *payload, F.col(valid_from_col).cast("long").alias(valid_from_col),
+        F.col(valid_to_col).cast("long").alias(valid_to_col),
+    ).unionByName(applied)

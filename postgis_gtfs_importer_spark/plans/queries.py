@@ -83,6 +83,7 @@ _FRONT: list[str] = [
     "bm25_topk",
     "streaming_dedup",
     "streaming_enrich",
+    "scd2_apply",
 ]
 
 
@@ -3698,3 +3699,89 @@ def streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"senrich_{_STREAM_QUERY_SEQ[0]}"
     run_to_memory(joined, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "scd2_apply",
+    """
+    WITH cur AS (
+      SELECT doc_id, lang, n_chars, 1 AS valid_from FROM documents
+    ),
+    src AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id + 50000, lang, n_chars FROM documents WHERE doc_id % 9 = 0
+    ),
+    j AS (
+      SELECT c.doc_id AS c_id, c.lang AS c_lang, c.n_chars AS c_n,
+             c.valid_from AS c_from,
+             s.doc_id AS s_id, s.lang AS s_lang, s.n_chars AS s_n
+      FROM cur c FULL OUTER JOIN src s ON c.doc_id = s.doc_id
+    )
+    SELECT c_id AS doc_id, c_lang AS lang, CAST(c_n AS BIGINT) AS n_chars,
+           CAST(c_from AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to
+    FROM j WHERE s_id IS NULL
+    UNION ALL
+    SELECT s_id, s_lang, CAST(s_n AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    FROM j WHERE c_id IS NULL
+    UNION ALL
+    SELECT c_id, c_lang, CAST(c_n AS BIGINT), CAST(c_from AS BIGINT), CAST(0 AS BIGINT)
+    FROM j WHERE c_id IS NOT NULL AND s_id IS NOT NULL
+      AND c_lang = s_lang AND c_n = s_n
+    UNION ALL
+    SELECT c_id, c_lang, CAST(c_n AS BIGINT), CAST(c_from AS BIGINT), CAST(2 AS BIGINT)
+    FROM j WHERE c_id IS NOT NULL AND s_id IS NOT NULL
+      AND NOT (c_lang = s_lang AND c_n = s_n)
+    UNION ALL
+    SELECT s_id, s_lang, CAST(s_n AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    FROM j WHERE c_id IS NOT NULL AND s_id IS NOT NULL
+      AND NOT (c_lang = s_lang AND c_n = s_n)
+    """,
+)
+def scd2_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history apply: the corpus as an all-open history at
+    batch 1, folded with a mutated re-crawl (every 4th doc changed,
+    every 10th-with-remainder-3 deleted, every 9th re-ingested under a
+    new id) at batch 2. Open versions are reported with valid_to = 0 so
+    the column stays BIGINT on both engines (NULL would float-ify the
+    pandas comparison frame).
+
+    operators/diff.py::scd2_apply — closed history never joins; ONE
+    pk-keyed full-outer join of the current slice vs the source, with
+    map-side fingerprints and an array+explode emitting each row's 0-2
+    output versions. The oracle replays the same lifecycle as explicit
+    UNION ALL branches over DuckDB's native FULL OUTER JOIN.
+    """
+    from ..operators.diff import scd2_apply
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.select(
+        "doc_id", "lang", "n_chars",
+        F.lit(1).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    src = (
+        d.filter(F.col("doc_id") % 10 != 3)
+        .select(
+            "doc_id", "lang",
+            F.when(F.col("doc_id") % 4 == 0, F.col("n_chars") + 7)
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 50000).alias("doc_id"), "lang", "n_chars"
+            )
+        )
+    )
+    out = scd2_apply(
+        hist, src, pk_cols=["doc_id"], compare_cols=["lang", "n_chars"],
+        batch_id=2,
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit(0)).cast("long").alias("valid_to"),
+    )

@@ -19,6 +19,23 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def log_level_from_env(env: dict | None = None) -> str:
+    """C20 quiet/verbose parity (reference: gtfs-to-sql --silent / psql
+    --quiet, import.sh:117-122; verbose flag import.js:59-62).
+
+    ``GTFS_IMPORTER_VERBOSE=false`` maps to ERROR (the reference's quiet
+    mode), anything else to the WARN default; ``SPARK_GRAFT_LOG_LEVEL``
+    overrides both for debugging (e.g. INFO to watch AQE re-plans).
+    """
+    e = os.environ if env is None else env
+    explicit = e.get("SPARK_GRAFT_LOG_LEVEL")
+    if explicit:
+        return explicit.upper()
+    if e.get("GTFS_IMPORTER_VERBOSE", "").lower() == "false":
+        return "ERROR"
+    return "WARN"
+
+
 def get_spark(
     app_name: str = "postgis-gtfs-importer-spark",
     master: str | None = None,
@@ -51,5 +68,5 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(log_level_from_env())
     return spark

@@ -70,3 +70,17 @@ def test_cli_end_to_end_local_backend(tmp_path):
     parts = dbs[0].split("_")
     assert len(parts) == 3 and parts[1].isdigit() and len(parts[2]) == 6
     assert "ImportResult" in proc.stdout
+
+
+def test_log_level_env_contract():
+    """C20 quiet/verbose: GTFS_IMPORTER_VERBOSE=false is the reference's
+    quiet mode (gtfs-to-sql --silent / psql --quiet, import.sh:117-122);
+    SPARK_GRAFT_LOG_LEVEL is the explicit override."""
+    from postgis_gtfs_importer_spark.session import log_level_from_env
+
+    assert log_level_from_env({}) == "WARN"
+    assert log_level_from_env({"GTFS_IMPORTER_VERBOSE": "false"}) == "ERROR"
+    assert log_level_from_env({"GTFS_IMPORTER_VERBOSE": "true"}) == "WARN"
+    assert log_level_from_env(
+        {"SPARK_GRAFT_LOG_LEVEL": "info", "GTFS_IMPORTER_VERBOSE": "false"}
+    ) == "INFO"

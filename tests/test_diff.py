@@ -81,3 +81,39 @@ def test_diff_then_merge_roundtrip(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_scd2_apply_lifecycle_and_idempotence(spark):
+    from postgis_gtfs_importer_spark.operators.diff import scd2_apply
+
+    hist = spark.createDataFrame(
+        [
+            (1, "a", 1, None),      # current, will be unchanged
+            (2, "b", 1, None),      # current, will change
+            (3, "c", 1, None),      # current, will be deleted
+            (2, "b0", 0, 1),        # already-closed version: passthrough
+        ],
+        "pk long, val string, valid_from long, valid_to long",
+    )
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (9, "new")], "pk long, val string"
+    )
+    out = scd2_apply(hist, src, ["pk"], ["val"], batch_id=2)
+    rows = {(r.pk, r.val, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (2, "b0", 0, 1),    # closed history untouched
+        (1, "a", 1, None),  # unchanged stays open with original stamp
+        (2, "b", 1, 2),     # changed: closed at batch 2...
+        (2, "B2", 2, None), # ...new version opened
+        (3, "c", 1, 2),     # deleted: closed
+        (9, "new", 2, None) # inserted: opened
+    }
+    # exactly one open version per live pk
+    open_counts = (
+        out.filter(F.col("valid_to").isNull()).groupBy("pk").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_counts)
+    # idempotence: re-applying the same source at the same batch is a no-op
+    again = scd2_apply(out, src, ["pk"], ["val"], batch_id=2)
+    rows2 = {(r.pk, r.val, r.valid_from, r.valid_to) for r in again.collect()}
+    assert rows2 == rows
