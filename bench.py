@@ -86,6 +86,7 @@ HEADLINE = [
     "streaming_dedup",
     "streaming_enrich",
     "scd2_apply",
+    "cms_token_counts",
 ]
 
 STREAMING_QUERIES = {

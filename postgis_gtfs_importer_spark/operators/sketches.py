@@ -175,3 +175,114 @@ def hll_distinct(
         .withColumn("hll_est", est)
         .select(*group_cols, "n_buckets", "z_scaled", "hll_est")
     )
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch counter table: (row, bucket, counter).
+
+    The frequency complement of the KMV/HLL distinct sketches: ``depth``
+    independent hash rows x ``width`` counters, each cell the count of
+    items hashing into it. Hashes are md5-derived per row
+    (``md5(salt || row || value)``), so the sketch is cross-engine
+    deterministic and the DuckDB oracle replays it exactly.
+
+    The sketch state is a plain DataFrame of at most depth x width rows
+    REGARDLESS of corpus size — the groupBy is partial-aggregated
+    map-side, so the shuffle carries <= depth x width rows per input
+    partition while exact per-value counting would shuffle every
+    distinct value. Union two corpora's counter tables and re-sum:
+    that IS the CMS merge (counters are linear).
+    """
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("row")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("row").cast("string"),
+                        F.lit("|"),
+                        F.col("_v"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        df.select(F.col(value_col).cast("string").alias("_v"))
+        .select("_v", rows)
+        .withColumn("bucket", bucket)
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("counter"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    probe: DataFrame,
+    value_col: str,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the Count-Min sketch: est(v) = min over rows of the
+    counter at that row's bucket for v. Estimates never undercount
+    (est >= true count); overcount is bounded by ~2N/width per row,
+    driven to the min across ``depth`` independent rows.
+
+    The probe side re-derives its buckets with the same md5 arithmetic
+    and joins the counter table on (row, bucket) — the counter table is
+    sketch-sized, so the join broadcasts; the corpus itself is touched
+    only to build the counters.
+
+    Returns (probe_col, est_count).
+    """
+    counters = cms_counters(df, value_col, depth, width, salt)
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("row")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("row").cast("string"),
+                        F.lit("|"),
+                        F.col("_p"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    probes = (
+        probe.select(F.col(probe_col).cast("string").alias("_p"))
+        .distinct()
+        .select("_p", rows)
+        .withColumn("bucket", bucket)
+    )
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy("_p")
+        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).cast("long").alias("est_count"))
+        .select(F.col("_p").alias(probe_col), "est_count")
+    )

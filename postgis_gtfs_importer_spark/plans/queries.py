@@ -84,6 +84,7 @@ _FRONT: list[str] = [
     "streaming_dedup",
     "streaming_enrich",
     "scd2_apply",
+    "cms_token_counts",
 ]
 
 
@@ -3784,4 +3785,63 @@ def scd2_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
         "valid_from",
         F.coalesce(F.col("valid_to"), F.lit(0)).cast("long").alias("valid_to"),
+    )
+
+
+@register(
+    "cms_token_counts",
+    """
+    WITH toks AS (
+      SELECT unnest(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> lower(x))) AS tok
+      FROM documents
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    top AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      ORDER BY c DESC, tok ASC LIMIT 25
+    ),
+    cnt AS (
+      SELECT r.r AS row,
+             CAST(('0x' || substr(md5('cms' || r.r || '|' || tok), 1, 15))
+                  AS BIGINT) % 1024 AS bucket,
+             count(*) AS counter
+      FROM toks CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT tok, r.r AS row,
+             CAST(('0x' || substr(md5('cms' || r.r || '|' || tok), 1, 15))
+                  AS BIGINT) % 1024 AS bucket
+      FROM top CROSS JOIN rows_ r
+    )
+    SELECT p.tok, CAST(min(coalesce(c.counter, 0)) AS BIGINT) AS est_count
+    FROM probe p LEFT JOIN cnt c ON c.row = p.row AND c.bucket = p.bucket
+    GROUP BY p.tok
+    """,
+)
+def cms_token_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the corpus's top-25
+    tokens — the frequency complement of the KMV/HLL distinct sketches
+    (operators/sketches.py::cms_counters/cms_estimate).
+
+    The counter table is depth x width (= 4096 cells) REGARDLESS of
+    corpus size — map-side partial aggregation means the shuffle carries
+    sketch-sized state, not per-value counts; the probe join broadcasts
+    the sketch. Counters are linear, so union + re-sum merges two
+    corpora's sketches. md5-derived buckets make the whole sketch
+    DuckDB-replayable — an approximate structure under an EXACT oracle.
+    """
+    from ..operators.dedup import token_rows
+    from ..operators.sketches import cms_estimate
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    toks = token_rows(d, "doc_id", "text").select("tok")
+    top = (
+        toks.groupBy("tok").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok")).limit(25)
+    )
+    return cms_estimate(
+        toks, top, value_col="tok", probe_col="tok",
+        depth=4, width=1024, salt="cms",
     )

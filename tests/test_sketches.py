@@ -102,3 +102,36 @@ def test_hll_register_range_and_grouping(spark):
     assert {r.g for r in regs} == {"a", "b"}
     # b has at most 3 occupied buckets
     assert len([r for r in regs if r.g == "b"]) <= 3
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    from postgis_gtfs_importer_spark.operators.sketches import cms_estimate
+
+    # zipf-ish: value v_i appears i times, 1..60
+    rows = [(f"v{i}",) for i in range(1, 61) for _ in range(i)]
+    df = spark.createDataFrame(rows, "v string")
+    probe = df.select("v").distinct()
+    est = {r.v: r.est_count for r in
+           cms_estimate(df, probe, "v", "v", depth=4, width=256).collect()}
+    n = len(rows)
+    for i in range(1, 61):
+        true = i
+        assert est[f"v{i}"] >= true, "CMS must never undercount"
+        # standard bound: overcount <= 2N/width w.h.p. per row, min over
+        # 4 rows; allow 3x slack for the tiny width
+        assert est[f"v{i}"] - true <= 3 * 2 * n / 256
+
+
+def test_cms_counters_merge_by_sum(spark):
+    from postgis_gtfs_importer_spark.operators.sketches import cms_counters
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(f"x{i % 7}",) for i in range(50)], "v string")
+    b = spark.createDataFrame([(f"x{i % 5}",) for i in range(30)], "v string")
+    merged = (
+        cms_counters(a, "v").unionByName(cms_counters(b, "v"))
+        .groupBy("row", "bucket").agg(F.sum("counter").alias("counter"))
+    )
+    direct = cms_counters(a.unionByName(b), "v")
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
