@@ -275,12 +275,16 @@ def bm25_topk(
     per-doc total is exact integer addition — accumulation order (which
     differs between engines) cannot move the result.
 
-    Plan shape for a 100 TB corpus: the term filter is pushed below the
-    tokenize-aggregate (only query-term postings shuffle — the index scan
-    analog); doc lengths are one hash aggregate keyed on the doc id; the
-    tiny (term, df, idf) relation broadcasts; top-k is
-    TakeOrderedAndProject. Nothing materializes per-corpus state beyond
-    the per-doc length relation, which a persisted index would pre-store.
+    Plan shape for a 100 TB corpus: doc length AND the per-term counts
+    come out of ONE tokenize→aggregate pass keyed on the doc id (term
+    frequencies as conditional sums — the query term set is small, so
+    the aggregate is |terms|+1 columns wide), melted back to (doc, term)
+    rows with a zero-cost stack Generate. The corpus is scanned and
+    shuffled exactly once; the tiny (term, df, idf) relation and the
+    single-row corpus stats broadcast (both derived from the same
+    aggregate, so Spark reuses its exchange); top-k is
+    TakeOrderedAndProject. A persisted deployment pre-stores the wide
+    per-doc aggregate next to the inverted index.
 
     Returns (doc_id, n_terms_hit, score_e6), at most k rows, ranked by
     (score_e6 desc, doc_id asc).
@@ -288,19 +292,32 @@ def bm25_topk(
     from .dedup import token_rows
 
     terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    for t in terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"unsupported characters in query term {t!r}")
     toks = token_rows(df, id_col, text_col).filter(F.col("tok") != "")
-    dl = toks.groupBy("id").agg(F.count("*").cast("long").alias("dl"))
+    wide = toks.groupBy("id").agg(
+        F.count("*").cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
     corpus = F.broadcast(
-        dl.agg(
+        wide.agg(
             F.count("*").cast("long").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
         )
     )
-    tf = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("id", "tok")
-        .agg(F.count("*").cast("long").alias("tf_d"))
-    )
+    stack_args = ", ".join(f"'{t}', _tf_{i}" for i, t in enumerate(terms))
+    tf = wide.select(
+        "id", "dl",
+        F.expr(f"stack({len(terms)}, {stack_args}) AS (tok, tf_d)"),
+    ).filter(F.col("tf_d") > 0)
     dfreq = F.broadcast(
         tf.groupBy("tok").agg(F.count("*").cast("long").alias("df_t"))
     )
@@ -314,8 +331,7 @@ def bm25_topk(
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     per_term = (
-        tf.join(dl, "id")
-        .join(dfreq, "tok")
+        tf.join(dfreq, "tok")
         .crossJoin(corpus)
         .select(
             "id",
