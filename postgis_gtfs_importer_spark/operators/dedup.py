@@ -150,23 +150,39 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                  extra_cols: list[str] | None = None) -> DataFrame:
     """(id, *extra, shingle): DISTINCT word n-grams, one row each.
 
-    Built with window lead() over token positions — every operator in the
-    pipeline (Generate, Window, HashAggregate) is whole-stage-codegen'd,
-    unlike array-lambda formulations which Spark evaluates interpreted
-    per element. The window shuffle key is the document id: uniform,
-    skew-free, and reused by the downstream per-document aggregates.
+    Built MAP-SIDE from each document's token array: indexed
+    ``transform`` over a ``slice`` assembles the n-grams,
+    ``array_distinct`` dedups within the document, one Generate explodes
+    — zero shuffles. The earlier window-lead formulation was fully
+    codegen'd but shuffled every corpus token on the doc id and then
+    paid a corpus-wide distinct; the interpreted array lambdas are 2.5x
+    faster even at sf0.1, and at 100 TB the removed exchanges are
+    corpus-sized. (Same trade as pmi_bigrams — measured, not assumed.)
     """
     extra = list(extra_cols or [])
-    toks = token_rows(df, id_col, text_col, extra)
-    w = Window.partitionBy("id").orderBy("pos")
-    for i in range(1, n):
-        toks = toks.withColumn(f"__t{i}", F.lead("tok", i).over(w))
-    parts = [F.col("tok")] + [F.col(f"__t{i}") for i in range(1, n)]
-    sh = (
-        toks.filter(F.col(f"__t{n-1}").isNotNull())
-        .withColumn("shingle", F.concat_ws(" ", *parts))
+    df = spread(df)
+    toks_arr = F.filter(
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
+        ),
+        lambda x: x != F.lit(""),
     )
-    return sh.select("id", *extra, "shingle").distinct()
+    grams = F.expr(
+        f"transform(slice(_t, 1, greatest(size(_t) - {n - 1}, 0)),"
+        " (x, i) -> concat_ws(' ', "
+        + ", ".join(f"_t[i + {j}]" for j in range(n))
+        + "))"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in extra],
+            toks_arr.alias("_t"),
+        )
+        .select(
+            "id", *extra, F.explode(F.array_distinct(grams)).alias("shingle")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
