@@ -137,27 +137,28 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_distinct(
-    df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge HLL register tables: union the inputs beforehand, then this
+    re-max per (group, bucket). Register state is max-linear, so merging
+    per-shard sketches is EXACTLY equivalent to sketching the union —
+    the property that lets 1000 executors sketch independently and roll
+    up without touching raw data again (pinned by the hll_merge_shards
+    registry query against a direct-global oracle)."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("register").cast("long").alias("register")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 6
 ) -> DataFrame:
-    """Raw HyperLogLog estimate per group (no small-range correction —
-    the raw estimator keeps the arithmetic exact; callers needing the
-    linear-counting regime should use kmv_distinct, which is exact
-    there by construction).
-
-    Z is accumulated in EXACT integer arithmetic at scale 2^(w+1):
-    each register contributes ``1 << (w + 1 - register)`` and each of
-    the ``m - n`` absent buckets contributes ``2^(w+1)``; the sum fits
-    a BIGINT (m * 2^(w+1) = 2^(p+w+1) = 2^61). The estimate is then one
-    IEEE division, fixed-point rounded.
-
-    Returns (group..., n_buckets, z_scaled, hll_est).
-    """
+    """Raw-HLL estimate from a register table (see hll_distinct for the
+    arithmetic contract). Returns (group..., n_buckets, z_scaled,
+    hll_est)."""
     m = 2**p
     w_bits = KEY_BITS - p
     scale = w_bits + 1
-    reg = hll_registers(df, group_cols, value_col, p)
-    z = reg.groupBy(*group_cols).agg(
+    z = registers.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_buckets"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - register)"))
         .cast("long")
@@ -174,6 +175,27 @@ def hll_distinct(
         z.withColumn("z_scaled", z_scaled)
         .withColumn("hll_est", est)
         .select(*group_cols, "n_buckets", "z_scaled", "hll_est")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
+) -> DataFrame:
+    """Raw HyperLogLog estimate per group (no small-range correction —
+    the raw estimator keeps the arithmetic exact; callers needing the
+    linear-counting regime should use kmv_distinct, which is exact
+    there by construction).
+
+    Z is accumulated in EXACT integer arithmetic at scale 2^(w+1):
+    each register contributes ``1 << (w + 1 - register)`` and each of
+    the ``m - n`` absent buckets contributes ``2^(w+1)``; the sum fits
+    a BIGINT (m * 2^(w+1) = 2^(p+w+1) = 2^61). The estimate is then one
+    IEEE division, fixed-point rounded.
+
+    Returns (group..., n_buckets, z_scaled, hll_est).
+    """
+    return hll_estimate(
+        hll_registers(df, group_cols, value_col, p), group_cols, p
     )
 
 

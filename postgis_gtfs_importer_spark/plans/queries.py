@@ -85,6 +85,7 @@ _FRONT: list[str] = [
     "streaming_enrich",
     "scd2_apply",
     "cms_token_counts",
+    "hll_merge_shards",
 ]
 
 
@@ -3845,3 +3846,56 @@ def cms_token_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, top, value_col="tok", probe_col="tok",
         depth=4, width=1024, salt="cms",
     )
+
+
+@register(
+    "hll_merge_shards",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    b AS (
+      SELECT h // 18014398509481984 AS bucket, h % 18014398509481984 AS rem
+      FROM h
+    ),
+    r AS (
+      SELECT bucket,
+             CASE WHEN rem = 0 THEN 55
+                  ELSE 54 - length(format('{:b}', rem)) + 1 END AS rank
+      FROM b
+    ),
+    reg AS (
+      SELECT bucket, CAST(max(rank) AS BIGINT) AS register
+      FROM r GROUP BY bucket
+    ),
+    z AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(55 - register AS INTEGER))
+                  AS BIGINT) AS zp
+      FROM reg
+    )
+    SELECT n_buckets,
+           CAST(zp + (64 - n_buckets) * 36028797018963968 AS BIGINT) AS z_scaled,
+           CAST(floor(1.046802484394006e+20
+                      / CAST(zp + (64 - n_buckets) * 36028797018963968 AS DOUBLE)
+                      + 0.5) AS BIGINT) AS hll_est
+    FROM z
+    """,
+)
+def hll_merge_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGE correctness, driver-visible: per-event-type register
+    tables (independent shard sketches) merged via union + re-max, then
+    estimated — while the oracle sketches the WHOLE table directly in
+    one pass. The two must agree exactly because register state is
+    max-linear: merge(sketch(A), sketch(B)) == sketch(A ∪ B). That
+    identity is what lets 1000 executors sketch shards independently and
+    roll up constant-size state instead of re-reading 100 TB
+    (operators/sketches.py::hll_merge / hll_estimate).
+    """
+    from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    shard_regs = hll_registers(ev, ["event_type"], "user_id", p=6)
+    merged = hll_merge(shard_regs, group_cols=[])
+    return hll_estimate(merged, group_cols=[], p=6)
