@@ -87,6 +87,8 @@ HEADLINE = [
     "streaming_enrich",
     "scd2_apply",
     "cms_token_counts",
+    "hll_merge_shards",
+    "zorder_hist",
 ]
 
 STREAMING_QUERIES = {

@@ -86,6 +86,7 @@ _FRONT: list[str] = [
     "scd2_apply",
     "cms_token_counts",
     "hll_merge_shards",
+    "zorder_hist",
 ]
 
 
@@ -3899,3 +3900,60 @@ def hll_merge_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_regs = hll_registers(ev, ["event_type"], "user_id", p=6)
     merged = hll_merge(shard_regs, group_cols=[])
     return hll_estimate(merged, group_cols=[], p=6)
+
+
+def _zorder_oracle_sql() -> str:
+    from ..operators.layout import interleave_bits_sql
+
+    z = interleave_bits_sql(
+        ["o_custkey % 256", "(o_orderkey // 7) % 256"], bits=8
+    )
+    return f"""
+    WITH q AS (
+      SELECT o_custkey % 256 AS qx, (o_orderkey // 7) % 256 AS qy,
+             {z} AS zval
+      FROM orders
+    )
+    SELECT zval >> 8 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(qx) AS BIGINT) AS min_qx, CAST(max(qx) AS BIGINT) AS max_qx,
+           CAST(min(qy) AS BIGINT) AS min_qy, CAST(max(qy) AS BIGINT) AS max_qy
+    FROM q GROUP BY zbucket
+    """
+
+
+@register("zorder_hist", _zorder_oracle_sql())
+def zorder_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering histogram: orders quantized to a
+    256x256 (custkey, orderkey-run) grid, bit-interleaved, and
+    aggregated per 256-wide z-bucket with per-bucket dimension min/max —
+    exactly the file-level statistics a z-ordered parquet layout gives
+    the scan planner. Tight (max-min) spans per bucket ARE the pruning
+    guarantee; the bucket histogram doubles as the layout's file-size
+    balance check.
+
+    operators/layout.py::interleave_bits — exact shifts/masks/ors,
+    replayed bit-for-bit by the DuckDB twin (interleave_bits_sql). The
+    physical layout operator (zorder_layout: repartitionByRange + sort
+    on zval) is pinned by tests/test_layout.py, which proves a 2-D box
+    predicate reads <= 1/8 of the files of a 1-D-sorted layout.
+    """
+    from ..operators.layout import interleave_bits
+
+    o = _t(spark, sf_dir, "orders")
+    q = o.select(
+        (F.col("o_custkey") % 256).alias("qx"),
+        ((F.col("o_orderkey") / 7).cast("long") % 256).alias("qy"),
+    )
+    z = interleave_bits([F.col("qx"), F.col("qy")], bits=8)
+    return (
+        q.withColumn("zval", z)
+        .groupBy(F.shiftright("zval", 8).alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("qx").cast("long").alias("min_qx"),
+            F.max("qx").cast("long").alias("max_qx"),
+            F.min("qy").cast("long").alias("min_qy"),
+            F.max("qy").cast("long").alias("max_qy"),
+        )
+    )
