@@ -215,3 +215,67 @@ def test_stream_testdata_events_matches_batch_instants(spark):
     # and the instants are sane: every event inside the generator's window
     lo = streamed.agg(F.min("us")).first()[0]
     assert lo > 1_500_000_000 * 1_000_000  # after 2017, not near 1970
+
+
+def test_merge_stream_into_upserts_and_replays_idempotently(spark, tmp_path):
+    """foreachBatch MERGE sink: two micro-batches of row-level changes
+    fold into a parquet target; replaying the stream from scratch over
+    the same files converges to the same target (checkpoint batch-ids +
+    merge idempotence = the exactly-once story)."""
+    import os
+
+    from postgis_gtfs_importer_spark.streaming.merge_sink import (
+        merge_stream_into,
+    )
+
+    src_dir = str(tmp_path / "changes")
+    tgt_dir = str(tmp_path / "target")
+    os.makedirs(src_dir)
+    schema = "pk long, val string, seq long"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            mode
+        ).parquet(src_dir)
+
+    write_batch([(1, "a", 1), (2, "b", 1)], "overwrite")
+
+    def read_target():
+        try:
+            return spark.read.parquet(tgt_dir)
+        except Exception:
+            return None
+
+    def write_target(df, batch_id):
+        # rewrite-to-temp then swap would be the production move; for the
+        # test a plain overwrite after materializing is enough
+        rows = df.collect()
+        spark.createDataFrame(rows, df.schema).write.mode(
+            "overwrite"
+        ).parquet(tgt_dir)
+
+    def drain():
+        ev = spark.readStream.schema(schema).parquet(src_dir)
+        q = merge_stream_into(
+            ev, read_target, write_target, pk_cols=["pk"],
+            order_col="seq", query_name="ms1",
+        )
+        q.awaitTermination()
+
+    drain()
+    import time
+    time.sleep(1.1)
+    write_batch([(2, "B2", 2), (3, "c", 2)], "append")  # update + insert
+    drain()
+
+    got = {(r.pk, r.val) for r in spark.read.parquet(tgt_dir).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}
+
+    # a replay may fold BOTH files into one batch: pk=2 then has seq 1
+    # and 2 in the same batch and order_col must pick seq=2
+
+    # full replay over the same files (fresh checkpoint-less query):
+    # target must converge to the same state, not duplicate
+    drain()
+    got2 = {(r.pk, r.val) for r in spark.read.parquet(tgt_dir).collect()}
+    assert got2 == got
