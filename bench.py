@@ -89,6 +89,7 @@ HEADLINE = [
     "cms_token_counts",
     "hll_merge_shards",
     "zorder_hist",
+    "negative_samples",
 ]
 
 STREAMING_QUERIES = {

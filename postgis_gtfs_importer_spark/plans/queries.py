@@ -87,6 +87,7 @@ _FRONT: list[str] = [
     "cms_token_counts",
     "hll_merge_shards",
     "zorder_hist",
+    "negative_samples",
 ]
 
 
@@ -3957,3 +3958,43 @@ def zorder_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("qy").cast("long").alias("max_qy"),
         )
     )
+
+
+@register(
+    "negative_samples",
+    """
+    WITH hashed AS (
+      SELECT doc_id AS id,
+             CAST(('0x' || substr(md5('neg' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    b AS (SELECT id, h, h % 1024 AS bkt FROM hashed),
+    reps AS (
+      SELECT bkt, id AS neg_id FROM (
+        SELECT bkt, id,
+               row_number() OVER (PARTITION BY bkt ORDER BY h, id) AS rn
+        FROM b
+      ) WHERE rn = 1
+    ),
+    offs AS (SELECT unnest([1, 2, 3, 4]) AS j),
+    anch AS (SELECT id, bkt, j FROM b CROSS JOIN offs)
+    SELECT a.id, CAST(a.j AS BIGINT) AS offset, r.neg_id
+    FROM anch a JOIN reps r ON (a.bkt + a.j) % 1024 = r.bkt
+    WHERE r.neg_id <> a.id
+    """,
+)
+def negative_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 4 pseudo-random partners per
+    document via md5-bucket representatives — no RNG, no seed plumbing,
+    the same pairs on every engine and every re-run.
+
+    operators/curation.py::negative_samples — NO global row_number (the
+    formulation that serializes a 100 TB corpus through one partition):
+    one bucket-keyed aggregate elects 1024 representatives, which
+    broadcast to the anchors; the corpus never shuffles.
+    """
+    from ..operators.curation import negative_samples
+
+    d = _t(spark, sf_dir, "documents")
+    return negative_samples(d, id_col="doc_id", k=4, buckets=1024, salt="neg")

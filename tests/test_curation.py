@@ -212,3 +212,21 @@ def test_cap_per_stratum_caps_and_orders(spark):
     # highest quality first; doc_id ascending breaks ties deterministically
     assert list(hot["quality"]) == sorted(hot["quality"], reverse=True)
     assert hot.iloc[0]["quality"] == 6 and hot.iloc[0]["doc_id"] == 6
+
+
+def test_negative_samples_deterministic_and_never_self(spark):
+    from postgis_gtfs_importer_spark.operators.curation import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = negative_samples(df, "doc_id", k=4, buckets=64)
+    b = negative_samples(df, "doc_id", k=4, buckets=64)
+    ra = {(r.id, r.offset, r.neg_id) for r in a.collect()}
+    rb = {(r.id, r.offset, r.neg_id) for r in b.collect()}
+    assert ra == rb, "negatives must be re-run-stable"
+    assert all(i != n for i, _, n in ra), "self-pairs must be dropped"
+    # 64 buckets over 500 docs: every bucket populated -> k (or k-1 when
+    # the anchor IS a neighbor bucket's representative) per anchor
+    from collections import Counter
+    per_anchor = Counter(i for i, _, _ in ra)
+    assert set(per_anchor.values()) <= {3, 4}
+    assert sum(1 for v in per_anchor.values() if v == 4) > 400
