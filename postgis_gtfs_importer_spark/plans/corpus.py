@@ -1,0 +1,167 @@
+"""End-to-end corpus curation: the operator families composed into one
+pipeline, the way a production pretraining-data run chains them.
+
+The reference's pipeline shape is download -> clean -> derive -> publish
+(plans/pipeline.py keeps that parity surface); this is the corpus
+analog: dedup -> decontaminate -> quality-filter -> rebalance -> split
+-> pack. Every stage is one of the already-oracle-checked operators —
+this module adds the COMPOSITION: stage ordering, the inter-stage
+contracts, and a per-stage accounting report (what production actually
+debugs with, since "we lost 40% of tokens" must be attributable to a
+stage).
+
+Ordering rationale (each stage shrinks or stabilizes the input of the
+next, cheapest-first within constraints):
+  1. exact dedup first — hash-keyed, cheapest, removes byte-identical
+     mass so near-dup never pays for it;
+  2. MinHash near-dup on the survivors (LSH-banded, the only all-to-all
+     stage, so it runs on the smallest possible input);
+  3. benchmark decontamination (broadcast index; must run before
+     quality/mixture so leaked eval docs can't influence corpus stats);
+  4. quality + language gate (pure column predicates, zero shuffle);
+  5. balanced mixture over the stratum column (data-derived thresholds,
+     broadcast back);
+  6. deterministic split assignment (pure expression — LAST, so every
+     upstream drop applies to all splits identically and re-runs never
+     migrate a doc between splits);
+  7. sequence packing per split (shard-parallel layout).
+
+All decisions are content-hash-deterministic, so the whole pipeline is
+idempotent: re-running on the same corpus yields byte-identical outputs
+(pinned by tests/test_corpus_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.curation import (
+    assign_split,
+    balanced_mixture,
+    decontaminate,
+    pack_sequences,
+)
+from ..operators.dedup import dedup_exact, minhash_dedup
+
+
+@dataclass
+class CorpusConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    stratum_col: str = "lang"
+    near_dup_threshold: float = 0.5
+    min_quality_e6: int = 300_000  # quality_score * 1e6 gate
+    allowed_langs: tuple[str, ...] = ()  # empty = keep all
+    balance_mixture: bool = True
+    split_weights: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    pack_capacity: int = 2048
+    pack_shards: int = 16
+    salt: str = "corpus"
+
+
+@dataclass
+class CorpusResult:
+    """Final per-split packed layout plus the per-stage accounting."""
+
+    curated: DataFrame  # (id, stratum, split) after all gates
+    packed: DataFrame  # pack_sequences output + split column
+    report: dict[str, int]  # stage -> surviving doc count
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    cfg: CorpusConfig | None = None,
+) -> CorpusResult:
+    """Run the full curation chain; see module docstring for ordering.
+
+    ``docs`` needs (id_col, text_col, stratum_col). ``benchmark`` (same
+    id/text columns) enables stage 3. Counts in the report are actions —
+    the stage frames are small projections, so counting them per stage
+    costs one job each over the already-pruned lineage; at production
+    scale you persist stage boundaries instead (sinks/staging.py).
+    """
+    c = cfg or CorpusConfig()
+    report: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup (canonical = min id, survivors only)
+    exact, _ = dedup_exact(docs, c.id_col, [c.text_col])
+    report["exact_dedup"] = exact.count()
+
+    # 2. near-dup dedup (MinHash LSH + connected components)
+    near = minhash_dedup(
+        exact, c.id_col, c.text_col, threshold=c.near_dup_threshold
+    )
+    report["near_dedup"] = near.count()
+
+    # 3. benchmark decontamination
+    if benchmark is not None:
+        flagged = decontaminate(
+            near, benchmark, id_col=c.id_col, text_col=c.text_col
+        ).select(c.id_col)
+        clean = near.join(flagged, c.id_col, "left_anti")
+    else:
+        clean = near
+    report["decontaminated"] = clean.count()
+
+    # 4. quality + language gate (pure column predicates)
+    q = F.floor(TX.quality_score(F.col(c.text_col)) * 1e6 + 0.5)
+    gated = clean.filter(q >= c.min_quality_e6)
+    if c.allowed_langs:
+        gated = gated.filter(
+            TX.lang_id(F.col(c.text_col)).isin(list(c.allowed_langs))
+        )
+    report["quality_gated"] = gated.count()
+
+    # 5. balanced mixture over the stratum
+    if c.balance_mixture:
+        mixed = balanced_mixture(
+            gated, key_col=c.id_col, stratum_col=c.stratum_col,
+            salt=c.salt + "-mix",
+        )
+    else:
+        mixed = gated
+    report["mixed"] = mixed.count()
+
+    # 6. split assignment (pure expression, content-addressed)
+    curated = mixed.withColumn(
+        "split", assign_split(c.id_col, c.split_weights, salt=c.salt)
+    )
+
+    # 7. pack per split (split participates in the shard key, so packing
+    # one split never reads another's rows)
+    sized = curated.select(
+        c.id_col,
+        c.stratum_col,
+        "split",
+        TX.token_count(F.col(c.text_col)).alias("n_tokens"),
+    )
+    packs = []
+    for split in c.split_weights:
+        part = sized.filter(F.col("split") == split)
+        packs.append(
+            pack_sequences(
+                part.select(c.id_col, "n_tokens"),
+                id_col=c.id_col,
+                tokens_col="n_tokens",
+                capacity=c.pack_capacity,
+                n_shards=c.pack_shards,
+                salt=c.salt + "-pack-" + split,
+            ).withColumn("split", F.lit(split))
+        )
+    packed = packs[0]
+    for p in packs[1:]:
+        packed = packed.unionByName(p)
+    report["packed_docs"] = packed.count()
+
+    return CorpusResult(
+        curated=curated.select(c.id_col, c.stratum_col, "split"),
+        packed=packed,
+        report=report,
+    )

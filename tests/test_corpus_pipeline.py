@@ -1,0 +1,61 @@
+"""End-to-end corpus curation composition (plans/corpus.py): stage
+ordering, per-stage accounting, and full-pipeline idempotence on the
+real driver testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.plans.corpus import (
+    CorpusConfig,
+    curate_corpus,
+)
+from postgis_gtfs_importer_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_pipeline_stages_shrink_monotonically(spark, docs):
+    # benchmark = a slice of the corpus itself -> guaranteed contamination
+    bench = docs.filter(F.col("doc_id") % 17 == 0).limit(20)
+    res = curate_corpus(docs, benchmark=bench, cfg=CorpusConfig())
+    r = res.report
+    order = [
+        "input", "exact_dedup", "near_dedup", "decontaminated",
+        "quality_gated", "mixed",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert r[b] <= r[a], f"{b} grew over {a}: {r}"
+    assert r["input"] > 0
+    # the planted benchmark slice must actually remove docs
+    assert r["decontaminated"] < r["near_dedup"]
+    # every curated doc has a split; packed docs = curated docs with tokens
+    assert res.curated.filter(F.col("split").isNull()).count() == 0
+    assert r["packed_docs"] <= r["mixed"]
+    assert r["packed_docs"] > 0
+
+
+def test_pipeline_is_idempotent(spark, docs):
+    cfg = CorpusConfig(balance_mixture=True)
+    a = curate_corpus(docs, cfg=cfg)
+    b = curate_corpus(docs, cfg=cfg)
+    assert a.report == b.report
+    assert a.curated.exceptAll(b.curated).isEmpty()
+    assert a.packed.exceptAll(b.packed).isEmpty()
+
+
+def test_packing_respects_split_isolation(spark, docs):
+    res = curate_corpus(docs, cfg=CorpusConfig())
+    joined = res.packed.join(
+        res.curated.select("doc_id", F.col("split").alias("curated_split")),
+        "doc_id",
+    )
+    assert joined.filter(
+        F.col("split") != F.col("curated_split")
+    ).count() == 0
