@@ -223,3 +223,63 @@ def test_cc_star_equals_propagation_on_random_graphs(spark):
             ).collect()
         }
         assert a == b, pairs
+
+
+# --- SCD2: random batch sequences preserve history invariants -------------
+
+scd2_batches_strategy = st.lists(
+    st.dictionaries(  # one batch: pk -> value
+        keys=st.integers(min_value=0, max_value=5),
+        values=st.sampled_from(["a", "b", "c"]),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=scd2_batches_strategy)
+@settings(**SETTINGS)
+def test_scd2_invariants_under_random_batches(spark, batches):
+    """Fold a random sequence of snapshots through scd2_apply and check
+    the history invariants no implementation detail may break:
+      * at most one OPEN version per pk, and open pks == last batch's pks
+      * an open version's payload equals the last batch's value
+      * closed intervals are well-formed (valid_from <= valid_to) and a
+        pk's versions never overlap
+      * total versions only grow (history is append/close-only)
+    """
+    from postgis_gtfs_importer_spark.operators.diff import scd2_apply
+
+    hist = spark.createDataFrame(
+        [], "pk long, val string, valid_from long, valid_to long"
+    )
+    prev_versions = 0
+    for i, batch in enumerate(batches, start=1):
+        src = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "pk long, val string"
+        )
+        hist = scd2_apply(hist, src, ["pk"], ["val"], batch_id=i)
+        rows = hist.collect()
+        open_rows = [r for r in rows if r.valid_to is None]
+        # one open version per live pk; open set == batch keys
+        assert len({r.pk for r in open_rows}) == len(open_rows)
+        assert {r.pk for r in open_rows} == set(batch)
+        for r in open_rows:
+            assert r.val == batch[r.pk]
+        # closed intervals well-formed, per-pk non-overlapping
+        by_pk: dict[int, list] = {}
+        for r in rows:
+            by_pk.setdefault(r.pk, []).append(r)
+        for pk, vs in by_pk.items():
+            closed = sorted(
+                [v for v in vs if v.valid_to is not None],
+                key=lambda v: (v.valid_from, v.valid_to),
+            )
+            for v in closed:
+                assert v.valid_from <= v.valid_to
+            for a, b in zip(closed, closed[1:]):
+                assert a.valid_to <= b.valid_from
+        assert len(rows) >= prev_versions
+        prev_versions = len(rows)
