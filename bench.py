@@ -90,6 +90,8 @@ HEADLINE = [
     "hll_merge_shards",
     "zorder_hist",
     "negative_samples",
+    "priority_sample",
+    "hist_quantiles",
 ]
 
 STREAMING_QUERIES = {

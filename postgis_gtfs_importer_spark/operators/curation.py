@@ -440,3 +440,55 @@ def negative_samples(
         .filter(F.col("neg_id") != F.col("id"))
         .select("id", F.col("offset").cast("long").alias("offset"), "neg_id")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    salt: str = "pri",
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: keep the k
+    rows with the smallest priority ``u / w`` per stratum, where ``u`` is
+    the key's md5-uniform in (0, 1] and ``w`` the row weight — sequential
+    Poisson (priority) sampling (Ohlsson 1998): inclusion probability is
+    ~proportional to weight, and the chosen set is a pure function of
+    (keys, weights, salt): re-runs, re-partitioning, and engine choice
+    cannot move it. The priority is ONE IEEE division of two exactly
+    shared doubles, so the DuckDB oracle replays the exact sample.
+
+    Same WindowGroupLimit shape as cap_per_stratum: map tasks keep their
+    local top-k per stratum before the shuffle, so a billion-row stratum
+    ships ~k rows per task. Weights must be positive; nonpositive rows
+    are excluded (documented, not silent: they get priority NULL and
+    fall out of the rank).
+
+    Returns input columns + ``rank`` (1-based within stratum).
+    """
+    from .sketches import KEY_SPACE
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(KEY_SPACE)
+    pri = F.when(
+        F.col(weight_col) > 0, u / F.col(weight_col).cast("double")
+    )
+    parts = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.asc_nulls_last("_pri"), F.asc(key_col)
+    )
+    return (
+        df.withColumn("_pri", pri)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .filter(F.col("_pri").isNotNull())
+        .drop("_pri")
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -88,6 +88,8 @@ _FRONT: list[str] = [
     "hll_merge_shards",
     "zorder_hist",
     "negative_samples",
+    "priority_sample",
+    "hist_quantiles",
 ]
 
 
@@ -3998,3 +4000,101 @@ def negative_samples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return negative_samples(d, id_col="doc_id", k=4, buckets=1024, salt="neg")
+
+
+@register(
+    "priority_sample",
+    """
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(('0x' || substr(md5('pri' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1) / 1152921504606846976.0
+               / CAST(n_chars AS DOUBLE) AS p
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY p ASC, doc_id ASC)
+               AS rank
+      FROM pri
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def priority_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: 20 docs per language with
+    inclusion probability ~proportional to n_chars — sequential Poisson
+    (priority) sampling, Ohlsson 1998, made deterministic by md5-uniform
+    priorities (u/w, ONE IEEE division chain both engines replay
+    bit-for-bit; no RNG, no seed plumbing).
+
+    operators/curation.py::priority_sample — the WindowGroupLimit
+    rank<=k form again: map-side partial top-k per stratum, the heavy
+    stratum never ships its full row set.
+    """
+    from ..operators.curation import priority_sample
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return priority_sample(
+        d.select("doc_id", "lang", "n_chars").filter(F.col("n_chars") > 0),
+        key_col="doc_id", weight_col="n_chars", k=20,
+        stratum_col="lang", salt="pri",
+    ).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        "rank",
+    )
+
+
+@register(
+    "hist_quantiles",
+    """
+    WITH b AS (
+      SELECT event_type,
+             least(greatest(CAST(floor((value - 0.0) * 256.0 / 500.0)
+                                 AS BIGINT), 0), 255) AS bin
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT event_type, max(cum) AS total FROM cum GROUP BY event_type),
+    qs AS (SELECT unnest([500, 900, 990]) AS q_e3),
+    sel AS (
+      SELECT c.event_type, q.q_e3, t.total, min(c.bin) AS bin
+      FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs q
+      WHERE c.cum >= CAST(ceil(q.q_e3 * t.total / 1000.0) AS BIGINT)
+      GROUP BY c.event_type, q.q_e3, t.total
+    )
+    SELECT s.event_type, CAST(s.q_e3 AS BIGINT) AS q_e3,
+           CAST(s.bin AS BIGINT) AS bin, c.cum,
+           CAST(s.total AS BIGINT) AS total
+    FROM sel s JOIN cum c ON c.event_type = s.event_type AND c.bin = s.bin
+    """,
+)
+def hist_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation: p50/p90/p99 of event value per type
+    from a 256-bin fixed-range histogram sketch — the streaming/mergeable
+    twin of the exact value_quantiles query (same table, interpolated
+    percentiles). State is <= bins rows per group whatever the input
+    size; counts are linear (union + re-sum merges shards); quantile
+    selection is all-integer past one fixed threshold expression
+    (operators/sketches.py::fixed_histogram / histogram_quantile_bins).
+    """
+    from ..operators.sketches import fixed_histogram, histogram_quantile_bins
+
+    ev = _t(spark, sf_dir, "events")
+    hist = fixed_histogram(
+        ev, "value", lo=0.0, hi=500.0, bins=256, group_cols=["event_type"]
+    )
+    return histogram_quantile_bins(
+        hist, qs=[0.5, 0.9, 0.99], group_cols=["event_type"]
+    )

@@ -135,3 +135,44 @@ def test_cms_counters_merge_by_sum(spark):
     direct = cms_counters(a.unionByName(b), "v")
     assert merged.exceptAll(direct).isEmpty()
     assert direct.exceptAll(merged).isEmpty()
+
+
+def test_fixed_histogram_merges_and_bounds_quantiles(spark):
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        fixed_histogram,
+        histogram_quantile_bins,
+    )
+
+    a = spark.range(0, 5000).selectExpr("CAST(id AS DOUBLE) AS v")
+    b = spark.range(5000, 10000).selectExpr("CAST(id AS DOUBLE) AS v")
+    ha = fixed_histogram(a, "v", lo=0.0, hi=10000.0, bins=100)
+    hb = fixed_histogram(b, "v", lo=0.0, hi=10000.0, bins=100)
+    merged = (
+        ha.unionByName(hb).groupBy("bin").agg(F.sum("n").alias("n"))
+    )
+    direct = fixed_histogram(
+        a.unionByName(b), "v", lo=0.0, hi=10000.0, bins=100
+    )
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+    # uniform 0..9999 over 100 bins: p50 bin = 49/50 boundary, p90 = 89
+    q = {
+        r.q_e3: r.bin
+        for r in histogram_quantile_bins(direct, [0.5, 0.9]).collect()
+    }
+    # bin width 100: true p50 = 4999.5 -> bin 49; p90 = 8999 -> bin 89
+    assert abs(q[500] - 49) <= 1
+    assert abs(q[900] - 89) <= 1
+
+
+def test_fixed_histogram_clamps_out_of_range(spark):
+    from postgis_gtfs_importer_spark.operators.sketches import fixed_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (99.0,), (250.0,)], "v double"
+    )
+    h = {r.bin: r.n for r in
+         fixed_histogram(df, "v", lo=0.0, hi=100.0, bins=10).collect()}
+    assert h[0] == 2   # -5 clamped into bin 0 alongside 0.0
+    assert h[9] == 2   # 99 in last bin; 250 clamped into it
+    assert sum(h.values()) == 4  # nothing dropped
