@@ -441,3 +441,42 @@ def test_merge_upsert_snapshot_idempotent_live(spark, catalog, pg_server):
                       pk_cols=["stop_id"],
                       compare_cols=["stop_name", "zone"])
     assert d.filter(d.status != "unchanged").count() == 0
+
+
+def test_scd2_history_roundtrip_live(spark, catalog, pg_server):
+    """SCD2 against the live sink: history folds through Postgres
+    between batches (write -> read back -> apply next batch), proving
+    the operator composes with the COPY sink + read_table round-trip
+    and that NULL valid_to survives the wire."""
+    from postgis_gtfs_importer_spark.operators.diff import scd2_apply
+
+    hist = spark.createDataFrame(
+        [], "pk long, val string, valid_from long, valid_to long"
+    )
+    batches = [
+        {1: "a", 2: "b"},
+        {1: "a", 2: "B2", 3: "c"},   # update 2, insert 3
+        {2: "B2", 3: "c"},           # delete 1
+    ]
+    db = "gtfs_scd2"
+    catalog.create_database(db)
+    for i, batch in enumerate(batches, start=1):
+        src = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "pk long, val string"
+        )
+        hist = scd2_apply(hist, src, ["pk"], ["val"], batch_id=i)
+        # round-trip through Postgres: next batch folds into what the
+        # database actually stored
+        _psql(pg_server, db, f'DROP TABLE IF EXISTS "history"')
+        catalog.write_tables(db, {"history": hist})
+        hist = catalog.read_table(db, "history")
+
+    rows = {
+        (r.pk, r.val, r.valid_from, r.valid_to) for r in hist.collect()
+    }
+    assert rows == {
+        (1, "a", 1, 3),      # lived batches 1-2, deleted at 3
+        (2, "b", 1, 2),      # replaced at 2
+        (2, "B2", 2, None),  # current
+        (3, "c", 2, None),   # current
+    }
