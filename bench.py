@@ -92,6 +92,8 @@ HEADLINE = [
     "negative_samples",
     "priority_sample",
     "hist_quantiles",
+    "market_share",
+    "top_returners",
 ]
 
 STREAMING_QUERIES = {

@@ -90,6 +90,8 @@ _FRONT: list[str] = [
     "negative_samples",
     "priority_sample",
     "hist_quantiles",
+    "market_share",
+    "top_returners",
 ]
 
 
@@ -4098,3 +4100,74 @@ def hist_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile_bins(
         hist, qs=[0.5, 0.9, 0.99], group_cols=["event_type"]
     )
+
+
+_MARKET_SHARE_SQL = """
+    SELECT o_year,
+           CAST(floor(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                      / sum(volume) * 1e6 + 0.5) AS BIGINT) AS mkt_share_e6
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@register("market_share", _MARKET_SHARE_SQL)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q8 shape — the widest join tree in the suite: lineitem
+    against part, supplier, orders, customer, region and nation TWICE
+    (customer's and supplier's), with a conditional-share aggregation.
+    Through the engine's SQL surface: identical ANSI text runs on both
+    engines, so Catalyst's join reordering + double-dimension broadcast
+    (both nation aliases) face the parity check. At scale every
+    dimension here broadcasts; lineitem is the only shuffled relation,
+    and only for its aggregate."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MARKET_SHARE_SQL)
+
+
+_TOP_RETURNERS_SQL = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+                AS BIGINT) AS revenue_e2
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_e2 DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+@register("top_returners", _TOP_RETURNERS_SQL)
+def top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Customer x orders x lineitem with the date/returnflag filters pushed
+    to the scans and a TakeOrderedAndProject top-k — the canonical
+    'find the worst offenders' report. Identical SQL text on both
+    engines via the register_views surface."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TOP_RETURNERS_SQL)
