@@ -94,6 +94,7 @@ HEADLINE = [
     "hist_quantiles",
     "market_share",
     "top_returners",
+    "corpus_report",
 ]
 
 STREAMING_QUERIES = {

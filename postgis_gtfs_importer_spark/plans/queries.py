@@ -92,6 +92,7 @@ _FRONT: list[str] = [
     "hist_quantiles",
     "market_share",
     "top_returners",
+    "corpus_report",
 ]
 
 
@@ -4171,3 +4172,46 @@ def top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TOP_RETURNERS_SQL)
+
+
+@register(
+    "corpus_report",
+    """
+    SELECT coalesce(lang, '<all>') AS lang,
+           coalesce(source, '<all>') AS source,
+           CAST(grouping(lang) AS BIGINT) AS is_lang_total,
+           CAST(grouping(source) AS BIGINT) AS is_source_total,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+)
+def corpus_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus accounting report: doc/char totals at (lang, source),
+    per-lang, and grand-total levels in ONE pass — GROUPING SETS plans a
+    single scan with an expand + two-phase aggregate, vs three separate
+    jobs. GROUPING() flags disambiguate rolled-up levels from genuine
+    NULL strata (coalesce alone cannot). The multi-level mix report
+    every curation pipeline publishes next to its outputs.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupingSets(
+            [["lang", "source"], ["lang"], []], "lang", "source"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.grouping("lang").cast("long").alias("is_lang_total"),
+            F.grouping("source").cast("long").alias("is_source_total"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "is_lang_total", "is_source_total",
+            "n_docs", "sum_chars", "max_chars",
+        )
+    )
