@@ -150,7 +150,10 @@ def main() -> None:
             detail[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
             continue
         dt = time.monotonic() - t0
-        timings[name] = round(dt, 2)
+        # 1 decimal in the stdout line (3 decimals in BENCH_DETAIL.json):
+        # the driver's tail capture is ~2 KB and every byte of the final
+        # line counts — see the guard before print().
+        timings[name] = round(dt, 1)
         total += dt
         d: dict = {"cold": round(dt, 3), "rows": n, "exchanges": _exchanges(df)}
         if name in STREAMING_QUERIES:
@@ -171,6 +174,32 @@ def main() -> None:
             flush=True,
         )
 
+    # The reference's headline operation: one END-TO-END import (synthetic
+    # feed -> clean -> derive -> atomic publish into live PG or the
+    # LocalCatalog twin) — importDurationMs parity (import.js:267-277).
+    # Reported top-level (NOT folded into the query-suite totals: it is a
+    # pipeline metric, and keeping `value` = query suite keeps the number
+    # comparable across rounds).
+    import tempfile
+
+    from postgis_gtfs_importer_spark.plans.import_bench import run_import_bench
+
+    import_e2e = None
+    try:
+        with tempfile.TemporaryDirectory(prefix="import-e2e-") as wd:
+            imp = run_import_bench(spark, wd, scale=(sf or 0.1) * 10)
+        import_e2e = imp["total_sec"]
+        detail["import_e2e"] = imp
+        print(
+            f"# import_e2e: {imp['total_sec']:.3f}s ({imp['backend']} backend,"
+            f" {imp['arrivals_rows']} arrivals rows,"
+            f" skip-rerun {imp['skipped_rerun_sec']:.3f}s)",
+            flush=True,
+        )
+    except Exception as e:  # the bench line must survive a backend failure
+        print(f"# import_e2e: FAILED {type(e).__name__}: {e}", flush=True)
+        detail["import_e2e"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     detail_paths = ["BENCH_DETAIL.json"]
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd:
@@ -185,20 +214,28 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(__file__) or ".", p), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": timings,
-                "total_warm": round(total_warm, 2),
-                "sf": sf,
-                "detail": detail_paths[-1],
-            },
-            separators=(",", ":"),
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_suite_total",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": timings,
+            "total_warm": round(total_warm, 2),
+            "import_e2e": import_e2e,
+            "sf": sf,
+            "detail": detail_paths[-1],
+        },
+        separators=(",", ":"),
     )
+    # The driver captures only the ~2 KB stdout tail (round-2 "parsed:
+    # null" failure mode). Fail LOUDLY here — and in
+    # tests/test_units.py::test_bench_line_budget before that — rather
+    # than silently shipping a line the driver will truncate.
+    assert len(line) < 1800, (
+        f"bench stdout line is {len(line)} bytes (>= 1800): trim HEADLINE "
+        "or move fields to BENCH_DETAIL.json before the driver truncates it"
+    )
+    print(line)
     spark.stop()
 
 

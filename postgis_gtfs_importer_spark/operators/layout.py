@@ -31,15 +31,24 @@ def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
     Dimension j's bit i lands at output position ``i * n_dims + j`` —
     exact shifts/masks/ors, identical in Spark and DuckDB. Total output
     bits = bits * n_dims must stay < 63 (signed BIGINT).
+
+    Inputs are masked to the low ``bits`` bits FIRST (two's-complement
+    AND, identical in both engines): quantization to [0, 2^bits) is
+    still the caller's job — out-of-range values alias into the domain
+    rather than erroring — but the aliasing is now the explicit,
+    engine-identical ``v & (2^bits - 1)``, never a sign-extended shift
+    leaking high bits into non-local z-values that silently defeat
+    pruning.
     """
     n = len(cols)
     if n < 2:
         raise ValueError("z-order needs >= 2 dimensions")
     if bits * n >= 63:
         raise ValueError(f"bits * n_dims = {bits * n} overflows BIGINT")
+    mask = (1 << bits) - 1
     out = F.lit(0).cast("long")
     for j, c in enumerate(cols):
-        cl = c.cast("long")
+        cl = c.cast("long").bitwiseAND(F.lit(mask))
         for i in range(bits):
             out = out.bitwiseOR(
                 F.shiftleft(
@@ -50,13 +59,14 @@ def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
 
 
 def interleave_bits_sql(col_sqls: list[str], bits: int = 16) -> str:
-    """The DuckDB twin of interleave_bits — same shifts, same positions."""
+    """The DuckDB twin of interleave_bits — same mask, shifts, positions."""
     n = len(col_sqls)
+    mask = (1 << bits) - 1
     terms = []
     for j, c in enumerate(col_sqls):
         for i in range(bits):
             terms.append(
-                f"((((CAST({c} AS BIGINT) >> {i}) & 1)) << {i * n + j})"
+                f"((((CAST({c} AS BIGINT) & {mask}) >> {i}) & 1) << {i * n + j})"
             )
     return "(" + " | ".join(terms) + ")"
 

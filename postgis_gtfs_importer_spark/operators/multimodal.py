@@ -4,11 +4,21 @@ A 100 TB training-data pipeline carries media as ``binary`` columns with a
 metadata struct, processed by Arrow-batched ``mapInPandas`` stages: the
 executor-side batch shape (pandas DataFrames of a few thousand rows, bytes
 in object arrays) is what real decoders (PIL/ffmpeg/torchaudio) consume.
-Those libraries are not in this container, so the DECODE KERNELS HERE ARE
-DETERMINISTIC FAKES (clearly marked below); the Spark-side plumbing —
-schema, partitioning, UDF signatures, batch iteration — is real and
-tested. Swap ``_fake_decode_*`` for a real decoder and nothing else
-changes.
+
+Two decode kernels ship behind the SAME mapInPandas contract:
+
+  * ``decoder="header"`` (default for real media) — a REAL, dependency-
+    free container-header parser: PNG IHDR, JPEG SOFn segment walk, GIF
+    logical-screen descriptor (``decode_image_header`` below). It reads
+    actual dimensions from actual bytes; full-pixel decoding (PIL/ffmpeg,
+    absent in this container) would slot into the same kernel signature.
+  * ``decoder="fake"`` — the DETERMINISTIC FAKE used by the DuckDB-oracle
+    registry twin (the testdata payloads are UTF-8 text, not media, and
+    the oracle must replay the kernel arithmetic relationally).
+
+The frame-sampling and resize kernels remain deterministic fakes (real
+ones need ffmpeg/PIL); their Spark-side plumbing — schema, partitioning,
+UDF signatures, batch iteration — is real and tested.
 
 Design notes for scale:
   * decode stages are ``mapInPandas`` (streaming batches, no shuffle): a
@@ -57,14 +67,65 @@ FRAME_SCHEMA = StructType(
 
 
 def _fake_decode_image(buf: bytes) -> tuple[int, int, str]:
-    """DETERMINISTIC FAKE decoder (real one: PIL.Image.open).
+    """DETERMINISTIC FAKE decoder — the DuckDB-oracle-replayable twin.
 
     Derives (width, height, format) purely from the byte length so the
-    DuckDB oracle can replay it. NotImplementedError-free by design — the
-    plumbing is the thing under test.
+    registry query's oracle can replay it relationally over text
+    payloads. Real media goes through ``decode_image_header``.
     """
     n = len(buf)
     return (n % 640 + 1, (n * 7) % 480 + 1, "png" if n % 2 == 0 else "jpeg")
+
+
+#: JPEG start-of-frame markers that carry dimensions (C0-CF minus the
+#: huffman/arithmetic/restart bookkeeping markers C4/C8/CC).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_image_header(buf: bytes) -> tuple[int | None, int | None, str | None]:
+    """REAL image-header decoder — no dependencies, pure struct parsing.
+
+    Recognizes:
+      * PNG  — 8-byte signature, IHDR chunk: width/height big-endian u32
+        at offsets 16/20 (PNG spec, W3C).
+      * JPEG — SOI then segment walk to the first SOFn marker; height/
+        width are big-endian u16 at segment offset +5/+7 (ITU T.81).
+        Standalone markers (RSTn/SOI/EOI/TEM) have no length field.
+      * GIF  — GIF87a/GIF89a signature; logical-screen width/height are
+        little-endian u16 at offsets 6/8.
+
+    Returns (width, height, format), or (None, None, None) when the
+    bytes are not a recognized container — callers keep the row (the
+    metadata columns are nullable) so undecodable media is visible, not
+    silently dropped.
+    """
+    import struct
+
+    if len(buf) >= 24 and buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", buf[16:24])
+        return (w, h, "png")
+    if len(buf) >= 4 and buf[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(buf):
+            if buf[i] != 0xFF:
+                break
+            marker = buf[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+                return (w, h, "jpeg")
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", buf[i + 2 : i + 4])
+            i += 2 + seg_len
+        return (None, None, "jpeg")  # JPEG container, no SOF found
+    if len(buf) >= 10 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", buf[6:10])
+        return (w, h, "gif")
+    return (None, None, None)
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -78,24 +139,33 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def image_features(df: DataFrame, id_col: str = "doc_id",
-                   payload_col: str = "payload") -> DataFrame:
+                   payload_col: str = "payload",
+                   decoder: str = "header") -> DataFrame:
     """Decode/feature-extract stage: binary -> typed metadata (mapInPandas).
 
     One Arrow batch in, one out; bytes stay partition-local (no shuffle in
     the plan — check with .explain: a single MapInPandas over the scan).
+
+    ``decoder="header"`` parses real PNG/JPEG/GIF headers
+    (decode_image_header — unrecognized bytes yield NULL width/height);
+    ``decoder="fake"`` is the byte-length-derived deterministic kernel the
+    DuckDB-oracle registry twin replays.
     """
+    kernels = {"header": decode_image_header, "fake": _fake_decode_image}
+    kernel = kernels[decoder]
     id_c, pay = id_col, payload_col
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode_image(b) for b in pdf[pay]]
+            feats = [kernel(bytes(b)) for b in pdf[pay]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_c].astype("int64"),
                     "byte_len": [len(b) for b in pdf[pay]],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "format": [f[2] for f in feats],
+                    # object dtype: Arrow maps None -> NULL int32/str
+                    "width": pd.Series([f[0] for f in feats], dtype="object"),
+                    "height": pd.Series([f[1] for f in feats], dtype="object"),
+                    "format": pd.Series([f[2] for f in feats], dtype="object"),
                 }
             )
 

@@ -220,6 +220,11 @@ def cms_counters(
     partition while exact per-value counting would shuffle every
     distinct value. Union two corpora's counter tables and re-sum:
     that IS the CMS merge (counters are linear).
+
+    Hash domains are fully separated: the preimage is
+    ``salt || '|' || row || '|' || value``, so no (salt, row) pair can
+    collide with another configuration's (e.g. salt='cms' row=11 vs
+    salt='cms1' row=1 — ambiguous without the first separator).
     """
     rows = F.explode(
         F.array(*[F.lit(r) for r in range(depth)])
@@ -230,6 +235,7 @@ def cms_counters(
                 F.md5(
                     F.concat(
                         F.lit(salt),
+                        F.lit("|"),
                         F.col("row").cast("string"),
                         F.lit("|"),
                         F.col("_v"),
@@ -283,6 +289,7 @@ def cms_estimate(
                 F.md5(
                     F.concat(
                         F.lit(salt),
+                        F.lit("|"),
                         F.col("row").cast("string"),
                         F.lit("|"),
                         F.col("_p"),
@@ -321,7 +328,13 @@ def fixed_histogram(
     """Fixed-range histogram sketch: (group..., bin, n) — the mergeable
     quantile/distribution state. bin = clamp(floor((v - lo) * bins /
     (hi - lo))) into [0, bins); out-of-range values clamp to the edge
-    bins, so the sketch never drops rows silently.
+    bins, so no NUMERIC value is dropped silently.
+
+    NULL policy: NULL values are EXCLUDED explicitly. (Without the
+    filter they would silently clamp into bin 0: floor(NULL) is NULL and
+    greatest()/least() skip NULL operands in both Spark and DuckDB, so
+    the lo-edge clamp would swallow them.) Callers needing a NULL count
+    should aggregate it separately — a NULL has no place on a value axis.
 
     Like the CMS/HLL states: at most ``bins`` rows per group regardless
     of input size (map-side partial aggregation), counts are linear
@@ -341,7 +354,8 @@ def fixed_histogram(
         F.lit(bins - 1).cast("long"),
     )
     return (
-        df.select(*g, b.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, b.alias("bin"))
         .groupBy(*g, "bin")
         .agg(F.count("*").cast("long").alias("n"))
     )

@@ -202,11 +202,30 @@ def dedup_stream(
 LAST_RUN_METRICS: dict[str, int] = {}
 
 
+#: Provider classes selectable via run_to_memory(state_store=...). The
+#: HDFS-backed default keeps every state row in executor heap — fine for
+#: bounded test drains, an OOM at production state sizes; RocksDB spills
+#: state to local disk with an in-heap block cache, the provider a
+#: 1000-executor deployment should run (same conf knob there:
+#: spark.sql.streaming.stateStore.providerClass).
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
 def run_to_memory(
     stream: DataFrame,
     query_name: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
+    state_store: str | None = None,
 ):
     """Drain a bounded stream (Trigger.AvailableNow) into an in-memory
     table for inspection/testing; blocks until exhausted. Returns the
@@ -221,11 +240,20 @@ def run_to_memory(
     The streaming checkpoint pins the count at first start, which is why
     it must be chosen per query volume, not inherited from the session —
     an unbounded production stream sizes it to sustained rate instead.
+
+    ``state_store`` selects the state-store backend for THIS query
+    ("hdfs" | "rocksdb", see STATE_STORE_PROVIDERS; None inherits the
+    session). Like the partition count, the provider is pinned into the
+    checkpoint at first start — choose it up front.
     """
     spark = stream.sparkSession
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_provider = spark.conf.get(provider_conf, None)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store is not None:
+        spark.conf.set(provider_conf, STATE_STORE_PROVIDERS[state_store])
     try:
         q = (
             stream.writeStream.format("memory")
@@ -238,6 +266,11 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+        if state_store is not None:
+            if old_provider is None:
+                spark.conf.unset(provider_conf)
+            else:
+                spark.conf.set(provider_conf, old_provider)
     LAST_RUN_METRICS.clear()
     LAST_RUN_METRICS.update(
         {

@@ -54,6 +54,17 @@ def merge_stream_into(
     """
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # The batch source lineage is consumed by up to three actions
+        # (duplicate-pk probe, the merge's join, the writer) — persist
+        # once so the stream source is read once per trigger, not re-
+        # computed per action.
+        batch.persist()
+        try:
+            _apply(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 

@@ -1,6 +1,7 @@
-"""Multimodal plumbing tests: batch shapes, schemas, cardinality behavior
-of the mapInPandas stages (decode kernels are deterministic fakes — see
-operators.multimodal docstring; the plumbing is what's under test)."""
+"""Multimodal tests: the REAL header-decode kernel (PNG/JPEG/GIF struct
+parsing over genuine bytes) plus batch shapes, schemas, and cardinality
+behavior of the mapInPandas stages (resize/frame kernels remain
+deterministic fakes — see operators.multimodal docstring)."""
 
 from __future__ import annotations
 
@@ -23,7 +24,10 @@ def test_payload_is_binary(docs):
 
 
 def test_image_features_deterministic(docs):
-    feats = {r.doc_id: r for r in MM.image_features(docs).collect()}
+    feats = {
+        r.doc_id: r
+        for r in MM.image_features(docs, decoder="fake").collect()
+    }
     assert len(feats) == 20
     r = feats[3]  # len = 10 + 111 = 121
     assert r.byte_len == 121
@@ -34,6 +38,91 @@ def test_image_features_deterministic(docs):
 def test_image_features_no_shuffle(docs):
     plan = MM.image_features(docs)._sc._jvm and MM.image_features(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # bytes never shuffle
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    """A complete, spec-valid 8-bit grayscale PNG built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(width: int, height: int) -> bytes:
+    """A JPEG prefix: SOI + APP0(JFIF) + DQT + SOF0 carrying the dims."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def test_image_features_decodes_real_headers(spark):
+    """The REAL kernel (default): actual dimensions from actual bytes —
+    a spec-valid PNG, a JPEG SOF0 stream, a GIF89a descriptor, and one
+    undecodable blob (NULL metadata, row kept) — through the same
+    mapInPandas contract as the oracle-checked fake."""
+    rows = [
+        (0, _png_bytes(320, 200)),
+        (1, _jpeg_bytes(1024, 768)),
+        (2, _gif_bytes(13, 7)),
+        (3, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in MM.image_features(df).collect()}
+    assert (out[0].width, out[0].height, out[0].format) == (320, 200, "png")
+    assert (out[1].width, out[1].height, out[1].format) == (1024, 768, "jpeg")
+    assert (out[2].width, out[2].height, out[2].format) == (13, 7, "gif")
+    assert (out[3].width, out[3].height, out[3].format) == (None, None, None)
+    assert out[3].byte_len == len(b"not an image at all")  # kept, not dropped
+
+
+def test_decode_image_header_pure():
+    """Kernel-level checks incl. JPEG segment-walk past variable-length
+    segments and progressive SOF2, plus truncation safety."""
+    import struct
+
+    assert MM.decode_image_header(_png_bytes(1, 1)) == (1, 1, "png")
+    # progressive JPEG: SOF2 marker instead of SOF0
+    prog = _jpeg_bytes(640, 480).replace(b"\xff\xc0", b"\xff\xc2")
+    assert MM.decode_image_header(prog) == (640, 480, "jpeg")
+    # dims land big-endian height-first — cross-check asymmetric sizes
+    assert MM.decode_image_header(_jpeg_bytes(2, 9)) == (2, 9, "jpeg")
+    assert MM.decode_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4) == (
+        None, None, None,
+    )  # truncated PNG: too short for IHDR
+    assert MM.decode_image_header(b"") == (None, None, None)
+    # GIF87a variant
+    g = b"GIF87a" + struct.pack("<HH", 99, 44) + b"\x00"
+    assert MM.decode_image_header(g) == (99, 44, "gif")
 
 
 def test_resize_truncates_payload(docs):

@@ -30,9 +30,22 @@ def test_registry_entry_runs_on_real_testdata(spark, name):
 
 
 def test_front_window_covers_unproven_families():
-    """The driver checks a prefix window of the registry (r2: first 50).
+    """The driver checks a prefix window of the registry (first 50).
     Pin that every _FRONT entry actually resolves and sits inside it."""
     names = list(REGISTRY)
     window = set(names[:50])
     missing = [n for n in Q._FRONT if n not in window]
     assert not missing, f"front entries outside driver window: {missing}"
+
+
+def test_must_verify_entries_inside_driver_window():
+    """Standing rule from VERDICT r3: any entry whose transitive
+    implementation changed since its last recorded driver row must sit
+    inside the correctness window. _MUST_VERIFY is that ledger; every
+    name on it must resolve and be in the first-50 prefix."""
+    names = list(REGISTRY)
+    window = set(names[:50])
+    unknown = [n for n in Q._MUST_VERIFY if n not in REGISTRY]
+    assert not unknown, f"_MUST_VERIFY names not in registry: {unknown}"
+    outside = [n for n in Q._MUST_VERIFY if n not in window]
+    assert not outside, f"changed-impl entries outside driver window: {outside}"

@@ -279,3 +279,55 @@ def test_merge_stream_into_upserts_and_replays_idempotently(spark, tmp_path):
     drain()
     got2 = {(r.pk, r.val) for r in spark.read.parquet(tgt_dir).collect()}
     assert got2 == got
+
+
+def test_sessionize_rocksdb_state_store_matches_hdfs(spark, event_dir):
+    """Same stateful query under both state-store backends (VERDICT r3
+    item 7): the HDFS-backed default holds state in executor heap; the
+    RocksDB provider is what a production deployment runs (state spills
+    to local disk, heap holds a block cache). Results must be backend-
+    independent, and the RocksDB drain must actually report its provider
+    in the query progress (proof it ran, not silently fell back)."""
+    stream = SE.stream_events(spark, event_dir)
+    q = SE.run_to_memory(
+        SE.sessionize_stream(stream, gap_sec=1800, watermark_delay="30 minutes"),
+        "sessions_rocksdb",
+        state_store="rocksdb",
+    )
+    # provider actually engaged for this query: RocksDB publishes its own
+    # customMetrics (rocksdbCommit*, rocksdbGet*, ...) in every progress
+    # event; the HDFS provider publishes none of them
+    rocks_metrics = {
+        k
+        for p in q.recentProgress
+        for o in p.get("stateOperators", [])
+        for k in (o.get("customMetrics") or {})
+        if k.startswith("rocksdb")
+    }
+    assert rocks_metrics, (
+        "no rocksdb* custom metrics in progress — provider did not engage"
+    )
+    got = {
+        (r.user_id, r.session_start_epoch): (r.session_end_epoch, r.n_events)
+        for r in spark.table("sessions_rocksdb").collect()
+    }
+    SE.run_to_memory(
+        SE.sessionize_stream(stream, gap_sec=1800, watermark_delay="30 minutes"),
+        "sessions_hdfs",
+        state_store="hdfs",
+    )
+    hdfs = {
+        (r.user_id, r.session_start_epoch): (r.session_end_epoch, r.n_events)
+        for r in spark.table("sessions_hdfs").collect()
+    }
+    assert got == hdfs and got, "state-store backends disagree"
+    # session conf restored (query-scoped override only)
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "unset",
+        )
+        == "unset"
+        or "RocksDB"
+        not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    )
