@@ -95,6 +95,11 @@ HEADLINE = [
     "market_share",
     "top_returners",
     "corpus_report",
+    # round-4 additions
+    "funnel_conversion",
+    "retention_cohorts",
+    "stats_route_date",
+    "lexical_rarity",
 ]
 
 STREAMING_QUERIES = {

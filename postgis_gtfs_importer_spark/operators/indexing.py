@@ -366,3 +366,58 @@ def bm25_topk(
         .orderBy(F.desc("score_e6"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def lexical_rarity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-rarity profile — a transcendental-free quality
+    signal: how COMMON is the average token a document uses?
+
+    mean_df_e6 = avg over token OCCURRENCES of df(token) / n_docs, as an
+    e6 fixed-point BIGINT. Boilerplate-heavy documents (every token in
+    most of the corpus) score near 1e6; jargon/noise-heavy documents
+    score near 0. The complement of an n-gram-LM perplexity filter that
+    needs no ln/pow (cross-engine float determinism: the only IEEE ops
+    are one multiply + one divide of exactly-shared integers — see
+    plans.queries.fixed_point).
+
+    One corpus pass: doc-distinct (id, tok) -> df per token (the
+    inverted-index key shape), joined back to token occurrences on the
+    token key. Shuffles are token-keyed with map-side partial counts;
+    no all-pairs, no collect.
+
+    Returns (doc_id, n_tokens, mean_df_e6).
+    """
+    from .dedup import token_rows
+
+    toks = token_rows(docs, id_col, text_col).select("id", "tok")
+    df_per_tok = (
+        toks.distinct().groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    )
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs")
+    )
+    per_doc = (
+        toks.join(df_per_tok, "tok")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.floor(
+                F.col("sum_df").cast("double")
+                * F.lit(1e6)
+                / (F.col("n_tokens") * F.col("n_docs")).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_df_e6"),
+        )
+    )

@@ -193,3 +193,21 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     # equal-length docs, saturating tf: doc 1 (tf=3) above doc 2 (tf=1)
     assert ids.index(1) < ids.index(2)
     assert all(r.score_e6 > 0 for r in out)
+
+
+def test_lexical_rarity_orders_boilerplate_above_jargon(spark):
+    from postgis_gtfs_importer_spark.operators.indexing import lexical_rarity
+
+    rows = [
+        (1, "the quick brown fox"),       # tokens shared with doc 2/3
+        (2, "the quick brown fox"),
+        (3, "the quick brown fox"),
+        (4, "zyzzyva qwerty flurble xyzzy"),  # corpus-unique jargon
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lexical_rarity(df).collect()}
+    assert out[1].n_tokens == 4
+    # boilerplate: every token in 3 of 4 docs -> mean df ratio = 3/4
+    assert out[1].mean_df_e6 == 750000
+    # jargon: every token unique -> 1/4
+    assert out[4].mean_df_e6 == 250000
