@@ -100,6 +100,8 @@ HEADLINE = [
     "retention_cohorts",
     "stats_route_date",
     "lexical_rarity",
+    "neardup_incremental",
+    "event_transitions",
 ]
 
 STREAMING_QUERIES = {

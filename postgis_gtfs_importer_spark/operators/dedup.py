@@ -704,3 +704,88 @@ def dedup_incremental(
         seen_fingerprints.select(fp_col), fp_col, "left_anti"
     )
     return survivors.drop(fp_col), survivors.select(fp_col)
+
+
+def neardup_incremental(
+    new_batch: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate dedup of a new ingestion batch against the corpus's
+    MINHASH SIGNATURE INDEX — the fuzzy twin of dedup_incremental.
+
+    The historical corpus is represented only by its signature index
+    (``(id, sz, sig array<long>)`` — num_hashes*8 bytes/doc, NOT the
+    text), so deduping batch N+1 against 100 TB of history touches
+    nothing but the index. Candidates come from an LSH band join (batch
+    bands vs index bands — batch-sized x band-bucket, never all-pairs);
+    verification is signature agreement (matching components /
+    num_hashes, the unbiased Jaccard estimator) because the index
+    carries no shingle sets to verify exactly — the standard
+    index-only trade, with estimator error ~1/sqrt(num_hashes).
+
+    Returns ``(matches, new_index_rows)``:
+      * matches — (batch_id, index_id, est_jaccard_e6 >= threshold);
+      * new_index_rows — signatures of batch docs with NO index match
+        (canonical batch survivors), to append for batch N+2.
+
+    Shuffles: signature build (batch-sized), band join (batch bands x
+    bucket), verify join on (batch_id, index_id) — all bounded by the
+    BATCH and its candidate fan-out, never by corpus size.
+    """
+    sigs = materialize(
+        minhash_signatures(new_batch, id_col, text_col, n, num_hashes, seed)
+    )
+    def banded(s: DataFrame) -> DataFrame:
+        return s.select(
+            "id", F.explode(lsh_band_keys(F.col("sig"), num_hashes, bands)).alias("bk")
+        ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        banded(sigs).alias("a")
+        .join(
+            banded(index_sigs).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("batch_id"), F.col("b.id").alias("index_id"))
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    matches = (
+        cand.join(
+            sigs.select(F.col("id").alias("batch_id"), F.col("sig").alias("sig_a")),
+            "batch_id",
+        )
+        .join(
+            index_sigs.select(
+                F.col("id").alias("index_id"), F.col("sig").alias("sig_b")
+            ),
+            "index_id",
+        )
+        .withColumn("n_agree", agree)
+        .withColumn(
+            "est_jaccard_e6",
+            F.floor(
+                F.col("n_agree").cast("double") * F.lit(1e6) / F.lit(float(num_hashes))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .filter(F.col("est_jaccard_e6") >= int(threshold * 1e6))
+        .select("batch_id", "index_id", "est_jaccard_e6")
+    )
+    survivors = sigs.join(
+        matches.select(F.col("batch_id").alias("id")).distinct(), "id", "left_anti"
+    )
+    return matches, survivors

@@ -382,16 +382,19 @@ def lexical_rarity(
     are one multiply + one divide of exactly-shared integers — see
     plans.queries.fixed_point).
 
-    One corpus pass: doc-distinct (id, tok) -> df per token (the
-    inverted-index key shape), joined back to token occurrences on the
-    token key. Shuffles are token-keyed with map-side partial counts;
-    no all-pairs, no collect.
+    One corpus tokenization (materialized — the occurrence rows feed
+    BOTH the df aggregate and the join-back, and recomputing the
+    tokenize+explode per consumer doubles the dominant cost; at
+    production scale this is the parquet staging barrier): doc-distinct
+    (id, tok) -> df per token (the inverted-index key shape), joined
+    back to token occurrences on the token key. Shuffles are token-keyed
+    with map-side partial counts; no all-pairs, no collect.
 
     Returns (doc_id, n_tokens, mean_df_e6).
     """
-    from .dedup import token_rows
+    from .dedup import materialize, token_rows
 
-    toks = token_rows(docs, id_col, text_col).select("id", "tok")
+    toks = materialize(token_rows(docs, id_col, text_col).select("id", "tok"))
     df_per_tok = (
         toks.distinct().groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     )

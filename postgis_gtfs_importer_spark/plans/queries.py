@@ -79,6 +79,8 @@ _FRONT: list[str] = [
     "retention_cohorts",
     "stats_route_date",
     "lexical_rarity",
+    "neardup_incremental",
+    "event_transitions",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "dedup_exact",
@@ -4378,3 +4380,128 @@ def lexical_rarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.indexing import lexical_rarity
 
     return lexical_rarity(spread(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix: count of consecutive
+    (prev event type → event type) steps per user stream — the Markov
+    summary behind next-action models and anomaly baselines. One lag
+    window partitioned on the user key (state never exceeds a user's
+    stream) + one hash aggregate on the tiny type-pair grid; ties inside
+    a second break on event_id so both engines see one deterministic
+    ordering."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _neardup_incremental_oracle_sql(
+    num_hashes: int, bands: int, threshold: float, seed: int
+) -> str:
+    """DuckDB replay of dedup.neardup_incremental on the doc_id%3 split:
+    same signatures/bands as _minhash_oracle_sql, batch-vs-index band
+    join, signature-agreement verification."""
+    params = DD.minhash_params(num_hashes, seed)
+    p = DD.MINHASH_PRIME
+    sig_cols = ",\n             ".join(
+        f"min(({a} * h + {b}) % {p}) AS s{j}" for j, (a, b) in enumerate(params)
+    )
+    rows = num_hashes // bands
+
+    def band_selects(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS key FROM {src}".format(
+                b=b,
+                src=src,
+                cols=", ".join(
+                    f"CAST(s{j} AS VARCHAR)" for j in range(b * rows, (b + 1) * rows)
+                ),
+            )
+            for b in range(bands)
+        )
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    est = (
+        f"CAST(floor(CAST({agree} AS DOUBLE) * 1e6 / {float(num_hashes)}"
+        " + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % {p} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {sig_cols}
+      FROM hashed GROUP BY doc_id
+    ),
+    batch AS (SELECT * FROM sig WHERE doc_id % 3 = 0),
+    idx AS (SELECT * FROM sig WHERE doc_id % 3 <> 0),
+    banded_b AS (
+      {band_selects("batch")}
+    ),
+    banded_i AS (
+      {band_selects("idx")}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id
+      FROM banded_b a JOIN banded_i b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+    )
+    SELECT c.batch_id, c.index_id, {est} AS est_jaccard_e6
+    FROM cand c
+    JOIN batch sa ON sa.doc_id = c.batch_id
+    JOIN idx sb ON sb.doc_id = c.index_id
+    WHERE {est} >= {int(threshold * 1e6)}
+    """
+
+
+@register(
+    "neardup_incremental",
+    _neardup_incremental_oracle_sql(num_hashes=32, bands=8, threshold=0.5, seed=42),
+)
+def neardup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: a new batch (doc_id%3==0) deduped against
+    the corpus's minhash signature INDEX (the other docs) — the fuzzy
+    twin of dedup_incremental (operators/dedup.py::neardup_incremental).
+    The corpus is touched only through its 256-byte/doc signature index;
+    candidates come from a batch-vs-index LSH band join; verification is
+    signature agreement. Every shuffle is batch-sized."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    index_docs = d.filter(F.col("doc_id") % 3 != 0)
+    index_sigs = DD.minhash_signatures(
+        index_docs, "doc_id", "text", n=3, num_hashes=32, seed=42
+    )
+    matches, _survivors = DD.neardup_incremental(
+        batch, index_sigs, "doc_id", "text",
+        n=3, num_hashes=32, bands=8, threshold=0.5, seed=42,
+    )
+    return matches

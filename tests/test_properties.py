@@ -283,3 +283,31 @@ def test_scd2_invariants_under_random_batches(spark, batches):
                 assert a.valid_to <= b.valid_from
         assert len(rows) >= prev_versions
         prev_versions = len(rows)
+
+
+def test_neardup_incremental_partitions_batch(spark):
+    """neardup_incremental invariants: (matches ∪ survivors) covers the
+    batch exactly; a batch doc identical to an index doc always matches
+    at est_jaccard 1e6; an all-novel doc always survives."""
+    corpus = [
+        (10, "the quick brown fox jumps over the lazy dog again today"),
+        (11, "completely different text about spark physical planning"),
+        (12, "a third document with its own unique shingle material here"),
+    ]
+    batch = [
+        (0, "the quick brown fox jumps over the lazy dog again today"),  # dup of 10
+        (3, "utterly novel content that shares nothing with the corpus x y z"),
+    ]
+    idx_docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    index_sigs = DD.minhash_signatures(idx_docs, "doc_id", "text")
+    matches, survivors = DD.neardup_incremental(
+        bdf, index_sigs, "doc_id", "text", threshold=0.5
+    )
+    m = {(r.batch_id, r.index_id): r.est_jaccard_e6 for r in matches.collect()}
+    surv = {r.id for r in survivors.select("id").collect()}
+    assert m[(0, 10)] == 1_000_000          # identical text -> all components agree
+    assert 0 not in surv and 3 in surv      # partition of the batch
+    assert surv | {b for b, _ in m} == {0, 3}
+    # survivors carry index-appendable signatures (same schema as the index)
+    assert set(survivors.columns) == set(index_sigs.columns)
