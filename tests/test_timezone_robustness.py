@@ -25,6 +25,10 @@ TS_SENSITIVE = [
     "range_join",
     "streaming_windowed_stats",
     "hist_quantiles",
+    # round-4 event-sequence family (unix_timestamp over the NTZ ts)
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_transitions",
 ]
 
 
