@@ -102,6 +102,8 @@ HEADLINE = [
     "lexical_rarity",
     "neardup_incremental",
     "event_transitions",
+    "bloom_membership",
+    "hopping_window_stats",
 ]
 
 STREAMING_QUERIES = {

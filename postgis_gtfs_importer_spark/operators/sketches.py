@@ -401,3 +401,108 @@ def histogram_quantile_bins(
         )
         .select(*g, "q_e3", "bin", F.col("cum").cast("long").alias("cum"), "total")
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter state as a DataFrame: the set bit positions.
+
+    The membership complement of the KMV/HLL/CMS family: ``k_hashes``
+    md5-derived positions per value (domain-separated like the CMS:
+    ``salt|row|value``), DISTINCT — at most ``m_bits`` rows regardless
+    of input size, shuffled with map-side partial distinct. Union two
+    corpora's bit tables and re-distinct: that IS the Bloom merge (bit
+    OR). Returns (bit BIGINT) rows.
+    """
+    rows = F.explode(F.array(*[F.lit(r) for r in range(k_hashes)])).alias("row")
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit("|"),
+                        F.col("row").cast("string"),
+                        F.lit("|"),
+                        F.col("_v"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    return (
+        df.select(F.col(value_col).cast("string").alias("_v"))
+        .select("_v", rows)
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probe: DataFrame,
+    probe_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Membership query against a Bloom bit table: present iff ALL k
+    positions are set. No false negatives ever; false-positive rate
+    ~(1 - e^{-kn/m})^k — with deterministic md5 positions the SAME
+    probes produce the SAME verdicts in every engine, which is what
+    makes an approximate structure exactly oracle-checkable.
+
+    The bit table is at most m_bits rows, so the probe join broadcasts;
+    the corpus is touched only to build the bits. Returns
+    (probe_col, n_hits, maybe_present BIGINT 0/1).
+    """
+    rows = F.explode(F.array(*[F.lit(r) for r in range(k_hashes)])).alias("row")
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit("|"),
+                        F.col("row").cast("string"),
+                        F.lit("|"),
+                        F.col("_p"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    probes = (
+        probe.select(F.col(probe_col).cast("string").alias("_p"))
+        .distinct()
+        .select("_p", rows)
+        .withColumn("bit", bit)
+    )
+    hit = F.when(F.col("bit_set").isNotNull(), 1).otherwise(0)
+    return (
+        probes.join(
+            F.broadcast(bits.withColumn("bit_set", F.lit(1))), ["bit"], "left"
+        )
+        .groupBy("_p")
+        .agg(F.sum(hit).cast("long").alias("n_hits"))
+        .select(
+            F.col("_p").alias(probe_col),
+            "n_hits",
+            (F.col("n_hits") == k_hashes).cast("long").alias("maybe_present"),
+        )
+    )

@@ -81,6 +81,8 @@ _FRONT: list[str] = [
     "lexical_rarity",
     "neardup_incremental",
     "event_transitions",
+    "bloom_membership",
+    "hopping_window_stats",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "dedup_exact",
@@ -4515,3 +4517,100 @@ def neardup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_hashes=32, bands=8, threshold=0.5, seed=42,
     )
     return matches
+
+
+@register(
+    "bloom_membership",
+    """
+    WITH vals AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('bloom' || '|' || r.r || '|' || v), 1, 15))
+                  AS BIGINT) % 8192 AS bit
+      FROM vals CROSS JOIN rows_ r
+    ),
+    probes AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS p FROM customer WHERE c_custkey <= 50
+      UNION ALL
+      SELECT CAST(c_custkey + 1000000000 AS VARCHAR)
+      FROM customer WHERE c_custkey <= 50
+    ),
+    pb AS (
+      SELECT p, r.r AS row,
+             CAST(('0x' || substr(md5('bloom' || '|' || r.r || '|' || p), 1, 15))
+                  AS BIGINT) % 8192 AS bit
+      FROM (SELECT DISTINCT p FROM probes) CROSS JOIN rows_ r
+    )
+    SELECT pb.p AS probe_key,
+           CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(CASE WHEN sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 4
+                     THEN 1 ELSE 0 END AS BIGINT) AS maybe_present
+    FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+    GROUP BY pb.p
+    """,
+)
+def bloom_membership_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketches.py::bloom_bits/
+    bloom_probe) — the membership complement of the KMV/HLL/CMS sketch
+    family: the customers-with-orders set compressed to <= 8192 bit
+    rows, probed with 50 present keys and 50 absent synthetics. No
+    false negatives by construction (the test suite pins it); md5 bit
+    positions make even the false positives deterministic, so the
+    approximate structure faces an EXACT oracle. The bit table
+    broadcasts; the corpus is touched once to set bits."""
+    from ..operators.sketches import bloom_bits, bloom_probe
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    bits = bloom_bits(o, "o_custkey", m_bits=8192, k_hashes=4, salt="bloom")
+    present = c.filter(F.col("c_custkey") <= 50).select(
+        F.col("c_custkey").cast("string").alias("probe_key")
+    )
+    absent = c.filter(F.col("c_custkey") <= 50).select(
+        (F.col("c_custkey") + 1000000000).cast("string").alias("probe_key")
+    )
+    return bloom_probe(
+        bits, present.unionByName(absent), "probe_key",
+        m_bits=8192, k_hashes=4, salt="bloom",
+    )
+
+
+@register(
+    "hopping_window_stats",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+    ),
+    hops AS (
+      SELECT event_type,
+             unnest(generate_series((t - 3600) // 1800 + 1, t // 1800))
+               AS hop
+      FROM e
+    )
+    SELECT hop * 1800 AS window_start_epoch, event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM hops GROUP BY 1, 2
+    """,
+)
+def hopping_window_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows every 30
+    minutes — ``F.window(ts, '1 hour', '30 minutes')``, each event
+    landing in exactly 2 windows. The batch twin of the streaming
+    tumbling stats, exercising Spark's overlapping-window Expand; the
+    oracle derives the same hop ids arithmetically (epoch-aligned, as
+    Spark aligns slides to the epoch)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -176,3 +176,35 @@ def test_fixed_histogram_clamps_out_of_range(spark):
     assert h[0] == 2   # -5 clamped into bin 0 alongside 0.0
     assert h[9] == 2   # 99 in last bin; 250 clamped into it
     assert sum(h.values()) == 4  # nothing dropped
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom invariants: every inserted value probes present (zero false
+    negatives — the structural guarantee); union+distinct of two shards'
+    bit tables IS the merged filter (bit-OR linearity); false-positive
+    rate at the design point stays near the textbook bound."""
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    a = spark.range(0, 500).select(F.col("id").alias("v"))
+    b = spark.range(500, 1000).select(F.col("id").alias("v"))
+    bits_a = bloom_bits(a, "v", m_bits=8192, k_hashes=4)
+    bits_b = bloom_bits(b, "v", m_bits=8192, k_hashes=4)
+    merged = bits_a.unionByName(bits_b).distinct()
+    direct = bloom_bits(a.unionByName(b), "v", m_bits=8192, k_hashes=4)
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in direct.collect()
+    )
+
+    inserted = spark.range(0, 1000).select(F.col("id").alias("p"))
+    hits = bloom_probe(merged, inserted, "p", m_bits=8192, k_hashes=4)
+    assert hits.filter(F.col("maybe_present") == 0).count() == 0  # no FN
+
+    absent = spark.range(1_000_000, 1_002_000).select(F.col("id").alias("p"))
+    fp = bloom_probe(merged, absent, "p", m_bits=8192, k_hashes=4).filter(
+        F.col("maybe_present") == 1
+    ).count()
+    # n=1000, m=8192, k=4 -> fp ~ (1 - e^{-kn/m})^4 ~ 2.2%; allow 3x slack
+    assert fp <= 0.07 * 2000, f"false-positive rate implausibly high: {fp}/2000"

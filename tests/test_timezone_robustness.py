@@ -29,6 +29,7 @@ TS_SENSITIVE = [
     "funnel_conversion",
     "retention_cohorts",
     "event_transitions",
+    "hopping_window_stats",  # window() over the cast NTZ->timestamp
 ]
 
 
