@@ -62,3 +62,37 @@ def test_plan_has_no_scale_killers(spark, name):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in the plan"
     )
+
+
+def _file_scans(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [l for l in plan.splitlines() if "FileScan parquet" in l]
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    """Representative scans must show Catalyst doing its two free-at-scale
+    jobs: predicate pushdown into the parquet reader and column pruning
+    (ReadSchema = referenced columns only). A 100 TB scan that reads the
+    text column to count rows, or re-filters post-scan what the reader
+    could skip, is the regression this pins."""
+    reg = Q.queries()
+
+    # pricing_summary: the shipdate predicate reaches PushedFilters and
+    # the wide lineitem table is pruned to the 7 referenced columns
+    scans = _file_scans(reg["pricing_summary"](spark, SF_DIR))
+    li = [s for s in scans if "lineitem" in s]
+    assert li and "LessThanOrEqual(l_shipdate" in li[0], li
+    assert "l_comment" not in li[0] and "l_orderkey" not in li[0]
+
+    # corpus_report aggregates metadata — the payload column must NOT be
+    # read (the difference between scanning 3 columns and 100 TB of text)
+    scans = _file_scans(reg["corpus_report"](spark, SF_DIR))
+    doc = [s for s in scans if "documents" in s]
+    assert doc and "text" not in doc[0].split("Location")[0], doc
+
+    # retention_cohorts: events pruned to (ts, user_id) — no props/value
+    scans = _file_scans(reg["retention_cohorts"](spark, SF_DIR))
+    ev = [s for s in scans if "events" in s]
+    assert ev, "no events scan found"
+    head = ev[0].split("Location")[0]
+    assert "props" not in head and "value" not in head, ev[0]
