@@ -83,6 +83,8 @@ _FRONT: list[str] = [
     "event_transitions",
     "bloom_membership",
     "hopping_window_stats",
+    "min_cost_supplier",
+    "excess_shippers",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "dedup_exact",
@@ -114,8 +116,8 @@ _FRONT: list[str] = [
     "retention_topk",
     "gc_candidates",
     "minimize_stoptimes",
-    "departures_at_station",
-    "corpus_curation",
+    # departures_at_station / corpus_curation rotated out (r1/r2-green,
+    # impl unchanged) to keep the 21 new/changed r4 entries in-window
 ]
 
 
@@ -4614,3 +4616,70 @@ def hopping_window_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_MIN_COST_SUPPLIER_SQL = """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(floor(l_extendedprice * 100.0 / l_quantity + 0.5)
+                      AS BIGINT)) AS unit_cost_e2
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, s.s_name, n.n_name, o.unit_cost_e2
+    FROM part p
+    JOIN offers o ON o.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 15
+      AND o.unit_cost_e2 = (
+        SELECT min(o2.unit_cost_e2) FROM offers o2
+        WHERE o2.l_partkey = p.p_partkey
+      )
+"""
+
+
+@register("min_cost_supplier", _MIN_COST_SUPPLIER_SQL)
+def min_cost_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q2 shape through the engine's OWN SQL surface: a
+    correlated scalar MIN subquery over a CTE that the outer query also
+    joins — Catalyst must decorrelate the per-part minimum into an
+    aggregate + join and dedup the CTE scan. Identical ANSI text is the
+    DuckDB oracle. Unit cost is per-row fixed-point BEFORE the min, so
+    the aggregate is order-independent in both engines (min of exact
+    BIGINTs — no float-accumulation nondeterminism)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MIN_COST_SUPPLIER_SQL)
+
+
+_EXCESS_SHIPPERS_SQL = """
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+      )
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > (
+        SELECT 0.02 * sum(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    )
+"""
+
+
+@register("excess_shippers", _EXCESS_SHIPPERS_SQL)
+def excess_shippers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q20 shape via ``spark.sql``: IN-subquery containing a
+    GROUP BY whose HAVING carries a CORRELATED scalar aggregate over a
+    second scan of the same fact — the deepest decorrelation stress in
+    the SQL-surface family (nested IN + correlated agg under HAVING).
+    Identical text runs on DuckDB. l_quantity values are integral, so
+    the double sums are exact and order-independent; the 0.02 threshold
+    multiply is one shared IEEE op."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXCESS_SHIPPERS_SQL)

@@ -141,7 +141,11 @@ def test_bench_line_budget():
 
     import bench
 
-    worst = {name: 999.9 for name in bench.HEADLINE}
+    worst = {
+        name: 999.9
+        for name in bench.HEADLINE
+        if name not in bench.STDOUT_OMIT
+    }
     line = json.dumps(
         {
             "metric": "headline_query_suite_total",
