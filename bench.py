@@ -106,6 +106,8 @@ HEADLINE = [
     "hopping_window_stats",
     "min_cost_supplier",
     "excess_shippers",
+    "fuzzy_title_pairs",
+    "trend_by_type",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but

@@ -85,6 +85,8 @@ _FRONT: list[str] = [
     "hopping_window_stats",
     "min_cost_supplier",
     "excess_shippers",
+    "fuzzy_title_pairs",
+    "trend_by_type",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "dedup_exact",
@@ -112,12 +114,12 @@ _FRONT: list[str] = [
     "lang_normalized",
     "digest_mint",
     "composite_digest",
-    "reconcile_imports",
     "retention_topk",
-    "gc_candidates",
     "minimize_stoptimes",
-    # departures_at_station / corpus_curation rotated out (r1/r2-green,
-    # impl unchanged) to keep the 21 new/changed r4 entries in-window
+    # departures_at_station / corpus_curation / reconcile_imports /
+    # gc_candidates rotated out (r1/r2-green, impl unchanged, pytest-
+    # covered publish family) to keep all 23 new/changed r4 entries
+    # in-window
 ]
 
 
@@ -4683,3 +4685,122 @@ def excess_shippers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EXCESS_SHIPPERS_SQL)
+
+
+@register(
+    "fuzzy_title_pairs",
+    """
+    WITH titles AS (
+      SELECT doc_id, substr(text, 1, 40) AS title,
+             split_part(trim(substr(text, 1, 40)), ' ', 1) AS blk
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.title AS t_a, b.title AS t_b
+      FROM titles a JOIN titles b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(t_a, t_b) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(t_a, t_b) <= 12
+    """,
+)
+def fuzzy_title_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching at scale: blocked edit-distance join over
+    the documents' 40-char title prefixes. The quadratic levenshtein
+    verify runs ONLY inside first-token blocks (the classic
+    blocking-key design — swap in q-gram or phonetic keys without
+    touching the verify); the block join is an equi-join, never
+    all-pairs. Both engines implement the same classic DP levenshtein,
+    so the distance is an exact shared integer."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    titles = d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("title"),
+        F.split(F.trim(F.substring("text", 1, 40)), " ")[0].alias("blk"),
+    )
+    a, b = titles.alias("a"), titles.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )
+
+
+@register(
+    "trend_by_type",
+    """
+    WITH base AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT)
+              - (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) FROM events))
+               // 60 AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y_e2
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y_e2) AS BIGINT) AS sy,
+             CAST(sum(x * y_e2) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(floor(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 1e6 + 0.5) AS BIGINT) AS slope_e6
+    FROM s
+    """,
+)
+def trend_by_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise linear trend (least-squares slope of value over time)
+    with EXACT sufficient statistics: x is minutes since the corpus
+    epoch (bounded so x*x and x*y sums stay in BIGINT at 100x the
+    bench scale), y is e2 fixed-point; the five sums are exact integers
+    — order-independent, mergeable across shards (they're linear) —
+    and the slope is one identical double chain both engines evaluate
+    on identical inputs. The closed-form-regression pattern that needs
+    no MLlib and survives any partitioning."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ep = F.unix_timestamp(F.col("ts"))
+    tmin = ev.agg(F.min(ep).cast("long").alias("t0"))
+    base = ev.crossJoin(F.broadcast(tmin)).select(
+        "event_type",
+        F.floor((ep - F.col("t0")) / F.lit(60)).cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y_e2"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y_e2").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y_e2")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.floor(num / den * F.lit(1e6) + F.lit(0.5)).cast("long").alias("slope_e6"),
+    )

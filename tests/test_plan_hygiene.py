@@ -37,6 +37,7 @@ BNLJ_OK = {
                              # exist to beat)
     "ann_ivf_topk",          # probe-cell ids x queries (both tiny)
     "translations_feedwide", # feed_info default-lang row (1 row) x tables
+    "trend_by_type",         # corpus-epoch scalar (1 row) x events
 }
 
 STREAMING = {

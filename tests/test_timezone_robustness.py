@@ -30,6 +30,7 @@ TS_SENSITIVE = [
     "retention_cohorts",
     "event_transitions",
     "hopping_window_stats",  # window() over the cast NTZ->timestamp
+    "trend_by_type",         # epoch-anchored regression x axis
 ]
 
 
