@@ -108,6 +108,19 @@ HEADLINE = [
     "excess_shippers",
     "fuzzy_title_pairs",
     "trend_by_type",
+    # TPC-H-22 completion
+    "shipping_priority",
+    "revenue_forecast",
+    "product_type_profit",
+    "important_parts",
+    "priority_shipment_buckets",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier",
+    "supplier_part_counts",
+    "bulk_customers",
+    "disjunctive_revenue",
+    "dormant_customers",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -122,6 +135,18 @@ STDOUT_OMIT = {
     "negative_samples",
     "stats_by_type_day",
     "retention_topk",
+    # TPC-H-22 completions: sub-second SQL-surface shapes; timings live
+    # in BENCH_DETAIL.json (stdout carries the two heaviest as proxies)
+    "shipping_priority",
+    "product_type_profit",
+    "important_parts",
+    "priority_shipment_buckets",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier",
+    "supplier_part_counts",
+    "disjunctive_revenue",
+    "dormant_customers",
 }
 
 STREAMING_QUERIES = {

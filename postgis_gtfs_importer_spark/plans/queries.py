@@ -87,39 +87,44 @@ _FRONT: list[str] = [
     "excess_shippers",
     "fuzzy_title_pairs",
     "trend_by_type",
+    # TPC-H-22 completion (this round) — no driver row yet
+    "shipping_priority",
+    "revenue_forecast",
+    "product_type_profit",
+    "important_parts",
+    "priority_shipment_buckets",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier",
+    "supplier_part_counts",
+    "bulk_customers",
+    "disjunctive_revenue",
+    "dormant_customers",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "dedup_exact",
-    "doc_fingerprint",
-    "rolling_fingerprint",
     "embedding_cosine_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_topk",
     "semantic_dedup",
-    "text_quality",
-    "lang_id",
     "sessionize",
     "multimodal_features",
     "frame_sample_stats",
-    "hash_split",
-    "stratified_sample",
-    "repetition_profile",
     "pii_redaction",
     "arrivals_departures_abs",
     "stats_agency_route_stop_hour",
     "active_trips_by_hour",
     "translations_applied",
     "translations_feedwide",
-    "lang_normalized",
-    "digest_mint",
-    "composite_digest",
-    "retention_topk",
-    "minimize_stoptimes",
     # departures_at_station / corpus_curation / reconcile_imports /
-    # gc_candidates rotated out (r1/r2-green, impl unchanged, pytest-
-    # covered publish family) to keep all 23 new/changed r4 entries
-    # in-window
+    # gc_candidates / lang_normalized / digest_mint / composite_digest /
+    # retention_topk / minimize_stoptimes / doc_fingerprint /
+    # rolling_fingerprint / text_quality / lang_id / hash_split /
+    # stratified_sample / repetition_profile rotated out (r1/r2-green,
+    # impl unchanged, pytest-covered) to keep every new/changed r4
+    # entry — including the 12 TPC-H-22 completions — inside the
+    # 50-entry driver window
 ]
 
 
@@ -4804,3 +4809,402 @@ def trend_by_type_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(num / den * F.lit(1e6) + F.lit(0.5)).cast("long").alias("slope_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Completing the TPC-H-22 surface through the engine's SQL interface.
+#
+# With these twelve shapes every TPC-H query pattern runs through the
+# engine (Q1 pricing_summary, Q2 min_cost_supplier, Q4 waiting_suppliers,
+# Q5 revenue_by_nation, Q7 trading_nations, Q8 market_share, Q10
+# top_returners, Q17 small_quantity_revenue, Q20 excess_shippers, Q21
+# late_orders were already registered). The testdata schema has no
+# partsupp table and narrower attribute sets than stock TPC-H, so the
+# shapes are adapted to the available columns — what is preserved is the
+# PLAN STRUCTURE each query exists to stress (disjunctive join predicates,
+# outer-join aggregation, scalar subqueries over CTEs, NOT IN anti-joins,
+# distribution-of-counts double aggregation). Identical ANSI text runs on
+# Spark (register_views + spark.sql) and on DuckDB as the oracle, and all
+# money sums are per-row e2 fixed-point so aggregates are exact integers,
+# order-independent on both engines.
+# ---------------------------------------------------------------------------
+
+_SHIPPING_PRIORITY_SQL = """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
+           o.o_orderpriority AS priority,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e2 DESC, orderkey ASC
+    LIMIT 10
+"""
+
+
+@register("shipping_priority", _SHIPPING_PRIORITY_SQL)
+def shipping_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q3 shape: unshipped-order revenue for one market
+    segment, top 10. The segment filter reaches the customer scan and
+    the two date filters reach orders/lineitem BEFORE either join (both
+    dimension joins broadcast at scale; lineitem shuffles once for the
+    per-order aggregate), then TakeOrderedAndProject caps the result —
+    no global sort materializes. revenue is per-row e2 fixed-point so
+    the sum and the ORDER BY key are exact on both engines."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHIPPING_PRIORITY_SQL)
+
+
+_REVENUE_FORECAST_SQL = """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_e2,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("revenue_forecast", _REVENUE_FORECAST_SQL)
+def revenue_forecast_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q6 shape: a single-table scan-filter-aggregate with
+    range predicates on three independent columns — the purest
+    predicate-pushdown / whole-stage-codegen benchmark in the suite.
+    All three filters reach the parquet scan (PushedFilters), nothing
+    joins, and the answer is one exact fixed-point BIGINT. The discount
+    bounds are double literals that parse to identical IEEE values in
+    both engines, so the BETWEEN keeps identical rows."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_FORECAST_SQL)
+
+
+_PRODUCT_TYPE_PROFIT_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS profit_e2
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+
+
+@register("product_type_profit", _PRODUCT_TYPE_PROFIT_SQL)
+def product_type_profit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q9 shape (sans partsupp, absent from the testdata
+    schema): profit by supplier-nation and order-year for parts whose
+    name matches a substring. The LIKE filter prunes part before the
+    join; part/supplier/orders/nation all broadcast at bench scale, so
+    lineitem is the only shuffled relation and only for the final
+    aggregate — the shape Q9 exists to test (a big fact against a
+    filtered dimension snowflake)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PRODUCT_TYPE_PROFIT_SQL)
+
+
+_IMPORTANT_PARTS_SQL = """
+    WITH value_by_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS value_e2
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, value_e2
+    FROM value_by_part
+    WHERE value_e2 > (
+      SELECT 1.5 * CAST(sum(value_e2) AS DOUBLE) / count(*)
+      FROM value_by_part
+    )
+"""
+
+
+@register("important_parts", _IMPORTANT_PARTS_SQL)
+def important_parts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q11 shape (lineitem value standing in for partsupp,
+    absent here): per-part value filtered against a FRACTION OF THE
+    GLOBAL TOTAL — an uncorrelated scalar subquery over the same CTE
+    the outer query scans. Catalyst evaluates the total once (subquery
+    reuse) and broadcasts the scalar into the filter; the CTE itself
+    aggregates in one shuffle. Per-part sums are exact e2 BIGINTs; the
+    1.5x-average threshold (scale-stable, unlike stock Q11's fixed
+    fraction, and non-empty at every testdata SF) is computed with the
+    same IEEE op chain on exact integers in both engines, so the
+    comparison is identical."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_IMPORTANT_PARTS_SQL)
+
+
+_PRIORITY_SHIPMENT_BUCKETS_SQL = """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+"""
+
+
+@register("priority_shipment_buckets", _PRIORITY_SHIPMENT_BUCKETS_SQL)
+def priority_shipment_buckets_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TPC-H Q12 shape (l_returnflag standing in for the absent
+    l_shipmode): orders joined to date-filtered lineitem with TWO
+    conditional counts per group — the canonical pivot-by-CASE
+    aggregation. One fact shuffle; the date range reaches the lineitem
+    scan; integer CASE sums are exact everywhere."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PRIORITY_SHIPMENT_BUCKETS_SQL)
+
+
+_CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+    WITH per_customer AS (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_customer
+    GROUP BY c_count
+"""
+
+
+@register("customer_order_distribution", _CUSTOMER_ORDER_DISTRIBUTION_SQL)
+def customer_order_distribution_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TPC-H Q13 shape: distribution of per-customer order counts
+    via LEFT OUTER JOIN with an extra predicate IN THE JOIN CONDITION
+    (not the WHERE — moving it would silently drop zero-order
+    customers) followed by a second aggregation over the first's
+    output. count(o.o_orderkey) counts only matched rows, so customers
+    whose every order is filtered land in the c_count=0 bucket — the
+    exact outer-join subtlety Q13 exists to catch."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CUSTOMER_ORDER_DISTRIBUTION_SQL)
+
+
+_PROMO_REVENUE_SHARE_SQL = """
+    SELECT CAST(floor(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(floor(l.l_extendedprice
+                                              * (1 - l.l_discount) * 100
+                                              + 0.5) AS BIGINT)
+                              ELSE 0 END)
+             / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                              + 0.5) AS BIGINT))
+             * 10000 + 0.5) AS BIGINT) AS promo_share_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("promo_revenue_share", _PROMO_REVENUE_SHARE_SQL)
+def promo_revenue_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q14 shape: promotion revenue share for one ship-month
+    — conditional sum over total sum in a single aggregate (one fact
+    pass, part broadcast). Both sums are exact e2 integers; the final
+    percentage is one identical double divide, pinned to e4 fixed
+    point."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PROMO_REVENUE_SHARE_SQL)
+
+
+_TOP_SUPPLIER_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_revenue_e2
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS s_name, r.total_revenue_e2
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_e2 = (SELECT max(total_revenue_e2) FROM revenue)
+"""
+
+
+@register("top_supplier", _TOP_SUPPLIER_SQL)
+def top_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q15 shape: quarterly revenue per supplier (a CTE the
+    query consumes TWICE — once joined, once under max()) with an
+    equality filter against the uncorrelated scalar maximum. Returns
+    every tied supplier, like the reference query; ties are exact
+    because revenue is an e2 BIGINT, so there is no float-equality
+    hazard in the = comparison on either engine."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+_SUPPLIER_PART_COUNTS_SQL = """
+    SELECT p.p_brand AS brand, p.p_type AS ptype,
+           CAST(p.p_size AS BIGINT) AS psize,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 500
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("supplier_part_counts", _SUPPLIER_PART_COUNTS_SQL)
+def supplier_part_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q16 shape (lineitem's (partkey, suppkey) pairs stand in
+    for the absent partsupp): distinct-supplier counts per part facet
+    with an inequality filter, an IN-list on p_size, and a NOT IN
+    anti-join against a filtered supplier subquery (null-safe here:
+    s_suppkey is non-null, so NOT IN is a plain anti-join, the plan Q16
+    exists to exercise). count(DISTINCT) forces the two-phase
+    distinct-then-count aggregate."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SUPPLIER_PART_COUNTS_SQL)
+
+
+_BULK_CUSTOMERS_SQL = """
+    SELECT c.c_custkey AS custkey, c.c_name AS c_name,
+           o.o_orderkey AS orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             AS totalprice_e2,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY total_qty DESC, orderkey ASC
+    LIMIT 100
+"""
+
+
+@register("bulk_customers", _BULK_CUSTOMERS_SQL)
+def bulk_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q18 shape: customers whose orders exceed a bulk
+    quantity threshold — an IN-subquery that is ITSELF a grouped
+    aggregate over the same fact the outer query re-joins (Catalyst
+    plans it as a semi-join against the aggregated lineitem, reusing
+    the shuffle), then a top-100 with an exact integer sort key.
+    Quantities are integral doubles, so their sums cast to BIGINT
+    losslessly on both engines."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_BULK_CUSTOMERS_SQL)
+
+
+_DISJUNCTIVE_REVENUE_SQL = """
+    SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("disjunctive_revenue", _DISJUNCTIVE_REVENUE_SQL)
+def disjunctive_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q19 shape: an OR-of-ANDs predicate mixing columns from
+    BOTH join sides — the optimizer stress is extracting the common
+    equi-join key (p_partkey = l_partkey) from under the disjunction so
+    the join stays hash-based, while the per-branch brand/size/quantity
+    conjuncts are partially pushed to each scan (brand+size branches to
+    part, quantity unions to lineitem). The identical-text oracle
+    guards the row set either way."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DISJUNCTIVE_REVENUE_SQL)
+
+
+_DORMANT_CUSTOMERS_SQL = """
+    WITH eligible AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_e2
+      FROM customer c
+      WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) > (
+          SELECT CAST(sum(CAST(floor(c2.c_acctbal * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        )
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(acctbal_e2) AS BIGINT) AS totacctbal_e2
+    FROM eligible
+    GROUP BY c_mktsegment
+"""
+
+
+@register("dormant_customers", _DORMANT_CUSTOMERS_SQL)
+def dormant_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q22 shape (market segment standing in for the absent
+    phone country code): above-average-balance customers with NO recent
+    orders — an uncorrelated scalar AVERAGE subquery plus a correlated
+    NOT EXISTS anti-join, then an aggregate over the survivors. The
+    average is computed as exact-integer sum / exact count (ONE shared
+    IEEE divide) rather than avg() so no accumulation-order difference
+    can flip a boundary customer between engines. Every testdata
+    customer has old orders, so the anti-join condition carries the
+    date filter — the recent-orders side stays small and broadcastable
+    at scale."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DORMANT_CUSTOMERS_SQL)
