@@ -121,6 +121,7 @@ HEADLINE = [
     "bulk_customers",
     "disjunctive_revenue",
     "dormant_customers",
+    "bigram_lm_scores",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but

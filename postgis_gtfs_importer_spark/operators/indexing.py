@@ -424,3 +424,89 @@ def lexical_rarity(
             .alias("mean_df_e6"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document fluency score under a bigram language model trained
+    on the corpus itself — the KenLM-style perplexity filter of an LLM
+    data pipeline, restated transcendental-free so a DuckDB oracle can
+    check it bit-for-bit.
+
+    Model: maximum-likelihood conditional bigram probability
+    ``p(w2 | w1) = c(w1 w2) / c1(w1)`` where ``c1`` counts w1's
+    occurrences AS A BIGRAM HEAD (so the distribution sums to exactly 1
+    over w2 — doc-final tokens don't inflate the denominator). Instead
+    of mean log-prob (cross-engine ``ln`` is not bit-stable at fixed-
+    point boundaries), each bigram contributes its conditional
+    probability e6 fixed-point — ``floor(c12 * 1e6 / c1 + 0.5)``, one
+    IEEE multiply + divide of exactly-shared integers — and the document
+    score is the exact-integer mean of those. Fluent/templated text
+    (predictable continuations) scores high; incoherent or shuffled text
+    scores near 0. Monotonicity against a true LM: per-bigram fixed-
+    point is order-preserving in p, and the mean is the arithmetic
+    rather than geometric one — a deliberate trade for exactness (the
+    RANKING of clearly-fluent vs clearly-degenerate documents is
+    preserved; use it as a gate, not a calibrated perplexity).
+
+    Plan shape: adjacent pairs are built MAP-SIDE from each document's
+    token array (same Generate as pmi_bigrams — no corpus-token shuffle
+    just to see a neighbor). Occurrences are pre-aggregated to
+    (doc, w1, w2, m) BEFORE joining counts, so the count join's probe
+    side is doc-distinct-bigram-sized, not corpus-sized. The model
+    relations (c12, c1) are vocab-sized aggregates with map-side
+    partials; the probe join shuffles on the bigram key (skew-free:
+    no single bigram dominates a corpus the way a hot shingle can —
+    and AQE skew-split covers pathological corpora). Final per-doc
+    aggregate is one id-keyed shuffle. No collect, no all-pairs, no
+    python UDF.
+
+    Returns (doc_id, n_bigrams, mean_cond_e6) — one row per document
+    that has at least one bigram.
+    """
+    toks_arr = F.filter(
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
+        ),
+        lambda x: x != F.lit(""),
+    )
+    pairs = F.expr(
+        "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        " (x, i) -> struct(x AS tok, _t[i + 1] AS tok2))"
+    )
+    occ = (
+        df.select(F.col(id_col).alias("id"), toks_arr.alias("_t"))
+        .select("id", F.explode(pairs).alias("_p"))
+        .select("id", "_p.tok", "_p.tok2")
+        .groupBy("id", "tok", "tok2")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    c12 = occ.groupBy("tok", "tok2").agg(F.sum("m").cast("long").alias("c12"))
+    c1 = c12.groupBy("tok").agg(F.sum("c12").cast("long").alias("c1"))
+    scored = c12.join(c1, "tok").select(
+        "tok",
+        "tok2",
+        F.floor(
+            F.col("c12").cast("double") * F.lit(1e6) / F.col("c1") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p_e6"),
+    )
+    per_doc = (
+        occ.join(scored, ["tok", "tok2"])
+        .groupBy("id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("p_e6")).cast("long").alias("sum_e6"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        F.floor(
+            F.col("sum_e6").cast("double") / F.col("n_bigrams") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_cond_e6"),
+    )

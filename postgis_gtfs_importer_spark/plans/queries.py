@@ -100,6 +100,8 @@ _FRONT: list[str] = [
     "bulk_customers",
     "disjunctive_revenue",
     "dormant_customers",
+    # late round-4 operator additions — no driver row yet
+    "bigram_lm_scores",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "dedup_exact",
@@ -5208,3 +5210,65 @@ def dormant_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_DORMANT_CUSTOMERS_SQL)
+
+
+@register(
+    "bigram_lm_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, pos, tok
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(t, 1) - 1 AS pos,
+               unnest(list_transform(t, x -> lower(x))) AS tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    occ AS (
+      SELECT a.doc_id, a.tok, b.tok AS tok2,
+             CAST(count(*) AS BIGINT) AS m
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id, a.tok, b.tok
+    ),
+    c12 AS (
+      SELECT tok, tok2, CAST(sum(m) AS BIGINT) AS c12
+      FROM occ GROUP BY tok, tok2
+    ),
+    c1 AS (
+      SELECT tok, CAST(sum(c12) AS BIGINT) AS c1
+      FROM c12 GROUP BY tok
+    ),
+    scored AS (
+      SELECT c12.tok, c12.tok2,
+             CAST(floor(CAST(c12.c12 AS DOUBLE) * 1e6 / c1.c1 + 0.5)
+                  AS BIGINT) AS p_e6
+      FROM c12 JOIN c1 ON c1.tok = c12.tok
+    ),
+    per_doc AS (
+      SELECT occ.doc_id,
+             CAST(sum(occ.m) AS BIGINT) AS n_bigrams,
+             CAST(sum(occ.m * scored.p_e6) AS BIGINT) AS sum_e6
+      FROM occ JOIN scored
+        ON scored.tok = occ.tok AND scored.tok2 = occ.tok2
+      GROUP BY occ.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(floor(CAST(sum_e6 AS DOUBLE) / n_bigrams + 0.5) AS BIGINT)
+             AS mean_cond_e6
+    FROM per_doc
+    """,
+)
+def bigram_lm_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency scoring per document — the
+    perplexity-filter stage of an LLM data pipeline, restated in exact
+    fixed-point so the DuckDB twin checks it bit-for-bit (see
+    operators/indexing.py::bigram_lm_scores for the model, the
+    log-free determinism argument, and the map-side-pairs plan
+    shape)."""
+    from ..operators.indexing import bigram_lm_scores
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return bigram_lm_scores(d, id_col="doc_id", text_col="text")

@@ -211,3 +211,40 @@ def test_lexical_rarity_orders_boilerplate_above_jargon(spark):
     assert out[1].mean_df_e6 == 750000
     # jargon: every token unique -> 1/4
     assert out[4].mean_df_e6 == 250000
+
+
+def test_bigram_lm_scores_fluent_above_degenerate(spark):
+    from postgis_gtfs_importer_spark.operators.indexing import (
+        bigram_lm_scores,
+    )
+
+    rows = [
+        # three docs repeating the same continuation: "a b" dominates
+        (1, "a b a b a b"),
+        (2, "a b a b"),
+        # degenerate doc: "a" continues to corpus-rare tokens
+        (3, "a x a y a z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert out[1].n_bigrams == 5 and out[2].n_bigrams == 3
+    # fluent docs outscore the one with unpredictable continuations
+    assert out[1].mean_cond_e6 > out[3].mean_cond_e6
+    # conditional distribution: p(.|a) sums to 1 -> a doc consisting of
+    # ALL of a's continuations weighted by count has mean p(.|'a') ==
+    # sum c12^2/c1 over its bigrams / n -- sanity: every score in (0, 1e6]
+    for r in out.values():
+        assert 0 < r.mean_cond_e6 <= 1_000_000
+
+
+def test_bigram_lm_scores_single_token_docs_dropped(spark):
+    from postgis_gtfs_importer_spark.operators.indexing import (
+        bigram_lm_scores,
+    )
+
+    rows = [(1, "solo"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_lm_scores(df).collect()
+    assert [r.doc_id for r in out] == [2]
+    # "a b" is the only bigram: p(b|a)=1 -> exactly 1e6
+    assert out[0].mean_cond_e6 == 1_000_000
