@@ -139,6 +139,7 @@ STDOUT_OMIT = {
     # TPC-H-22 completions: sub-second SQL-surface shapes; timings live
     # in BENCH_DETAIL.json (stdout carries the two heaviest as proxies)
     "shipping_priority",
+    "revenue_forecast",
     "product_type_profit",
     "important_parts",
     "priority_shipment_buckets",
