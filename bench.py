@@ -122,6 +122,7 @@ HEADLINE = [
     "disjunctive_revenue",
     "dormant_customers",
     "bigram_lm_scores",
+    "bpe_merges",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -149,6 +150,7 @@ STDOUT_OMIT = {
     "supplier_part_counts",
     "disjunctive_revenue",
     "dormant_customers",
+    "bpe_merges",
 }
 
 STREAMING_QUERIES = {

@@ -1,0 +1,177 @@
+"""Byte-pair-encoding tokenizer induction — the iterative merge-training
+loop of an LLM data pipeline, in the shape real tokenizer trainers use.
+
+Classic BPE (Sennrich et al. 2016) never iterates over the raw corpus:
+it aggregates the corpus ONCE into a (word, freq) table and runs every
+merge iteration against that vocabulary-sized relation. That is exactly
+the scale story here — the only corpus-sized operation is the initial
+tokenize+count (one shuffle on the word key, map-side combined); the
+n_merges iterations then touch a relation bounded by the DISTINCT word
+count (Heaps' law: millions of rows for a 100 TB corpus, not trillions),
+with each iteration one pair-count aggregate plus a map-side array
+rewrite.
+
+The merge loop is genuinely iterative (argmax -> rewrite -> recount):
+per round, ONE single-row collect picks the best pair (the same
+legitimately-driver-side control-flow as connected_components'
+convergence probe), and the rewrite is a pure-column left-fold — no
+Python UDF, no per-row driver work. Lineage is cut every iteration
+(localCheckpoint via materialize) so round N's plan does not replay
+rounds 1..N-1.
+
+Determinism: ties on pair count break on the pair's lexical order, so
+the merge sequence — and therefore the whole tokenizer — is a pure
+function of the corpus. Verified against a pure-Python reference
+implementation in tests/test_bpe.py (exact merge-sequence equality),
+which is the honest check for an operator no SQL oracle can express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: end-of-word marker (classic BPE: lets merges learn suffixes without
+#: crossing word boundaries; also makes every word's symbol sequence
+#: unique w.r.t. its string form).
+EOW = "</w>"
+
+
+def word_freqs(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The ONE corpus-sized pass: whitespace+lowercase tokenize (the
+    engine's shared tokenizer) aggregated to (word, freq). Everything
+    downstream of this is vocabulary-sized."""
+    toks = F.filter(
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
+        ),
+        lambda x: x != F.lit(""),
+    )
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq) -> (syms: array<string>, freq): characters + EOW."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit(""))
+    return words.select(
+        F.concat(chars, F.array(F.lit(EOW))).alias("syms"), "freq"
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the symbol table — map-side pair
+    generation from each row's array (no shuffle to see a neighbor),
+    then one vocab-sized aggregate."""
+    pairs = F.expr(
+        "transform(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+        " (x, i) -> struct(x AS lhs, syms[i + 1] AS rhs))"
+    )
+    return (
+        syms.select(F.explode(pairs).alias("_p"), "freq")
+        .groupBy("_p.lhs", "_p.rhs")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def _apply_merge(syms: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Rewrite every symbol array, replacing adjacent (lhs, rhs) with
+    the merged symbol — leftmost-first, non-overlapping (the classic BPE
+    apply order), as a pure-column left fold. 'aaa' under (a,a) becomes
+    ['aa','a'], matching every reference implementation."""
+    merged = lhs + rhs
+    fold = F.expr(
+        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+        "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {l} "
+        "          AND x = {r} "
+        "     THEN concat(slice(acc, 1, size(acc) - 1), array({m})) "
+        "     ELSE concat(acc, array(x)) END)".format(
+            l=_sql_str(lhs), r=_sql_str(rhs), m=_sql_str(merged)
+        )
+    )
+    return syms.select(fold.alias("syms"), "freq")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus; returns the learned
+    merge table (rank, lhs, rhs, merged, pair_count) — the artifact a
+    tokenizer ships. Stops early if the vocabulary runs out of adjacent
+    pairs. See module docstring for the scale and determinism design."""
+    from .dedup import materialize
+
+    spark = df.sparkSession
+    words = materialize(word_freqs(df, text_col))
+    # Size the iteration partitioning to the VOCABULARY, not the corpus:
+    # the merge loop runs ~2 jobs per round, and paying 32 task launches
+    # per job for a 1k-word table is 25x fixed overhead for zero
+    # parallelism (measured 38 s -> ~5 s at sf0.1). ~250k words/task
+    # keeps a real 10M-word vocabulary at cluster width.
+    n_parts = max(1, min(int(words.count()) // 250_000,
+                         spark.sparkContext.defaultParallelism))
+    syms = materialize(_initial_symbols(words).coalesce(n_parts))
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(syms)
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0].lhs, best[0].rhs, best[0].pair_count
+        out.append((rank, lhs, rhs, lhs + rhs, cnt))
+        syms = materialize(_apply_merge(syms, lhs, rhs))
+    return spark.createDataFrame(
+        out, "rank long, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def bpe_reference(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Pure-Python reference BPE trainer (the classic dict-of-tuples
+    formulation) — the exactness oracle for :func:`bpe_merges`. Returns
+    [(lhs, rhs, pair_count), ...] in merge order."""
+    freqs: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in t.strip().lower().split():
+            if not w:
+                continue
+            key = tuple(list(w) + [EOW])
+            freqs[key] = freqs.get(key, 0) + 1
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in freqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((lhs, rhs, cnt))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, f in freqs.items():
+            new: list[str] = []
+            for x in syms:
+                if new and new[-1] == lhs and x == rhs:
+                    new[-1] = lhs + rhs
+                else:
+                    new.append(x)
+            key = tuple(new)
+            nxt[key] = nxt.get(key, 0) + f
+        freqs = nxt
+    return merges

@@ -102,6 +102,7 @@ _FRONT: list[str] = [
     "dormant_customers",
     # late round-4 operator additions — no driver row yet
     "bigram_lm_scores",
+    "bpe_merges",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "dedup_exact",
@@ -110,7 +111,6 @@ _FRONT: list[str] = [
     "ann_ivf_topk",
     "embedding_topk",
     "semantic_dedup",
-    "sessionize",
     "multimodal_features",
     "frame_sample_stats",
     "pii_redaction",
@@ -123,7 +123,8 @@ _FRONT: list[str] = [
     # gc_candidates / lang_normalized / digest_mint / composite_digest /
     # retention_topk / minimize_stoptimes / doc_fingerprint /
     # rolling_fingerprint / text_quality / lang_id / hash_split /
-    # stratified_sample / repetition_profile rotated out (r1/r2-green,
+    # stratified_sample / repetition_profile / sessionize rotated out
+    # (r1/r2-green,
     # impl unchanged, pytest-covered) to keep every new/changed r4
     # entry — including the 12 TPC-H-22 completions — inside the
     # 50-entry driver window
@@ -5272,3 +5273,21 @@ def bigram_lm_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(_t(spark, sf_dir, "documents"))
     return bigram_lm_scores(d, id_col="doc_id", text_col="text")
+
+
+@register("bpe_merges", None)
+def bpe_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction over the documents corpus — 12 learned
+    merges. Genuinely iterative (per-round argmax -> rewrite -> recount
+    over the vocabulary-sized word-frequency table), so no SQL oracle
+    exists; the driver records the rows-only check and the EXACT
+    verification is tests/test_bpe.py (merge-for-merge equality with a
+    pure-Python reference trainer). See operators/bpe.py for why the
+    corpus is scanned exactly once regardless of merge count; wall time
+    here is ~1 driver-coordinated job per round (a fixed-overhead floor
+    at toy scale that amortizes to nothing on a real cluster, where
+    each round's aggregate does real work)."""
+    from ..operators.bpe import bpe_merges
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return bpe_merges(d, n_merges=12, text_col="text")
