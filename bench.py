@@ -123,6 +123,7 @@ HEADLINE = [
     "dormant_customers",
     "bigram_lm_scores",
     "bpe_merges",
+    "ann_int8_topk",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -151,6 +152,7 @@ STDOUT_OMIT = {
     "disjunctive_revenue",
     "dormant_customers",
     "bpe_merges",
+    "ann_int8_topk",
 }
 
 STREAMING_QUERIES = {

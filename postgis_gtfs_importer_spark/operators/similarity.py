@@ -604,3 +604,74 @@ def semantic_dedup(
             F.coalesce(F.col("is_dup"), F.lit(0)).cast("long").alias("is_dup"),
         )
     )
+
+
+def int8_quantize(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the memory-bandwidth move of a production ANN index: ~4x smaller
+    than float32, integer dot products downstream.
+
+    q_i = floor(x_i * 127 / max|x| + 0.5), the zero vector quantizing to
+    zeros. Every arithmetic step is an identical IEEE op chain on
+    float32-exact doubles in Spark and DuckDB, so the quantized integers
+    — and everything computed from them — match bit-for-bit across
+    engines. Output: (id, qvec array<long>, maxabs double).
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    out = corpus.select(
+        F.col(id_col).alias("id"), xd.alias("_xd"), maxabs.alias("maxabs")
+    )
+    q = F.when(
+        F.col("maxabs") > 0,
+        F.transform(
+            F.col("_xd"),
+            lambda x: F.floor(
+                x * F.lit(127.0) / F.col("maxabs") + F.lit(0.5)
+            ).cast("long"),
+        ),
+    ).otherwise(F.transform(F.col("_xd"), lambda x: F.lit(0).cast("long")))
+    return out.select("id", q.alias("qvec"), "maxabs")
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbors over the int8-quantized index by EXACT
+    INTEGER dot product — output (q_id, vec_id, qdot, rn).
+
+    Why integer scores matter at 100 TB: the ranking key is an exact
+    BIGINT, so reducer accumulation order, SIMD regrouping, cluster
+    topology — none of it can reorder results between runs (a float
+    cosine's last-ulp ties can and do). Quantized recall vs the float
+    baseline is measured in tests/test_approx.py. Same plan shape as
+    brute_force_topk: the (tiny) quantized query set broadcasts against
+    the quantized corpus — zero shuffles except the per-query top-k;
+    at scale the same quantized relation feeds the IVF/LSH variants.
+    """
+    qz = int8_quantize(queries, id_col, vec_col).select(
+        F.col("id").alias("q_id"), F.col("qvec").alias("q_q")
+    )
+    cz = int8_quantize(corpus, id_col, vec_col).select(
+        F.col("id").alias("vec_id"), F.col("qvec").alias("c_q")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("c_q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cz.join(F.broadcast(qz), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", dot.alias("qdot")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "qdot", "rn")
+    )

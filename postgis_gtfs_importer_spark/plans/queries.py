@@ -103,9 +103,9 @@ _FRONT: list[str] = [
     # late round-4 operator additions — no driver row yet
     "bigram_lm_scores",
     "bpe_merges",
+    "ann_int8_topk",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
-    "dedup_exact",
     "embedding_cosine_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -123,8 +123,8 @@ _FRONT: list[str] = [
     # gc_candidates / lang_normalized / digest_mint / composite_digest /
     # retention_topk / minimize_stoptimes / doc_fingerprint /
     # rolling_fingerprint / text_quality / lang_id / hash_split /
-    # stratified_sample / repetition_profile / sessionize rotated out
-    # (r1/r2-green,
+    # stratified_sample / repetition_profile / sessionize / dedup_exact
+    # rotated out (r1/r2-green,
     # impl unchanged, pytest-covered) to keep every new/changed r4
     # entry — including the 12 TPC-H-22 completions — inside the
     # 50-entry driver window
@@ -5291,3 +5291,50 @@ def bpe_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(_t(spark, sf_dir, "documents"))
     return bpe_merges(d, n_merges=12, text_col="text")
+
+
+@register(
+    "ann_int8_topk",
+    """
+    WITH qz AS (
+      SELECT vec_id,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(emb,
+                         x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
+                  ELSE list_transform(emb, x -> CAST(0 AS BIGINT))
+             END AS q
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS maxabs
+        FROM embeddings
+      )
+    )
+    SELECT q_id, vec_id, qdot, rn
+    FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                   CAST(b.q AS DOUBLE[])) AS BIGINT) AS qdot,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                              CAST(b.q AS DOUBLE[]))
+                             AS BIGINT) DESC,
+                        b.vec_id ASC) AS rn
+      FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
+    )
+    WHERE rn <= 10
+    """,
+)
+def ann_int8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force top-k — the compressed-index ANN
+    variant: ~4x smaller than float32 and ranked by EXACT BIGINT dot
+    products, so the ordering is immune to float accumulation order on
+    any engine or topology (the DuckDB twin's list_dot_product runs in
+    doubles but its inputs are integers < 2^53, hence exact). Recall vs
+    the float baseline is measured in tests/test_approx.py; the scale
+    path feeds the same quantized relation to the IVF/LSH blockers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.int8_topk(emb, q, k=10)

@@ -128,3 +128,39 @@ def test_persisted_ivf_index_matches_in_memory_and_prunes(spark, tmp_path):
     import re
 
     assert re.search(r"PartitionFilters: \[cid#\d+L? IN", plan), plan
+
+
+def test_int8_topk_recall_vs_float_baseline(spark):
+    """Quantization loses precision, not the neighborhood: int8 top-10
+    must recover most of the exact float top-10, and the quantizer must
+    be exactly symmetric (qvec bounded by ±127, zero vector -> zeros)."""
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        brute_force_topk,
+        int8_quantize,
+        int8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    quant = int8_topk(emb, q, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    quant_sets = {}
+    for r in quant:
+        quant_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[qid] & quant_sets[qid]) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+    qz = int8_quantize(emb).collect()
+    for r in qz:
+        assert all(abs(v) <= 127 for v in r.qvec)
+    zero = spark.createDataFrame(
+        [(99, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    zr = int8_quantize(zero).collect()[0]
+    assert zr.qvec == [0] * 8 and zr.maxabs == 0.0
