@@ -124,6 +124,7 @@ HEADLINE = [
     "bigram_lm_scores",
     "bpe_merges",
     "ann_int8_topk",
+    "audio_features",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -153,6 +154,7 @@ STDOUT_OMIT = {
     "dormant_customers",
     "bpe_merges",
     "ann_int8_topk",
+    "audio_features",
 }
 
 STREAMING_QUERIES = {

@@ -104,6 +104,7 @@ _FRONT: list[str] = [
     "bigram_lm_scores",
     "bpe_merges",
     "ann_int8_topk",
+    "audio_features",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "embedding_cosine_pairs",
@@ -112,7 +113,6 @@ _FRONT: list[str] = [
     "embedding_topk",
     "semantic_dedup",
     "multimodal_features",
-    "frame_sample_stats",
     "pii_redaction",
     "arrivals_departures_abs",
     "stats_agency_route_stop_hour",
@@ -123,8 +123,8 @@ _FRONT: list[str] = [
     # gc_candidates / lang_normalized / digest_mint / composite_digest /
     # retention_topk / minimize_stoptimes / doc_fingerprint /
     # rolling_fingerprint / text_quality / lang_id / hash_split /
-    # stratified_sample / repetition_profile / sessionize / dedup_exact
-    # rotated out (r1/r2-green,
+    # stratified_sample / repetition_profile / sessionize / dedup_exact /
+    # frame_sample_stats rotated out (r1/r2-green,
     # impl unchanged, pytest-covered) to keep every new/changed r4
     # entry — including the 12 TPC-H-22 completions — inside the
     # 50-entry driver window
@@ -5338,3 +5338,40 @@ def ann_int8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.int8_topk(emb, q, k=10)
+
+
+@register(
+    "audio_features",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             8000 * (1 + doc_id % 3) AS sr,
+             8 * (1 + doc_id % 2) AS bits,
+             100 + n_chars % 900 AS ns
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(44 + ns * ch * (bits / 8) AS BIGINT) AS byte_len,
+           CAST(ch AS INTEGER) AS channels,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(bits AS INTEGER) AS bits_per_sample,
+           CAST(floor(ns * 1000.0 / sr) AS BIGINT) AS duration_ms,
+           'wav' AS format
+    FROM base
+    """,
+)
+def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode through the REAL header parser: each row synthesizes
+    a spec-valid PCM WAV from (doc_id, n_chars) — struct-PACKED against
+    the RIFF spec — and decode_audio_header chunk-WALKS it back out
+    inside mapInPandas. The oracle re-derives every metadata column
+    arithmetically, so builder, parser and plumbing must all agree; a
+    byte-offset bug in any of them breaks the row. Bytes never shuffle
+    (one MapInPandas over the scan); duration's floor(ns*1000/sr) is
+    exact in IEEE doubles because the true quotient is >=1/sr away from
+    any integer it doesn't equal."""
+    from ..operators.multimodal import audio_features
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return audio_features(d, id_col="doc_id", chars_col="n_chars")

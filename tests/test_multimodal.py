@@ -143,3 +143,63 @@ def test_sample_frames_cardinality(docs):
     assert per_doc[19] == 8
     first = frames.filter((F.col("doc_id") == 19) & (F.col("frame_idx") == 0)).first()
     assert len(first.frame_bytes) == 64
+
+
+def test_decode_audio_header_pure():
+    import struct
+
+    from postgis_gtfs_importer_spark.operators.multimodal import (
+        decode_audio_header,
+        synth_wav,
+    )
+
+    # hand-built WAV, chunk order data-before-fmt plus an odd-size LIST
+    # chunk (word-aligned pad) — the walk must survive all of it
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 2 * 2, 4, 16)
+    data = bytes(44100 * 4)  # 1 second stereo 16-bit
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    chunks = (
+        lst
+        + b"data" + struct.pack("<I", len(data)) + data
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert decode_audio_header(wav) == (2, 44100, 16, 1000, "wav")
+
+    # FLAC STREAMINFO: 44.1kHz stereo 16-bit, 88200 samples = 2000 ms
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 88200
+    flac = b"fLaC" + b"\x00" + b"\x00\x00\x22" + bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    assert decode_audio_header(flac) == (2, 44100, 16, 2000, "flac")
+
+    # junk and truncation stay visible as NULLs, never raise
+    assert decode_audio_header(b"not audio") == (None,) * 5
+    assert decode_audio_header(wav[:16])[4] == "wav"  # container seen
+    assert decode_audio_header(wav[:16])[0] is None
+
+    # the synthesizer round-trips through the parser
+    ch, sr, bits, dur, fmt_name = decode_audio_header(synth_wav(7, 350))
+    assert (ch, sr, bits, fmt_name) == (2, 16000, 16, "wav")
+    assert dur == (100 + 350 % 900) * 1000 // 16000
+
+
+def test_audio_features_no_shuffle_and_real_payload(spark):
+    from postgis_gtfs_importer_spark.operators.multimodal import (
+        audio_features,
+        synth_wav,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i * 37) for i in range(20)], "doc_id long, n_chars long"
+    )
+    out = audio_features(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # bytes never shuffle
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[3].channels == 2 and rows[3].sample_rate == 8000
+    # explicit payload path decodes caller bytes as-is
+    payload = spark.createDataFrame(
+        [(1, bytearray(synth_wav(1, 500)))],
+        "doc_id long, payload binary",
+    )
+    r = audio_features(payload, payload_col="payload").collect()[0]
+    assert (r.channels, r.sample_rate, r.format) == (2, 16000, "wav")
