@@ -125,6 +125,7 @@ HEADLINE = [
     "bpe_merges",
     "ann_int8_topk",
     "audio_features",
+    "streaming_interval_join_outer",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -155,12 +156,14 @@ STDOUT_OMIT = {
     "bpe_merges",
     "ann_int8_topk",
     "audio_features",
+    "streaming_interval_join_outer",
 }
 
 STREAMING_QUERIES = {
     "streaming_windowed_stats",
     "streaming_sessionize",
     "streaming_interval_join",
+    "streaming_interval_join_outer",
     "streaming_dedup",
     "streaming_enrich",
 }

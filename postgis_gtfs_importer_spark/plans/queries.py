@@ -105,10 +105,10 @@ _FRONT: list[str] = [
     "bpe_merges",
     "ann_int8_topk",
     "audio_features",
+    "streaming_interval_join_outer",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
     "embedding_cosine_pairs",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_topk",
     "semantic_dedup",
@@ -124,7 +124,7 @@ _FRONT: list[str] = [
     # retention_topk / minimize_stoptimes / doc_fingerprint /
     # rolling_fingerprint / text_quality / lang_id / hash_split /
     # stratified_sample / repetition_profile / sessionize / dedup_exact /
-    # frame_sample_stats rotated out (r1/r2-green,
+    # frame_sample_stats / ann_lsh_topk rotated out (r1/r2-green,
     # impl unchanged, pytest-covered) to keep every new/changed r4
     # entry — including the 12 TPC-H-22 completions — inside the
     # 50-entry driver window
@@ -5375,3 +5375,74 @@ def audio_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(_t(spark, sf_dir, "documents"))
     return audio_features(d, id_col="doc_id", chars_col="n_chars")
+
+
+@register(
+    "streaming_interval_join_outer",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts
+      FROM events
+    ),
+    l AS (SELECT * FROM ev WHERE event_type = 'click'),
+    r AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
+             - INTERVAL 1800 SECOND AS w
+    )
+    SELECT l.user_id, l.event_id AS event_id_l, r.event_id AS event_id_r,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_l_epoch,
+           CAST(floor(epoch(r.ts)) AS BIGINT) AS ts_r_epoch,
+           CAST(floor(epoch(r.ts)) AS BIGINT)
+             - CAST(floor(epoch(l.ts)) AS BIGINT) AS gap_sec
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 3600 SECOND
+    UNION ALL
+    SELECT l.user_id, l.event_id, NULL, CAST(floor(epoch(l.ts)) AS BIGINT),
+           NULL, NULL
+    FROM l, wm
+    WHERE l.ts + INTERVAL 3600 SECOND < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM r
+        WHERE r.user_id = l.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 3600 SECOND
+      )
+    """,
+)
+def streaming_interval_join_outer_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join run for real — the subtle
+    half of watermarked join semantics the inner variant never touches:
+    a click with no purchase in its hour emits a null-matched row, but
+    ONLY once the global watermark (min of both sides' max event time,
+    minus the 30-min delay) proves no future match can arrive; clicks
+    whose window is still inside the watermark horizon at end-of-stream
+    are correctly withheld. The oracle states that exactly: the batch
+    interval join UNION the unmatched clicks with
+    ts + window < watermark — verified emission-for-emission against
+    the real availableNow run (Spark flushes the eligible nulls in the
+    trailing no-data micro-batch). State remains O(rate x
+    (window + delay)) per side, the unbounded-stream contract.
+
+    streaming/events.py::interval_join_stream(how='leftOuter').
+    """
+    from ..streaming.events import (
+        interval_join_stream,
+        run_to_memory,
+        stream_testdata_events,
+    )
+
+    ev = stream_testdata_events(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id", window_sec=3600, how="leftOuter"
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"sijo_{_STREAM_QUERY_SEQ[0]}"
+    run_to_memory(joined, name, output_mode="append", state_partitions=8)
+    return spark.table(name)

@@ -336,6 +336,7 @@ def interval_join_stream(
     key: str = "user_id",
     window_sec: int = 3600,
     watermark_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join within an event-time interval.
 
@@ -369,7 +370,7 @@ def interval_join_stream(
         (F.col("k_l") == F.col("k_r"))
         & (F.col("ts_r") >= F.col("ts_l"))
         & (F.col("ts_r") <= F.col("ts_l") + F.expr(f"INTERVAL {window_sec} SECONDS")),
-        "inner",
+        how,
     )
     return joined.select(
         F.col("k_l").alias(key),

@@ -42,7 +42,8 @@ BNLJ_OK = {
 
 STREAMING = {
     "streaming_windowed_stats", "streaming_sessionize",
-    "streaming_interval_join", "streaming_dedup", "streaming_enrich",
+    "streaming_interval_join", "streaming_interval_join_outer",
+    "streaming_dedup", "streaming_enrich",
 }
 
 REGISTRY = Q.queries()
