@@ -31,6 +31,19 @@ TS_SENSITIVE = [
     "event_transitions",
     "hopping_window_stats",  # window() over the cast NTZ->timestamp
     "trend_by_type",         # epoch-anchored regression x axis
+    # TPC-H-22 completions: TIMESTAMP literals against the parquet
+    # instants, instant->DATE casts in output, EXTRACT(year) grouping —
+    # every one shifts if the session zone leaks into literal parsing
+    "shipping_priority",
+    "revenue_forecast",
+    "product_type_profit",
+    "priority_shipment_buckets",
+    "promo_revenue_share",
+    "top_supplier",
+    "bulk_customers",
+    "dormant_customers",
+    # watermark arithmetic under a non-UTC session
+    "streaming_interval_join_outer",
 ]
 
 
