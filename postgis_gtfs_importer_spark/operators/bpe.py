@@ -175,3 +175,96 @@ def bpe_reference(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]
             nxt[key] = nxt.get(key, 0) + f
         freqs = nxt
     return merges
+
+
+def _apply_merges_sql(arr_sql: str, merges: list[tuple[str, str]]) -> str:
+    """Compose the rank-ordered merge folds into ONE nested column
+    expression over ``arr_sql`` — the apply side is pure map-side
+    compute: no loop, no shuffle, no driver round-trips."""
+    expr = arr_sql
+    for lhs, rhs in merges:
+        merged = lhs + rhs
+        expr = (
+            "aggregate({src}, CAST(array() AS array<string>), (acc, x) -> "
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {l} "
+            "          AND x = {r} "
+            "     THEN concat(slice(acc, 1, size(acc) - 1), array({m})) "
+            "     ELSE concat(acc, array(x)) END)".format(
+                src=expr, l=_sql_str(lhs), r=_sql_str(rhs), m=_sql_str(merged)
+            )
+        )
+    return expr
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize each document with a trained merge list — the APPLY half
+    of the BPE pair (:func:`bpe_merges` is the train half). Per document:
+    word count, pre-merge symbol count (chars + end-of-word markers) and
+    post-merge BPE token count — the length accounting a packing /
+    budget stage needs (pack_sequences consumes token counts).
+
+    Entirely map-side: the merge list composes into one nested fold
+    expression applied per word inside a transform over the document's
+    word array — zero shuffles, zero driver round-trips, embarrassingly
+    parallel at any corpus size. Exactness vs the pure-Python reference
+    encoder is pinned in tests/test_bpe.py.
+
+    Returns (doc_id, n_words, n_symbols_char, n_tokens_bpe).
+    """
+    words = F.filter(
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
+        ),
+        lambda x: x != F.lit(""),
+    )
+    word_syms_sql = (
+        "concat(filter(split(w, ''), c -> c <> ''), array('" + EOW + "'))"
+    )
+    encoded_size = F.expr(
+        "transform(_words, w -> size({enc}))".format(
+            enc=_apply_merges_sql(word_syms_sql, merges)
+        )
+    )
+    char_size = F.expr(
+        "transform(_words, w -> size({src}))".format(src=word_syms_sql)
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_words"))
+    zero = F.lit(0).cast("long")
+    return base.select(
+        "doc_id",
+        F.size("_words").cast("long").alias("n_words"),
+        F.aggregate(char_size, zero, lambda a, x: a + x).alias(
+            "n_symbols_char"
+        ),
+        F.aggregate(encoded_size, zero, lambda a, x: a + x).alias(
+            "n_tokens_bpe"
+        ),
+    )
+
+
+def bpe_encode_reference(
+    text: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Pure-Python reference encoder (rank-ordered merge application,
+    leftmost-first within each merge) — the exactness oracle for
+    :func:`bpe_encode`."""
+    out: list[str] = []
+    for w in text.strip().lower().split():
+        if not w:
+            continue
+        syms = list(w) + [EOW]
+        for lhs, rhs in merges:
+            new: list[str] = []
+            for x in syms:
+                if new and new[-1] == lhs and x == rhs:
+                    new[-1] = lhs + rhs
+                else:
+                    new.append(x)
+            syms = new
+        out.extend(syms)
+    return out

@@ -64,3 +64,42 @@ def test_bpe_on_driver_testdata_prefix(spark):
         for r in bpe_merges(docs, n_merges=8).orderBy("rank").collect()
     ]
     assert got == bpe_reference(texts, 8)
+
+
+def test_bpe_encode_matches_reference(spark):
+    from postgis_gtfs_importer_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_reference,
+        bpe_reference,
+    )
+
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest widest widest",
+        "the newest low",
+    ]
+    merges = [(l, r) for l, r, _ in bpe_reference(texts, 6)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        toks = bpe_encode_reference(t, merges)
+        words = t.split()
+        assert out[i].n_words == len(words)
+        assert out[i].n_symbols_char == sum(len(w) + 1 for w in words)
+        assert out[i].n_tokens_bpe == len(toks)
+        # merges only ever shrink the sequence
+        assert out[i].n_tokens_bpe <= out[i].n_symbols_char
+
+
+def test_bpe_encode_is_shuffle_free(spark):
+    from postgis_gtfs_importer_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "aa ab aa")], "doc_id long, text string")
+    out = bpe_encode(df, [("a", "a"), ("aa", "</w>")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    r = out.collect()[0]
+    # 'aa' -> [aa,</w>] -> [aa</w>]: 1 token; 'ab' -> [a,b,</w>]: 3
+    assert r.n_tokens_bpe == 1 + 3 + 1
