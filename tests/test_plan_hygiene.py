@@ -35,6 +35,8 @@ BNLJ_OK = {
     "embedding_topk",        # brute-force baseline: tiny probe set x corpus
                              # (the DELIBERATE linear scan the ANN variants
                              # exist to beat)
+    "ann_int8_topk",         # same deliberate probe-broadcast linear scan,
+                             # over the int8-quantized index
     "ann_ivf_topk",          # probe-cell ids x queries (both tiny)
     "translations_feedwide", # feed_info default-lang row (1 row) x tables
     "trend_by_type",         # corpus-epoch scalar (1 row) x events
