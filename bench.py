@@ -126,6 +126,7 @@ HEADLINE = [
     "ann_int8_topk",
     "audio_features",
     "streaming_interval_join_outer",
+    "quality_gate",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -157,6 +158,7 @@ STDOUT_OMIT = {
     "ann_int8_topk",
     "audio_features",
     "streaming_interval_join_outer",
+    "quality_gate",
 }
 
 STREAMING_QUERIES = {

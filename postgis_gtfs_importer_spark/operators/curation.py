@@ -492,3 +492,43 @@ def priority_sample(
         .drop("_pri")
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def percentile_gate(
+    df: DataFrame,
+    score_col: str,
+    stratum_col: str,
+    id_col: str,
+    keep_num: int = 1,
+    keep_den: int = 4,
+) -> DataFrame:
+    """RELATIVE quality gate: keep the top ``keep_num/keep_den`` fraction
+    of each stratum by score — the percentile-threshold curation stage
+    (cf. cap_per_stratum, which is an ABSOLUTE top-k: caps protect
+    against domination, percentiles normalize quality across strata of
+    very different sizes).
+
+    The threshold is all-integer: row r (ranked by score desc, id asc —
+    fully deterministic) survives iff ``(r - 1) * keep_den <
+    keep_num * n`` where n is the stratum size, which is exactly
+    ``r <= ceil(n * keep_num / keep_den)`` with no float boundary to
+    disagree on. One stratum-keyed shuffle serves both windows (rank and
+    count share the partitioning); no WindowGroupLimit applies — the cut
+    depends on n, unknown until the stratum is assembled — so a hot
+    stratum DOES ship its rows to one reducer task: if a stratum can
+    exceed a task's memory, pre-split it with a salt and take the union
+    of per-salt gates (the frac is scale-free, unlike a top-k).
+
+    Returns the surviving rows plus (rank, stratum_size).
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wn = Window.partitionBy(stratum_col)
+    ranked = df.withColumn("rank", F.row_number().over(w)).withColumn(
+        "stratum_size", F.count("*").over(wn).cast("long")
+    )
+    return ranked.filter(
+        (F.col("rank") - 1) * F.lit(keep_den)
+        < F.lit(keep_num) * F.col("stratum_size")
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -106,9 +106,9 @@ _FRONT: list[str] = [
     "ann_int8_topk",
     "audio_features",
     "streaming_interval_join_outer",
+    "quality_gate",
     # last driver row r1/r2 — stale by age, not by code change; re-verify
     # while window budget allows (r3-green entries rotate out to make room)
-    "embedding_cosine_pairs",
     "ann_ivf_topk",
     "embedding_topk",
     "semantic_dedup",
@@ -124,7 +124,8 @@ _FRONT: list[str] = [
     # retention_topk / minimize_stoptimes / doc_fingerprint /
     # rolling_fingerprint / text_quality / lang_id / hash_split /
     # stratified_sample / repetition_profile / sessionize / dedup_exact /
-    # frame_sample_stats / ann_lsh_topk rotated out (r1/r2-green,
+    # frame_sample_stats / ann_lsh_topk / embedding_cosine_pairs rotated
+    # out (r1/r2-green,
     # impl unchanged, pytest-covered) to keep every new/changed r4
     # entry — including the 12 TPC-H-22 completions — inside the
     # 50-entry driver window
@@ -5446,3 +5447,57 @@ def streaming_interval_join_outer_query(
     name = f"sijo_{_STREAM_QUERY_SEQ[0]}"
     run_to_memory(joined, name, output_mode="append", state_partitions=8)
     return spark.table(name)
+
+
+@register(
+    "quality_gate",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(floor((0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1))
+                 + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / greatest(length(text), 1))
+                 + 0.3 * least((CASE WHEN length(trim(text)) = 0 THEN 0
+                                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) / 200.0, 1.0)) * 1e6 + 0.5) AS BIGINT)
+               AS quality_score_e6
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality_score_e6,
+             CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY quality_score_e6 DESC, doc_id ASC) AS BIGINT)
+               AS rank,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+               AS stratum_size
+      FROM scored
+    )
+    SELECT doc_id, lang, quality_score_e6, rank, stratum_size
+    FROM ranked
+    WHERE (rank - 1) * 4 < 1 * stratum_size
+    """,
+)
+def quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified percentile quality gate: keep the top quarter of each
+    language by the surface-statistics quality score — the RELATIVE
+    curation stage (source_cap is the ABSOLUTE one: caps fight
+    domination, percentiles normalize quality across strata of very
+    different sizes). The survival test is all-integer —
+    (rank-1)*den < num*n — so no float percentile boundary can disagree
+    between engines; the score itself is the e6 fixed-point
+    text-quality signal both engines already share.
+
+    operators/curation.py::percentile_gate.
+    """
+    from ..operators.curation import percentile_gate
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.floor(TX.quality_score(F.col("text")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_score_e6"),
+    )
+    return percentile_gate(
+        scored, score_col="quality_score_e6", stratum_col="lang",
+        id_col="doc_id", keep_num=1, keep_den=4,
+    )

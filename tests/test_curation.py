@@ -230,3 +230,33 @@ def test_negative_samples_deterministic_and_never_self(spark):
     per_anchor = Counter(i for i, _, _ in ra)
     assert set(per_anchor.values()) <= {3, 4}
     assert sum(1 for v in per_anchor.values() if v == 4) > 400
+
+
+def test_percentile_gate_integer_ceiling_and_determinism(spark):
+    from postgis_gtfs_importer_spark.operators.curation import (
+        percentile_gate,
+    )
+
+    # stratum a: 5 rows -> ceil(5/4) = 2 survive; b: 1 row -> 1 survives
+    rows = [(i, "a", 100 - i) for i in range(5)] + [(99, "b", 7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    out = percentile_gate(
+        df, score_col="score", stratum_col="lang", id_col="doc_id"
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang["a"]) == 2 and len(by_lang["b"]) == 1
+    assert {r.doc_id for r in by_lang["a"]} == {0, 1}  # highest scores
+    assert all(r.stratum_size == 5 for r in by_lang["a"])
+    # score ties break on id: equal scores keep the LOWEST ids
+    tied = spark.createDataFrame(
+        [(i, "x", 5) for i in range(8)], "doc_id long, lang string, score long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in percentile_gate(
+            tied, score_col="score", stratum_col="lang", id_col="doc_id"
+        ).collect()
+    )
+    assert kept == [0, 1]  # ceil(8/4) = 2, deterministic under total tie
