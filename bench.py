@@ -127,6 +127,7 @@ HEADLINE = [
     "audio_features",
     "streaming_interval_join_outer",
     "quality_gate",
+    "video_features",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -159,6 +160,7 @@ STDOUT_OMIT = {
     "audio_features",
     "streaming_interval_join_outer",
     "quality_gate",
+    "video_features",
 }
 
 STREAMING_QUERIES = {

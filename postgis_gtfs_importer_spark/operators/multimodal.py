@@ -375,3 +375,160 @@ def _audio_frame(ids, bufs: list[bytes]) -> pd.DataFrame:
             "format": pd.Series([f[4] for f in feats], dtype="object"),
         }
     )
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def decode_video_header(
+    buf: bytes,
+) -> tuple[int | None, int | None, int | None, str | None]:
+    """REAL video-container header decoder — MP4/ISO BMFF box walk, no
+    dependencies (ISO/IEC 14496-12).
+
+    Walks top-level boxes to ``moov``, then inside it reads ``mvhd``
+    (movie timescale u32 + duration u32/u64, version-dependent offsets)
+    and the first ``trak``'s ``tkhd`` (track width/height as 16.16
+    fixed-point u32 at the end of the box). Box sizes are big-endian
+    u32 with the size-1 (largesize u64) and size-0 (to-end-of-file)
+    escapes handled. Returns (width, height, duration_ms, format);
+    unrecognized bytes yield all-NULL, never an exception.
+    """
+    import struct
+
+    def boxes(data: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", data[i : i + 4])
+            btype = data[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield btype, i + hdr, i + size
+            i += size
+
+    if len(buf) < 12:
+        return (None, None, None, None)
+    top = list(boxes(buf, 0, len(buf)))
+    if not top or top[0][0] != b"ftyp":
+        return (None, None, None, None)
+    width = height = None
+    duration_ms = None
+    for btype, s, e in top:
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in boxes(buf, s, e):
+            if ityp == b"mvhd" and ie - is_ >= 20:
+                version = buf[is_]
+                if version == 1 and ie - is_ >= 28:
+                    (timescale,) = struct.unpack(">I", buf[is_ + 20 : is_ + 24])
+                    (dur,) = struct.unpack(">Q", buf[is_ + 24 : is_ + 32])
+                else:
+                    (timescale,) = struct.unpack(">I", buf[is_ + 12 : is_ + 16])
+                    (dur,) = struct.unpack(">I", buf[is_ + 16 : is_ + 20])
+                if timescale:
+                    duration_ms = dur * 1000 // timescale
+            elif ityp == b"trak" and width is None:
+                for ttyp, ts, te in boxes(buf, is_, ie):
+                    if ttyp == b"tkhd" and te - ts >= 8:
+                        w16, h16 = struct.unpack(">II", buf[te - 8 : te])
+                        width, height = w16 >> 16, h16 >> 16
+    return (width, height, duration_ms, "mp4")
+
+
+def synth_mp4(doc_id: int, n_chars: int) -> bytes:
+    """Minimal spec-valid MP4 (ftyp + moov[mvhd + trak[tkhd]]) with
+    metadata derived from row attributes — same independent
+    builder-vs-parser design as synth_wav."""
+    import struct
+
+    w = 320 + (doc_id % 8) * 160
+    h = 240 + (doc_id % 6) * 120
+    timescale = 600
+    dur_units = 600 + (n_chars % 1200) * 10
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BBBB", 0, 0, 0, 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)        # creation, modification
+        + struct.pack(">II", timescale, dur_units)
+        + bytes(80),                      # rate..next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">BBBB", 0, 0, 0, 7)
+        + struct.pack(">IIII", 0, 0, 1, 0)   # times, track id, reserved
+        + struct.pack(">I", dur_units)
+        + bytes(52)                          # reserved/layer/matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def video_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str | None = None,
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Video decode stage: binary -> typed metadata via mapInPandas,
+    completing the media trio (image/audio/video) behind real
+    dependency-free header parsers. Same synth-or-passthrough contract
+    as audio_features; bytes never shuffle."""
+    id_c = id_col
+
+    if payload_col is None:
+        cols = [id_c, chars_col]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                bufs = [
+                    synth_mp4(int(i), int(n))
+                    for i, n in zip(pdf[id_c], pdf[chars_col])
+                ]
+                yield _video_frame(pdf[id_c], bufs)
+
+    else:
+        cols = [id_c, payload_col]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                bufs = [bytes(b) for b in pdf[payload_col]]
+                yield _video_frame(pdf[id_c], bufs)
+
+    return df.select(*cols).mapInPandas(run, VIDEO_FEATURE_SCHEMA)
+
+
+def _video_frame(ids, bufs: list[bytes]) -> pd.DataFrame:
+    feats = [decode_video_header(b) for b in bufs]
+    return pd.DataFrame(
+        {
+            "doc_id": ids.astype("int64"),
+            "byte_len": [len(b) for b in bufs],
+            "width": pd.Series([f[0] for f in feats], dtype="object"),
+            "height": pd.Series([f[1] for f in feats], dtype="object"),
+            "duration_ms": pd.Series([f[2] for f in feats], dtype="object"),
+            "format": pd.Series([f[3] for f in feats], dtype="object"),
+        }
+    )

@@ -5501,3 +5501,32 @@ def quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, score_col="quality_score_e6", stratum_col="lang",
         id_col="doc_id", keep_num=1, keep_den=4,
     )
+
+
+@register(
+    "video_features",
+    """
+    SELECT doc_id,
+           CAST(240 AS BIGINT) AS byte_len,
+           CAST(320 + (doc_id % 8) * 160 AS INTEGER) AS width,
+           CAST(240 + (doc_id % 6) * 120 AS INTEGER) AS height,
+           CAST(floor((600 + (n_chars % 1200) * 10) * 1000.0 / 600)
+                AS BIGINT) AS duration_ms,
+           'mp4' AS format
+    FROM documents
+    """,
+)
+def video_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode through the REAL MP4/ISO-BMFF box-walk parser: each
+    row synthesizes a spec-valid container (ftyp + moov[mvhd +
+    trak[tkhd]]) from (doc_id, n_chars) and decode_video_header walks
+    it back out inside mapInPandas — the same independent
+    builder-vs-parser three-way check as audio_features (the oracle
+    re-derives width/height/duration arithmetically; the 240-byte
+    container size is a structural constant of the box layout). With
+    this the media trio — image, audio, video — all run real
+    dependency-free header decoders behind the same batch contract."""
+    from ..operators.multimodal import video_features
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return video_features(d, id_col="doc_id", chars_col="n_chars")

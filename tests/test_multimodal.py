@@ -203,3 +203,51 @@ def test_audio_features_no_shuffle_and_real_payload(spark):
     )
     r = audio_features(payload, payload_col="payload").collect()[0]
     assert (r.channels, r.sample_rate, r.format) == (2, 16000, "wav")
+
+
+def test_decode_video_header_pure():
+    import struct
+
+    from postgis_gtfs_importer_spark.operators.multimodal import (
+        decode_video_header,
+        synth_mp4,
+    )
+
+    # builder round-trips through the independent parser
+    buf = synth_mp4(3, 500)
+    w, h, dur, fmt = decode_video_header(buf)
+    assert (w, h, fmt) == (320 + 3 * 160, 240 + 3 * 120, "mp4")
+    assert dur == (600 + 500 % 1200 * 10) * 1000 // 600
+
+    # 64-bit largesize escape on the moov box must parse identically
+    i = buf.index(b"moov") - 4
+    (size,) = struct.unpack(">I", buf[i : i + 4])
+    large = (
+        buf[:i]
+        + struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", size + 8)
+        + buf[i + 8 :]
+    )
+    assert decode_video_header(large) == (w, h, dur, "mp4")
+
+    # junk, truncation, missing ftyp -> all-NULL, never a raise
+    assert decode_video_header(b"\x00" * 40) == (None,) * 4
+    assert decode_video_header(buf[4:]) == (None,) * 4
+    assert decode_video_header(buf[:10]) == (None,) * 4
+
+
+def test_video_features_no_shuffle(spark):
+    from postgis_gtfs_importer_spark.operators.multimodal import (
+        video_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i * 53) for i in range(16)], "doc_id long, n_chars long"
+    )
+    out = video_features(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[5].width == 320 + 5 * 160 and rows[5].format == "mp4"
+    assert all(r.duration_ms > 0 for r in rows.values())
