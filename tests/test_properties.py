@@ -311,3 +311,144 @@ def test_neardup_incremental_partitions_batch(spark):
     assert surv | {b for b, _ in m} == {0, 3}
     # survivors carry index-appendable signatures (same schema as the index)
     assert set(survivors.columns) == set(index_sigs.columns)
+
+
+# -- round-4 second-block families ------------------------------------------
+
+corpus_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # tiny alphabet -> dense merges
+        min_size=1,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=corpus_strategy, n=st.integers(1, 6))
+@settings(**SETTINGS)
+def test_bpe_trainer_equals_reference_on_random_corpora(spark, texts, n):
+    """The distributed trainer IS the classic algorithm: merge-for-merge
+    equality with the pure-Python reference on arbitrary corpora,
+    including degenerate all-space and single-char inputs."""
+    from postgis_gtfs_importer_spark.operators.bpe import (
+        bpe_merges,
+        bpe_reference,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merges(df, n_merges=n).orderBy("rank").collect()
+    ]
+    assert got == bpe_reference(texts, n)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32), min_size=4, max_size=4
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_int8_quantize_error_bound(spark, vecs):
+    """Symmetric int8: every reconstructed component is within half a
+    quantization step (maxabs/254... bounded by maxabs/127 with the
+    +0.5 floor = nearest-int) of the original, and the max-magnitude
+    component always hits ±127 exactly."""
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        int8_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    import numpy as np
+
+    for r in int8_quantize(df).collect():
+        orig = np.array(
+            np.array(vecs[r.id], dtype=np.float32), dtype=np.float64
+        )
+        maxabs = float(np.max(np.abs(orig)))
+        assert r.maxabs == maxabs
+        if maxabs == 0:
+            assert all(q == 0 for q in r.qvec)
+            continue
+        scale = maxabs / 127.0
+        recon = np.array(r.qvec, dtype=np.float64) * scale
+        assert np.all(np.abs(recon - orig) <= scale / 2 + 1e-12)
+        assert max(abs(q) for q in r.qvec) == 127
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.sampled_from(["x", "y"]),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    den=st.integers(2, 5),
+)
+@settings(**SETTINGS)
+def test_percentile_gate_keeps_exact_ceiling(spark, rows, den):
+    from math import ceil
+
+    from postgis_gtfs_importer_spark.operators.curation import (
+        percentile_gate,
+    )
+
+    uniq = [(i, s, v) for i, (_, s, v) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "doc_id long, lang string, score long")
+    out = percentile_gate(
+        df, score_col="score", stratum_col="lang", id_col="doc_id",
+        keep_num=1, keep_den=den,
+    ).collect()
+    from collections import Counter
+
+    n_per = Counter(s for _, s, _ in uniq)
+    kept = Counter(r.lang for r in out)
+    for lang, n in n_per.items():
+        assert kept[lang] == ceil(n / den)
+    # survivors are exactly the top-scored (ties -> lowest ids)
+    for lang in n_per:
+        want = sorted(
+            (d for d in uniq if d[1] == lang),
+            key=lambda d: (-d[2], d[0]),
+        )[: ceil(n_per[lang] / den)]
+        assert {r.doc_id for r in out if r.lang == lang} == {
+            d[0] for d in want
+        }
+
+
+@given(doc_id=st.integers(0, 10**6), n_chars=st.integers(0, 10**6))
+@settings(**SETTINGS)
+def test_media_builders_roundtrip_through_parsers(doc_id, n_chars):
+    """WAV and MP4 builder->parser round trips for arbitrary row
+    attributes (pure Python: no Spark in the loop)."""
+    from postgis_gtfs_importer_spark.operators.multimodal import (
+        decode_audio_header,
+        decode_video_header,
+        synth_mp4,
+        synth_wav,
+    )
+
+    ch, sr, bits, dur, fmt = decode_audio_header(synth_wav(doc_id, n_chars))
+    assert fmt == "wav"
+    assert ch == 1 + doc_id % 2 and sr == 8000 * (1 + doc_id % 3)
+    assert bits == 8 * (1 + doc_id % 2)
+    assert dur == (100 + n_chars % 900) * 1000 // sr
+
+    w, h, vdur, vfmt = decode_video_header(synth_mp4(doc_id, n_chars))
+    assert vfmt == "mp4"
+    assert w == 320 + (doc_id % 8) * 160 and h == 240 + (doc_id % 6) * 120
+    assert vdur == (600 + (n_chars % 1200) * 10) * 1000 // 600
