@@ -56,6 +56,13 @@ class CorpusConfig:
     near_dup_threshold: float = 0.5
     min_quality_e6: int = 300_000  # quality_score * 1e6 gate
     allowed_langs: tuple[str, ...] = ()  # empty = keep all
+    #: corpus-trained bigram-LM fluency floor (mean_cond_e6); None = off.
+    #: Runs AFTER dedup/decontamination so duplicated boilerplate cannot
+    #: inflate its own conditional probabilities in the trained model.
+    min_fluency_e6: int | None = None
+    #: relative per-stratum keep fraction (num, den); None = off. Runs
+    #: after the absolute gates — percentiles re-normalize what survives.
+    percentile_keep: tuple[int, int] | None = None
     balance_mixture: bool = True
     split_weights: dict[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -118,6 +125,35 @@ def curate_corpus(
             TX.lang_id(F.col(c.text_col)).isin(list(c.allowed_langs))
         )
     report["quality_gated"] = gated.count()
+
+    # 4b. bigram-LM fluency floor (model trained on the gated survivors —
+    # post-dedup, so boilerplate repetition can't inflate its own
+    # probabilities; transcendental-free, see indexing.bigram_lm_scores)
+    if c.min_fluency_e6 is not None:
+        from ..operators.indexing import bigram_lm_scores
+
+        fluent_ids = (
+            bigram_lm_scores(gated, id_col=c.id_col, text_col=c.text_col)
+            .filter(F.col("mean_cond_e6") >= c.min_fluency_e6)
+            .select(c.id_col)
+        )
+        gated = gated.join(fluent_ids, c.id_col, "left_semi")
+        report["fluency_gated"] = gated.count()
+
+    # 4c. relative percentile gate per stratum (after the absolute
+    # gates: percentiles re-normalize quality across what survives)
+    if c.percentile_keep is not None:
+        from ..operators.curation import percentile_gate
+
+        num, den = c.percentile_keep
+        scored = gated.withColumn(
+            "_q", F.floor(TX.quality_score(F.col(c.text_col)) * 1e6 + 0.5)
+        )
+        gated = percentile_gate(
+            scored, score_col="_q", stratum_col=c.stratum_col,
+            id_col=c.id_col, keep_num=num, keep_den=den,
+        ).drop("_q", "rank", "stratum_size")
+        report["percentile_gated"] = gated.count()
 
     # 5. balanced mixture over the stratum
     if c.balance_mixture:

@@ -59,3 +59,36 @@ def test_packing_respects_split_isolation(spark, docs):
     assert joined.filter(
         F.col("split") != F.col("curated_split")
     ).count() == 0
+
+
+def test_fluency_and_percentile_stages_compose(spark):
+    """The round-4 stages slot into the chain: enabling them only ever
+    shrinks the survivor set, the report attributes each drop, and the
+    pipeline stays idempotent."""
+    from postgis_gtfs_importer_spark.plans.corpus import (
+        CorpusConfig,
+        curate_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base_cfg = CorpusConfig(min_quality_e6=0, balance_mixture=False)
+    base = curate_corpus(docs, cfg=base_cfg)
+    cfg = CorpusConfig(
+        min_quality_e6=0,
+        balance_mixture=False,
+        min_fluency_e6=10_000,
+        percentile_keep=(1, 2),
+    )
+    out = curate_corpus(docs, cfg=cfg)
+    r = out.report
+    assert "fluency_gated" in r and "percentile_gated" in r
+    assert r["fluency_gated"] <= r["quality_gated"]
+    assert r["percentile_gated"] <= r["fluency_gated"]
+    assert r["percentile_gated"] >= 1
+    # the relative gate keeps ceil(n/2) per stratum of ITS input
+    assert r["percentile_gated"] <= base.report["quality_gated"]
+    # idempotent: identical inputs -> identical survivor sets
+    again = curate_corpus(docs, cfg=cfg)
+    a = {t[0] for t in out.curated.select("doc_id").collect()}
+    b = {t[0] for t in again.curated.select("doc_id").collect()}
+    assert a == b
