@@ -78,3 +78,33 @@ def test_scoring_plan_broadcasts_weights(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    from postgis_gtfs_importer_spark.operators.scoring import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam " * 200),                      # boilerplate: tiny ratio
+        (2, "the quick brown fox jumps over the lazy dog near the bank"),
+        (3, ""),                                  # empty: 1e6 by convention
+        (4, "ab" * 5 + "Zq9!kX#mW@vL$pR%"),       # short high-entropy tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i, t in rows:
+        b = t.encode("utf-8")
+        assert out[i].n_bytes == len(b)
+        if b:
+            c = len(zlib.compress(b, 6))
+            assert out[i].n_compressed == c
+            assert out[i].ratio_e6 == (c * 1_000_000 + len(b) // 2) // len(b)
+    assert out[3].ratio_e6 == 1_000_000
+    # the signal orders boilerplate far below prose
+    assert out[1].ratio_e6 < out[2].ratio_e6 // 4
+    # plan: one Arrow-batched python stage, no shuffle
+    plan = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
