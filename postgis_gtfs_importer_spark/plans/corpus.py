@@ -63,6 +63,9 @@ class CorpusConfig:
     #: relative per-stratum keep fraction (num, den); None = off. Runs
     #: after the absolute gates — percentiles re-normalize what survives.
     percentile_keep: tuple[int, int] | None = None
+    #: drop docs MORE compressible than this (ratio_e6 floor — low ratio
+    #: = boilerplate/repetition); None = off.
+    min_compression_ratio_e6: int | None = None
     balance_mixture: bool = True
     split_weights: dict[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -139,6 +142,19 @@ def curate_corpus(
         )
         gated = gated.join(fluent_ids, c.id_col, "left_semi")
         report["fluency_gated"] = gated.count()
+
+    # 4b2. compression-ratio floor (repetitiveness: boilerplate DEFLATEs
+    # far below prose — the zlib twin of the LM gate)
+    if c.min_compression_ratio_e6 is not None:
+        from ..operators.scoring import compression_ratio
+
+        incompressible = (
+            compression_ratio(gated, id_col=c.id_col, text_col=c.text_col)
+            .filter(F.col("ratio_e6") >= c.min_compression_ratio_e6)
+            .select(c.id_col)
+        )
+        gated = gated.join(incompressible, c.id_col, "left_semi")
+        report["compression_gated"] = gated.count()
 
     # 4c. relative percentile gate per stratum (after the absolute
     # gates: percentiles re-normalize quality across what survives)

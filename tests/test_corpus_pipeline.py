@@ -78,12 +78,15 @@ def test_fluency_and_percentile_stages_compose(spark):
         balance_mixture=False,
         min_fluency_e6=10_000,
         percentile_keep=(1, 2),
+        min_compression_ratio_e6=100_000,
     )
     out = curate_corpus(docs, cfg=cfg)
     r = out.report
     assert "fluency_gated" in r and "percentile_gated" in r
+    assert "compression_gated" in r
     assert r["fluency_gated"] <= r["quality_gated"]
-    assert r["percentile_gated"] <= r["fluency_gated"]
+    assert r["compression_gated"] <= r["fluency_gated"]
+    assert r["percentile_gated"] <= r["compression_gated"]
     assert r["percentile_gated"] >= 1
     # the relative gate keeps ceil(n/2) per stratum of ITS input
     assert r["percentile_gated"] <= base.report["quality_gated"]
