@@ -1,0 +1,119 @@
+"""Iterative graph algorithms as DataFrame loops (PageRank).
+
+Alongside connected components (``operators/dedup.py`` large-star /
+small-star — the dedup-cluster canonicalizer that generalizes
+gtfsclean's ID-remapping semantics, /root/reference/import.sh:44-100),
+PageRank is the second iterative-fixpoint algorithm family: ranking
+nodes of a relationship graph (here the customer↔supplier trade graph
+derived from orders ⋈ lineitem) by stationary random-walk mass.
+
+**Exact integer arithmetic.** Ranks are BIGINTs scaled by ``SCALE`` =
+1e12 and every step uses integer division (Spark ``div`` == DuckDB
+``//`` for non-negative operands). Integer sums are exact and
+associative, so the result is bit-identical regardless of partitioning,
+aggregation order, or engine — float PageRank is none of those things.
+The update is
+
+    rank'(v) = BASE + (17 * sum_{u->v} (rank(u) div outdeg(u))) div 20
+
+i.e. damping 0.85 = 17/20 and BASE = (3*SCALE) div (20*N). Dangling
+nodes would leak mass (their rank has nowhere to go); the trade graph
+has none because every edge is mirrored (bipartite, both directions).
+
+Scale design:
+- The edge list is the big side; it is repartitioned **once** by source
+  and persisted — every iteration's contribution join then reuses the
+  same co-location (the ranks side is the small, changing one).
+- Each iteration is one shuffle (the sum by destination); the join of
+  ranks to edges is broadcast when ranks fit (|V| ≪ |E|), else
+  sort-merge on the pre-partitioned key.
+- Lineage is cut with ``localCheckpoint`` every few iterations — an
+  unbounded iterative plan otherwise grows linearly and re-executes
+  from the source on failure, the classic iterative-DataFrame trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Exact-integer PageRank over a directed edge list.
+
+    ``edges`` must be deduplicated ``(src, dst)`` pairs with every node
+    appearing as a source at least once (no dangling nodes — mirror the
+    edges first if the graph is undirected/bipartite). Returns
+    ``(node, rank_s)`` with ``rank_s`` the SCALE-scaled integer rank
+    after ``iterations`` synchronous updates from a uniform start.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    e = e.repartition("src").persist()
+    try:
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n = nodes.count()
+        base = (3 * SCALE) // (20 * n)
+        r0 = SCALE // n
+        ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_s"))
+        for i in range(int(iterations)):
+            contribs = (
+                e.join(ranks.withColumnRenamed("node", "src"), "src")
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_s div deg").alias("contrib"),
+                )
+            )
+            incoming = contribs.groupBy("node").agg(
+                F.sum("contrib").alias("inc")
+            )
+            ranks = nodes.join(incoming, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(17 * coalesce(inc, 0L)) div 20")
+                ).cast("long").alias("rank_s"),
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                ranks = ranks.localCheckpoint(eager=False)
+        return ranks
+    finally:
+        e.unpersist()
+
+
+def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Customer↔supplier bipartite trade graph from orders ⋈ lineitem.
+
+    Node ids share one integer keyspace: customers map to ``2*custkey``,
+    suppliers to ``2*suppkey + 1``. Edges are mirrored so the walk is
+    ergodic and no node dangles.
+    """
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .dropDuplicates(["c_node", "s_node"])
+    )
+    fwd = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+    rev = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    return fwd.union(rev)

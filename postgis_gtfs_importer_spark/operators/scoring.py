@@ -19,7 +19,7 @@ with MinHash (operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -164,3 +164,42 @@ def compression_ratio(
             )
 
     return df.select(id_c, txt).mapInPandas(score, COMPRESSION_SCHEMA)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    stratum_col: str | None = None,
+    out_col: str = "pr_e6",
+) -> DataFrame:
+    """Quantile-normalize a score within each stratum: percent-rank in
+    parts-per-million, computed entirely in integers.
+
+    Heterogeneous quality scorers (LM perplexity, classifier logits,
+    compression ratio) live on incomparable scales; mixing corpora by
+    score requires mapping each to its within-stratum quantile first
+    (the CCNet/RefinedWeb "percentile bucket" trick). percent_rank()
+    itself is a float division; here the identical quantity is
+    ``((rank - 1) * 1_000_000) div (n - 1)`` — BIGINT-exact, so Spark
+    and the DuckDB oracle agree bit-for-bit, and ties (same score, same
+    stratum) receive the same normalized value by construction (rank(),
+    not row_number()). Single-row strata normalize to 0.
+
+    One window shuffle on the stratum key; no joins, no floats.
+    """
+    parts = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*parts).orderBy(F.col(score_col))
+    w_all = Window.partitionBy(*parts)
+    return (
+        df.withColumn("_rk", F.rank().over(w).cast("long"))
+        .withColumn("_n", F.count("*").over(w_all).cast("long"))
+        .withColumn(
+            out_col,
+            F.expr(
+                "case when _n > 1"
+                " then ((_rk - 1) * 1000000) div (_n - 1)"
+                " else 0 end"
+            ).cast("long"),
+        )
+        .drop("_rk", "_n")
+    )
