@@ -128,6 +128,18 @@ HEADLINE = [
     "streaming_interval_join_outer",
     "quality_gate",
     "video_features",
+    # continuation-block additions
+    "line_dedup",
+    "pagerank_trade",
+    "pareto_customers",
+    "events_json_stats",
+    "score_quantile_norm",
+    "hilbert_hist",
+    "temperature_sample",
+    "mad_outliers",
+    "table_profile",
+    "session_window_native",
+    "entity_resolution",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -161,6 +173,19 @@ STDOUT_OMIT = {
     "streaming_interval_join_outer",
     "quality_gate",
     "video_features",
+    # continuation-block additions all live in BENCH_DETAIL.json (the
+    # stdout line budget is exhausted at ~85 named timings)
+    "line_dedup",
+    "pagerank_trade",
+    "pareto_customers",
+    "events_json_stats",
+    "score_quantile_norm",
+    "hilbert_hist",
+    "temperature_sample",
+    "mad_outliers",
+    "table_profile",
+    "session_window_native",
+    "entity_resolution",
 }
 
 STREAMING_QUERIES = {

@@ -532,3 +532,48 @@ def percentile_gate(
         (F.col("rank") - 1) * F.lit(keep_den)
         < F.lit(keep_num) * F.col("stratum_size")
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    scale: float = 8.0,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture sampling at alpha = 1/2: keep each
+    stratum with probability min(1, scale / sqrt(count_s)), so surviving
+    counts go as ~scale·sqrt(count_s) — the multilingual/domain
+    rebalancing trick (mBERT/XLM-R alpha-sampling) that upweights rare
+    strata relative to proportional sampling without flattening to
+    uniform (that extreme is :func:`balanced_mixture`).
+
+    alpha is pinned to 1/2 because sqrt is the one power IEEE 754
+    requires to be correctly rounded: the per-stratum rate — computed
+    from exact integer counts — is the same double in Spark, DuckDB and
+    any other compliant engine, so the hash-threshold filter replays
+    exactly. An arbitrary alpha would route through pow(), whose last
+    ulp is libm-dependent, silently breaking cross-engine replay at
+    threshold boundaries.
+
+    Same two-phase plan as balanced_mixture: tiny count aggregate,
+    broadcast thresholds, deterministic md5-bucket filter — the corpus
+    never shuffles. SQL twin of the threshold:
+    ``least(BUCKETS, floor(scale * BUCKETS / sqrt(cnt)))``.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_cnt"))
+    thresholds = counts.select(
+        stratum_col,
+        F.least(
+            F.lit(HASH_BUCKETS).cast("long"),
+            F.floor(
+                F.lit(float(scale)) * HASH_BUCKETS
+                / F.sqrt(F.col("_cnt").cast("double"))
+            ).cast("long"),
+        ).alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .filter(hash_bucket(key_col, salt=salt) < F.col("_thr"))
+        .drop("_thr")
+    )

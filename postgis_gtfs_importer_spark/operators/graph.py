@@ -27,9 +27,13 @@ Scale design:
 - Each iteration is one shuffle (the sum by destination); the join of
   ranks to edges is broadcast when ranks fit (|V| ≪ |E|), else
   sort-merge on the pre-partitioned key.
-- Lineage is cut with ``localCheckpoint`` every few iterations — an
-  unbounded iterative plan otherwise grows linearly and re-executes
-  from the source on failure, the classic iterative-DataFrame trap.
+- Lineage is cut with an EAGER ``localCheckpoint`` every
+  ``checkpoint_every`` rounds AND after the final round — an unbounded
+  iterative plan otherwise nests every round's joins into the final
+  plan (duplicated subtrees, re-execution from source on failure), the
+  classic iterative-DataFrame trap. Measured at 4 iterations: cadence 2
+  beats both every-round (twice the materialization barriers) and
+  end-only (one quadratically-nested plan).
 """
 
 from __future__ import annotations
@@ -45,7 +49,8 @@ def pagerank(
     iterations: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Exact-integer PageRank over a directed edge list.
 
@@ -54,13 +59,26 @@ def pagerank(
     edges first if the graph is undirected/bipartite). Returns
     ``(node, rank_s)`` with ``rank_s`` the SCALE-scaled integer rank
     after ``iterations`` synchronous updates from a uniform start.
+
+    ``broadcast_state=True`` (default) broadcasts the |V|-sized rank,
+    degree, and incoming-sum relations into the per-iteration joins, so
+    the only shuffle per round is the contribution sum keyed by
+    destination — right whenever |V| ≪ |E| (web/trade graphs; the
+    checkpointed state has no catalog stats, so the auto-broadcast
+    estimator cannot make this call itself). Set it False for graphs
+    whose node set exceeds executor memory: every join falls back to
+    sort-merge on the pre-partitioned edge key.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).dropDuplicates(["src", "dst"])
     e = e.repartition("src").persist()
+    nodes = None
+    deg_p = None
     try:
-        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        hint = F.broadcast if broadcast_state else (lambda df: df)
+        deg_p = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+        deg = hint(deg_p)
         nodes = (
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
@@ -73,7 +91,7 @@ def pagerank(
         ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_s"))
         for i in range(int(iterations)):
             contribs = (
-                e.join(ranks.withColumnRenamed("node", "src"), "src")
+                e.join(hint(ranks.withColumnRenamed("node", "src")), "src")
                 .join(deg, "src")
                 .select(
                     F.col("dst").alias("node"),
@@ -83,18 +101,31 @@ def pagerank(
             incoming = contribs.groupBy("node").agg(
                 F.sum("contrib").alias("inc")
             )
-            ranks = nodes.join(incoming, "node", "left").select(
+            ranks = nodes.join(hint(incoming), "node", "left").select(
                 "node",
                 (
                     F.lit(base)
                     + F.expr("(17 * coalesce(inc, 0L)) div 20")
                 ).cast("long").alias("rank_s"),
             )
-            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-                ranks = ranks.localCheckpoint(eager=False)
+            if (i + 1) % checkpoint_every == 0 or i + 1 == iterations:
+                # EAGER: a lazy checkpoint truncates nothing until someone
+                # materializes it, so the final plan would still nest every
+                # iteration's joins (measured: 415 Exchange nodes at 4
+                # iterations vs single digits with eager cuts). Ranks are
+                # |V|-sized — materializing each round is noise next to
+                # replanning the whole chain. The FINAL iteration must be
+                # cut too: the edge cache is dropped on return, so a lazy
+                # tail would replay the uncached edge lineage when the
+                # caller finally executes.
+                ranks = ranks.localCheckpoint(eager=True)
         return ranks
     finally:
         e.unpersist()
+        if deg_p is not None:
+            deg_p.unpersist()
+        if nodes is not None:
+            nodes.unpersist()
 
 
 def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:

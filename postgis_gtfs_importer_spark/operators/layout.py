@@ -96,3 +96,130 @@ def zorder_layout(
         .repartitionByRange(n_files, F.col(zval_col))
         .sortWithinPartitions(zval_col)
     )
+
+
+def hilbert_index(x: Column, y: Column, bits: int = 8) -> Column:
+    """Hilbert-curve index of a quantized 2-D point — exact integers.
+
+    Same contract as interleave_bits (inputs masked to [0, 2^bits)),
+    better locality: consecutive Hilbert indices are always
+    grid-adjacent (Manhattan distance 1), so range-partitioned files
+    cover connected regions with no Morton "seam jumps" — tighter
+    per-file min/max boxes, better pruning for the same file count.
+    The classic xy2d quadrant-rotation recurrence, unrolled over
+    ``bits`` levels as pure column arithmetic (CASE + shifts — the
+    (3*rx)^ry Gray step is expressed as ``rx==1 ? 3-ry : ry`` to stay
+    xor-free and engine-portable).
+
+    The single-Column form nests each level's (hx, hy) inside the next,
+    so the expression tree grows ~3^bits — fine to ``bits<=6``, a
+    JVM-heap bomb beyond. For larger orders use
+    :func:`with_hilbert_index`, which materializes each level as named
+    columns (linear tree size).
+    """
+    if bits > 6:
+        raise ValueError(
+            "hilbert_index as a single Column nests ~3^bits expression "
+            "nodes; use with_hilbert_index(df, ...) for bits > 6"
+        )
+    n_mask = (1 << bits) - 1
+    hx = x.cast("long").bitwiseAND(F.lit(n_mask))
+    hy = y.cast("long").bitwiseAND(F.lit(n_mask))
+    d = F.lit(0).cast("long")
+    for k in range(bits - 1, -1, -1):
+        rx = F.shiftright(hx, k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(hy, k).bitwiseAND(F.lit(1))
+        step = F.when(rx == 1, F.lit(3) - ry).otherwise(ry)
+        d = d + step * F.lit(1 << (2 * k))
+        flip_x = F.when(rx == 1, F.lit(n_mask) - hy).otherwise(hy)
+        flip_y = F.when(rx == 1, F.lit(n_mask) - hx).otherwise(hx)
+        new_hx = F.when(ry == 0, flip_x).otherwise(hx)
+        new_hy = F.when(ry == 0, flip_y).otherwise(hy)
+        hx, hy = new_hx, new_hy
+    return d
+
+
+def hilbert_index_sql(x_sql: str, y_sql: str, bits: int = 8) -> str:
+    """DuckDB twin of hilbert_index: the same unrolled recurrence as a
+    chain of CTE steps. Returns ``(cte_chain, final_cte_name)``; the
+    chain reads from a CTE named ``__base`` that must expose the
+    quantized dims (any other __base columns are carried through), and
+    the final CTE exposes them plus the index column ``hd``.
+    """
+    n_mask = (1 << bits) - 1
+    steps = []
+    prev = "__h0"
+    init = (
+        f"__h0 AS (SELECT *, (CAST({x_sql} AS BIGINT) & {n_mask}) AS hx,"
+        f" (CAST({y_sql} AS BIGINT) & {n_mask}) AS hy,"
+        f" CAST(0 AS BIGINT) AS hd FROM __base)"
+    )
+    steps.append(init)
+    for idx, k in enumerate(range(bits - 1, -1, -1), start=1):
+        rx = f"((hx >> {k}) & 1)"
+        ry = f"((hy >> {k}) & 1)"
+        step = f"(CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+        nxt = f"__h{idx}"
+        steps.append(
+            f"{nxt} AS (SELECT * REPLACE ("
+            f"hd + {step} * {1 << (2 * k)} AS hd, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {n_mask} - hy"
+            f" ELSE hy END) ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {n_mask} - hx"
+            f" ELSE hx END) ELSE hy END AS hy"
+            f") FROM {prev})"
+        )
+        prev = nxt
+    return ",\n".join(steps), prev
+
+
+def with_hilbert_index(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    out_col: str = "hd",
+) -> DataFrame:
+    """hilbert_index for real orders (bits up to 31): one projection per
+    level, each referencing the previous level's NAMED (hx, hy, hd)
+    columns — tree size linear in ``bits`` instead of ~3^bits.
+    Catalyst's CollapseProject declines to merge the chain because each
+    intermediate is referenced multiple times by non-cheap expressions,
+    so neither analysis nor optimization re-inflates the tree; runtime
+    is the same whole-stage-codegen arithmetic either way.
+    """
+    if 2 * bits >= 63:
+        raise ValueError(f"2 * bits = {2 * bits} overflows BIGINT")
+    n_mask = (1 << bits) - 1
+    carry = [c for c in df.columns if c not in ("_hx", "_hy", out_col)]
+    cur = df.select(
+        *carry,
+        F.col(x_col).cast("long").bitwiseAND(F.lit(n_mask)).alias("_hx"),
+        F.col(y_col).cast("long").bitwiseAND(F.lit(n_mask)).alias("_hy"),
+        F.lit(0).cast("long").alias(out_col),
+    )
+    for k in range(bits - 1, -1, -1):
+        rx = F.shiftright(F.col("_hx"), k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), k).bitwiseAND(F.lit(1))
+        step = F.when(rx == 1, F.lit(3) - ry).otherwise(ry)
+        cur = cur.select(
+            *carry,
+            F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(n_mask) - F.col("_hy")).otherwise(
+                    F.col("_hy")
+                ),
+            )
+            .otherwise(F.col("_hx"))
+            .alias("_hx"),
+            F.when(
+                ry == 0,
+                F.when(rx == 1, F.lit(n_mask) - F.col("_hx")).otherwise(
+                    F.col("_hx")
+                ),
+            )
+            .otherwise(F.col("_hy"))
+            .alias("_hy"),
+            (F.col(out_col) + step * F.lit(1 << (2 * k))).alias(out_col),
+        )
+    return cur.drop("_hx", "_hy")

@@ -203,3 +203,53 @@ def quantile_normalize(
         )
         .drop("_rk", "_n")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation,
+    computed entirely in integers.
+
+    Mean/stddev gates break on the very outliers they hunt (a single
+    10^9 value drags the mean); median ± k·MAD does not. ``value_col``
+    must be integral (quantize floats to cents/micros first — the same
+    discipline as fixed_point()). The median is the LOWER median,
+    selected by rank: the value at row (n+1) div 2 in (value, id) order
+    — an exact, engine-identical element of the data, no interpolation,
+    no float percentile boundary. MAD is the lower median of
+    |v - median| the same way. A row is an outlier iff
+    |v - med| > k * MAD — all BIGINT comparisons.
+
+    Plan: two window passes over the group key (median, then deviation
+    median) plus a broadcast join of the per-group stats back to the
+    rows; the table shuffles on the group key once per pass, stats are
+    group-count-sized. Returns input + med, mad, is_outlier.
+    """
+    v = F.col(value_col).cast("long")
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(group_col).orderBy(F.col(col), F.col(id_col))
+        wg = Window.partitionBy(group_col)
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(wg))
+            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select(group_col, F.col(col).cast("long").alias(out))
+        )
+
+    meds = lower_median(df.select(group_col, id_col, v.alias("_v")), "_v", "med")
+    with_med = df.withColumn("_v", v).join(F.broadcast(meds), group_col)
+    devs = with_med.withColumn("_dev", F.abs(F.col("_v") - F.col("med")))
+    mads = lower_median(
+        devs.select(group_col, id_col, F.col("_dev").alias("_d")), "_d", "mad"
+    )
+    return (
+        devs.join(F.broadcast(mads), group_col)
+        .withColumn("is_outlier", (F.col("_dev") > F.lit(int(k)) * F.col("mad")))
+        .drop("_v", "_dev")
+    )

@@ -63,8 +63,11 @@ _MUST_VERIFY: list[str] = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "decontaminate",
-    "simhash_pairs",
-    "token_topk",
+    # simhash_pairs / token_topk were listed here as cautionary
+    # shingle/token siblings, but their transitive impl (token_rows,
+    # dedup.py:134) is unchanged since the initial commit — only
+    # shingle_rows was rewritten in 8899568 — so their r1/r2 driver rows
+    # remain valid and their slots go to never-verified new entries.
     # r4 ADVICE fixes touch these implementations (NULL-bin policy, CMS
     # salt separator, z-value input masking)
     "hist_quantiles",
@@ -114,11 +117,17 @@ _FRONT: list[str] = [
     "pareto_customers",
     "events_json_stats",
     "score_quantile_norm",
-    # last driver row r1/r2 — stale by age, not by code change; re-verify
-    # while window budget allows (r3-green entries rotate out to make room)
-    "ann_ivf_topk",
-    "embedding_topk",
-    "semantic_dedup",
+    "hilbert_hist",
+    "temperature_sample",
+    "mad_outliers",
+    "session_window_native",
+    "entity_resolution",
+    # table_profile (also new) sits first PAST the window — 50 slots
+    # cannot hold every new entry this round; it is the least
+    # semantically risky (pure single-scan aggregate) and stays fully
+    # value-checked by tests/test_oracle_parity.py. ann_ivf_topk /
+    # embedding_topk / semantic_dedup (stale-by-age, impl unchanged)
+    # rotated out to make room.
     # r4 real-decoder rewrite postdates the r1/r2 driver row — must stay
     # in the window until a fresh row lands
     "multimodal_features",
@@ -5823,3 +5832,397 @@ def score_quantile_norm_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     return quantile_normalize(d, score_col="n_chars", stratum_col="lang")
+
+
+# ===========================================================================
+# Hilbert-curve layout (locality-tighter sibling of zorder_hist)
+# ===========================================================================
+
+
+def _hilbert_oracle_sql() -> str:
+    from ..operators.layout import hilbert_index_sql
+
+    ctes, last = hilbert_index_sql("qx", "qy", bits=8)
+    return f"""
+    WITH __base AS (
+      SELECT o_custkey % 256 AS qx, (o_orderkey // 7) % 256 AS qy
+      FROM orders
+    ),
+    {ctes}
+    SELECT hd >> 8 AS hbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(qx) AS BIGINT) AS min_qx, CAST(max(qx) AS BIGINT) AS max_qx,
+           CAST(min(qy) AS BIGINT) AS min_qy, CAST(max(qy) AS BIGINT) AS max_qy
+    FROM {last} GROUP BY hbucket
+    """
+
+
+@register("hilbert_hist", _hilbert_oracle_sql())
+def hilbert_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering histogram on the same 256x256 grid as
+    zorder_hist: per 256-wide Hilbert bucket, row count and per-dimension
+    min/max — the file statistics a Hilbert-ordered layout hands the
+    scan planner. Unlike Morton, consecutive Hilbert indices are always
+    grid-adjacent (no seam jumps), so buckets cover connected regions
+    with tighter boxes — tests/test_layout.py pins both the bijection/
+    unit-adjacency property and the span advantage over Z-order.
+    operators/layout.py::with_hilbert_index (the linear-tree projection
+    chain — the naive single-Column nesting grows ~3^bits expression
+    nodes and OOMs analysis at bits=8), oracle = the same recurrence
+    unrolled as DuckDB CTE steps (hilbert_index_sql)."""
+    from ..operators.layout import with_hilbert_index
+
+    o = _t(spark, sf_dir, "orders")
+    q = o.select(
+        (F.col("o_custkey") % 256).alias("qx"),
+        ((F.col("o_orderkey") / 7).cast("long") % 256).alias("qy"),
+    )
+    return (
+        with_hilbert_index(q, "qx", "qy", bits=8, out_col="hd")
+        .groupBy(F.shiftright("hd", 8).alias("hbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("qx").cast("long").alias("min_qx"),
+            F.max("qx").cast("long").alias("max_qx"),
+            F.min("qy").cast("long").alias("min_qy"),
+            F.max("qy").cast("long").alias("max_qy"),
+        )
+    )
+
+
+# ===========================================================================
+# Temperature-based mixture sampling (alpha = 1/2)
+# ===========================================================================
+
+
+@register(
+    "temperature_sample",
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             least(
+               CAST(10000 AS BIGINT),
+               CAST(floor(2.0 * 10000 / sqrt(CAST(cnt AS DOUBLE)))
+                    AS BIGINT)
+             ) AS thr
+      FROM counts
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN thr t USING (source)
+    WHERE CAST(('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 10000 < t.thr
+    """,
+)
+def temperature_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling at alpha=1/2
+    (operators/curation.py::temperature_sample): per-source keep rate
+    min(1, scale/sqrt(count)) — surviving counts ~ sqrt(raw counts), the
+    mBERT/XLM-R rare-domain upweighting. alpha is pinned to 1/2 because
+    sqrt is correctly rounded under IEEE 754 (pow is not), so the
+    data-derived thresholds replay bit-identically in the oracle. Plan:
+    tiny count aggregate -> broadcast thresholds -> md5-bucket filter;
+    the corpus never shuffles."""
+    from ..operators.curation import temperature_sample
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    out = temperature_sample(
+        d, key_col="doc_id", stratum_col="source", scale=2.0, salt="temp"
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+# ===========================================================================
+# Single-pass table profiling (ANALYZE-style column stats)
+# ===========================================================================
+
+
+@register(
+    "table_profile",
+    """
+    SELECT 'l_orderkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_linenumber) AS BIGINT),
+           CAST(count(DISTINCT l_linenumber) AS BIGINT),
+           CAST(min(l_linenumber) AS VARCHAR),
+           CAST(max(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_shipdate) AS BIGINT),
+           CAST(count(DISTINCT l_shipdate) AS BIGINT),
+           CAST(min(l_shipdate) AS VARCHAR),
+           CAST(max(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def table_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in ONE table scan
+    (operators/profiling.py::profile_columns): per column, row count,
+    null count, exact distinct count, min/max (string-canonicalized
+    post-aggregation). Spark plans the multi-distinct aggregate as a
+    single Expand + two-stage hash agg — at 100 TB that is column_count
+    scans saved vs the naive per-column loop the oracle spells out. The
+    stats feed join planning, layout decisions, and data-quality
+    monitors — the Spark-native stand-in for the reference's reliance
+    on PostgreSQL ANALYZE after load."""
+    from ..operators.profiling import profile_columns
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    return profile_columns(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
+    )
+
+
+# ===========================================================================
+# Robust outlier gate: median absolute deviation, exact integers
+# ===========================================================================
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH v AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+               AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    med AS (SELECT grp, cents AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT v.o_orderkey, v.grp, v.cents, m.med,
+             abs(v.cents - m.med) AS dev
+      FROM v JOIN med m USING (grp)
+    ),
+    r2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY grp ORDER BY dev, o_orderkey)
+               AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM d
+    ),
+    mad AS (SELECT grp, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.o_orderkey, d.grp AS o_orderpriority, d.cents, d.med, m.mad
+    FROM d JOIN mad m USING (grp)
+    WHERE d.dev > 2 * m.mad
+    """,
+)
+def mad_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-priority outlier detection on order totals
+    (operators/scoring.py::mad_outliers): lower median and MAD selected
+    by integer rank — exact data elements, no interpolation, no float
+    percentile boundary — then |v - med| > 3·MAD flags the tail.
+    Mean/stddev gates break on the outliers they hunt; MAD does not.
+    All-BIGINT, so the window-based oracle replays exactly. k=2 on this
+    distribution yields a real tail (k=3 is empty at sf0.01)."""
+    from ..operators.scoring import mad_outliers
+
+    o = spread(_t(spark, sf_dir, "orders"))
+    v = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    out = mad_outliers(
+        v, value_col="cents", group_col="o_orderpriority",
+        id_col="o_orderkey", k=2,
+    )
+    return out.filter(F.col("is_outlier")).select(
+        "o_orderkey", "o_orderpriority", "cents", "med", "mad"
+    )
+
+
+# ===========================================================================
+# Native session_window operator (proved == the gaps-and-islands def)
+# ===========================================================================
+
+
+@register(
+    "session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS win_start_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS win_end_epoch,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def session_window_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window aggregation (F.session_window, the
+    merging-session-state operator Structured Streaming uses) run in
+    batch mode, 30-min gap — and proved equal to the declarative
+    gaps-and-islands definition by the oracle: window start = first
+    event, window end = last event + gap, one row per (user, session).
+    Two differences from operators/sessions.py::sessionize are
+    intentional: the gap comparison is >= (session_window closes at
+    exactly gap distance) and the output carries the engine's window
+    bounds, epoch-canonicalized so the struct never reaches the driver
+    hash. The ts column is TIMESTAMP_NTZ under the UTC session pin
+    (sources.tables.load_table), so epoch arithmetic is engine-neutral.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("win_start_epoch"),
+            F.unix_timestamp(F.col("session_window.end"))
+            .cast("long")
+            .alias("win_end_epoch"),
+            F.col("n_events").cast("long"),
+        )
+    )
+
+
+# ===========================================================================
+# Entity resolution: blocked fuzzy match -> clusters -> canonical entity
+# ===========================================================================
+
+
+_FUZZY_PAIRS_SQL = """
+    WITH titles AS (
+      SELECT doc_id, substr(text, 1, 40) AS title,
+             split_part(trim(substr(text, 1, 40)), ' ', 1) AS blk
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.title AS t_a, b.title AS t_b
+      FROM titles a JOIN titles b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b
+    FROM cand
+    WHERE levenshtein(t_a, t_b) <= 12
+"""
+
+
+@register(
+    "entity_resolution",
+    f"""
+    WITH RECURSIVE pairs AS ({_FUZZY_PAIRS_SQL}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS entity_id
+      FROM reach GROUP BY src
+    ),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.entity_id, d.doc_id) AS entity_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, entity_id,
+           count(*) OVER (PARTITION BY entity_id) AS cluster_size,
+           (doc_id = entity_id) AS is_canonical
+    FROM assigned
+    """,
+)
+def entity_resolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution, the classic three-stage composition:
+    (1) blocking + fuzzy verify (the fuzzy_title_pairs blocked
+    levenshtein join — candidate generation never goes all-pairs),
+    (2) transitive closure via the large-star/small-star connected
+    components (operators/dedup.py), (3) canonicalization — every record
+    assigned the min-id entity of its cluster, singletons self-canonical,
+    plus cluster size and a canonical flag. The oracle replays the whole
+    pipeline: same pair SQL, recursive-CTE closure, left-join
+    canonicalize. Each stage is individually driver-verified elsewhere
+    (fuzzy_title_pairs, dedup_clusters); this entry pins the
+    COMPOSITION, the form a production record-linkage job takes."""
+    d = spread(_t(spark, sf_dir, "documents"))
+    titles = d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("title"),
+        F.split(F.trim(F.substring("text", 1, 40)), " ")[0].alias("blk"),
+    )
+    a, b = titles.alias("a"), titles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.title"), F.col("b.title")) <= 12
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+    )
+    comp = DD.connected_components(pairs)
+    assigned = (
+        d.select("doc_id")
+        .join(
+            comp.select(
+                F.col("id").alias("doc_id"),
+                F.col("component").alias("entity_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
+        )
+    )
+    w = Window.partitionBy("entity_id")
+    return assigned.select(
+        "doc_id",
+        "entity_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("entity_id")).alias("is_canonical"),
+    )

@@ -260,3 +260,25 @@ def test_percentile_gate_integer_ceiling_and_determinism(spark):
         ).collect()
     )
     assert kept == [0, 1]  # ceil(8/4) = 2, deterministic under total tie
+
+
+def test_temperature_sample_sqrt_rates_and_determinism(spark):
+    from postgis_gtfs_importer_spark.operators.curation import temperature_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_sample(df, "doc_id", "source", scale=2.0)
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    # small stratum: rate = min(1, 2/sqrt(4)) = 1 -> all four kept
+    assert {(1000 + i, "small") for i in range(4)} <= got
+    # big stratum: rate 2/sqrt(100) = 0.2 -> ~20 of 100 (hash-thresholded)
+    n_big = sum(1 for d, s in got if s == "big")
+    assert 8 <= n_big <= 35
+    # deterministic under repartitioning
+    got2 = {
+        (r["doc_id"], r["source"])
+        for r in temperature_sample(
+            df.repartition(7), "doc_id", "source", scale=2.0
+        ).collect()
+    }
+    assert got == got2

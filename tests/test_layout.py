@@ -77,3 +77,107 @@ def test_zorder_prunes_2d_box_scan(spark, tmp_path):
     # x-range width implies and strictly fewer than the linear layout.
     assert z_files < l_files, (z_files, l_files)
     assert z_files <= n_files // 8, f"z-order touched {z_files}/{n_files} files"
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve
+# ---------------------------------------------------------------------------
+
+
+def _xy2d_ref(order, x, y):
+    """Pure-python xy2d (public Hilbert recurrence) as the oracle."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = order - 1 - x
+                y = order - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_bijection_and_unit_adjacency(spark):
+    """The defining Hilbert property: d -> (x, y) is a bijection on the
+    full grid and consecutive indices are ALWAYS grid-adjacent
+    (Manhattan distance 1). Z-order fails the adjacency test at every
+    power-of-two seam — this is exactly the locality Hilbert buys."""
+    from postgis_gtfs_importer_spark.operators.layout import with_hilbert_index
+
+    bits, n = 4, 16
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    rows = with_hilbert_index(grid, "x", "y", bits=bits).collect()
+    by_d = {r["hd"]: (r["x"], r["y"]) for r in rows}
+    assert len(by_d) == n * n
+    assert set(by_d) == set(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+    # and it matches the public reference recurrence value-for-value
+    for r in rows:
+        assert r["hd"] == _xy2d_ref(n, r["x"], r["y"])
+
+
+def test_hilbert_column_form_matches_dataframe_form(spark):
+    from postgis_gtfs_importer_spark.operators.layout import (
+        hilbert_index,
+        with_hilbert_index,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    a = sorted(
+        (r["x"], r["y"], r["hd"])
+        for r in grid.withColumn(
+            "hd", hilbert_index(F.col("x"), F.col("y"), bits=6)
+        ).collect()
+    )
+    b = sorted(
+        (r["x"], r["y"], r["hd"])
+        for r in with_hilbert_index(grid, "x", "y", bits=6).collect()
+    )
+    assert a == b
+
+
+def test_hilbert_buckets_tighter_than_zorder(spark):
+    """For equal bucket counts on the full 256x256 grid, the summed
+    per-bucket bounding-box area of Hilbert buckets must not exceed
+    Z-order's — connected curve segments have no seam jumps."""
+    from postgis_gtfs_importer_spark.operators.layout import with_hilbert_index
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+
+    def bucket_area(df, idx_col):
+        spans = (
+            df.groupBy(F.shiftright(idx_col, 8).alias("b"))
+            .agg(
+                ((F.max("x") - F.min("x") + 1)
+                 * (F.max("y") - F.min("y") + 1)).alias("area")
+            )
+            .agg(F.sum("area").alias("s"))
+            .collect()[0]["s"]
+        )
+        return spans
+
+    h = bucket_area(
+        with_hilbert_index(grid, "x", "y", bits=8), F.col("hd")
+    )
+    z = bucket_area(
+        grid.withColumn(
+            "z", interleave_bits([F.col("x"), F.col("y")], bits=8)
+        ),
+        F.col("z"),
+    )
+    assert h <= z, (h, z)

@@ -108,3 +108,22 @@ def test_compression_ratio_matches_direct_zlib(spark):
     # plan: one Arrow-batched python stage, no shuffle
     plan = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+def test_mad_outliers_flags_far_tail_only(spark):
+    from postgis_gtfs_importer_spark.operators.scoring import mad_outliers
+
+    rows = [("a", i, v) for i, v in enumerate([10, 10, 12, 14, 14, 1000])]
+    rows += [("b", i, v) for i, v in enumerate([5, 6, 7])]
+    df = spark.createDataFrame(rows, ["grp", "rid", "val"])
+    out = {
+        (r["grp"], r["rid"]): (r["med"], r["mad"], r["is_outlier"])
+        for r in mad_outliers(df, "val", "grp", "rid", k=2).collect()
+    }
+    # group a: sorted [10,10,12,14,14,1000], lower median idx (6+1)//2=3
+    # -> med=12; devs [2,2,0,2,2,988] sorted [0,2,2,2,2,988] -> MAD=2
+    # outlier iff dev > 4: only the 1000 row
+    assert out[("a", 5)] == (12, 2, True)
+    assert all(not v[2] for k, v in out.items() if k != ("a", 5))
+    # group b: med=6, MAD=1, no deviation exceeds 2
+    assert out[("b", 0)] == (6, 1, False)
