@@ -140,6 +140,8 @@ HEADLINE = [
     "table_profile",
     "session_window_native",
     "entity_resolution",
+    "locf_resample",
+    "revenue_pivot",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -186,6 +188,8 @@ STDOUT_OMIT = {
     "table_profile",
     "session_window_native",
     "entity_resolution",
+    "locf_resample",
+    "revenue_pivot",
 }
 
 STREAMING_QUERIES = {

@@ -114,3 +114,66 @@ def range_join_bucketed(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("_b")
     )
+
+
+def locf_resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Regularize an irregular time series: per key, build the complete
+    ``step_sec`` grid spanning the key's observed range and fill empty
+    steps by last-observation-carried-forward.
+
+    The resample/gap-fill every time-series feature pipeline needs
+    before windowed models (a missing hour must mean "unchanged", not
+    "absent"). Three stages, all shuffling only on the key:
+
+    1. bucket: each observation maps to step ``floor(epoch(ts)) div
+       step_sec``; within a (key, step) the LAST observation wins,
+       selected as ``max(struct(ts, id, value))`` — an exact,
+       deterministic element (id breaks ts ties), aggregated with
+       map-side partial combine.
+    2. grid: per key, ``sequence(min_step, max_step)`` exploded
+       map-side from a two-number row — the dense axis never shuffles
+       as raw events.
+    3. fill: left-join grid to buckets (same key partitioning), then
+       ``last(value, ignorenulls=True)`` over the step order — one
+       window pass.
+
+    Returns ``(key, step, value, is_observed)``; the first grid step is
+    always observed by construction (it is the key's min event).
+    """
+    k, t, v = key_col, ts_col, value_col
+    step = F.expr(f"unix_timestamp({t}) div {int(step_sec)}")
+    obs = (
+        df.withColumn("_step", step)
+        .groupBy(k, "_step")
+        .agg(
+            F.max(F.struct(F.col(t), F.col(id_col), F.col(v))).alias("_last")
+        )
+        .select(k, "_step", F.col("_last")[v].alias("_obs"))
+    )
+    spans = obs.groupBy(k).agg(
+        F.min("_step").alias("_lo"), F.max("_step").alias("_hi")
+    )
+    grid = spans.select(
+        k, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_step")
+    )
+    w = (
+        Window.partitionBy(k)
+        .orderBy("_step")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [k, "_step"], "left")
+        .select(
+            F.col(k),
+            F.col("_step").alias("step"),
+            F.last("_obs", ignorenulls=True).over(w).alias("value"),
+            F.col("_obs").isNotNull().alias("is_observed"),
+        )
+    )

@@ -122,9 +122,10 @@ _FRONT: list[str] = [
     "mad_outliers",
     "session_window_native",
     "entity_resolution",
-    # table_profile (also new) sits first PAST the window — 50 slots
-    # cannot hold every new entry this round; it is the least
-    # semantically risky (pure single-scan aggregate) and stays fully
+    # table_profile / locf_resample / revenue_pivot (also new) sit PAST
+    # the window — 50 slots cannot hold every new entry this round;
+    # they are the least semantically risky (pure aggregates / value
+    # carrying, no novel hash or float paths) and stay fully
     # value-checked by tests/test_oracle_parity.py. ann_ivf_topk /
     # embedding_topk / semantic_dedup (stale-by-age, impl unchanged)
     # rotated out to make room.
@@ -6225,4 +6226,121 @@ def entity_resolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id",
         F.count("*").over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("entity_id")).alias("is_canonical"),
+    )
+
+
+# ===========================================================================
+# Time-series regularization: LOCF gap-fill resample
+# ===========================================================================
+
+
+@register(
+    "locf_resample",
+    """
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS step, value,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    o1 AS (SELECT user_id, step, value FROM obs WHERE rn = 1),
+    spans AS (
+      SELECT user_id, min(step) AS lo, max(step) AS hi
+      FROM o1 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS step FROM spans
+    ),
+    j AS (
+      SELECT g.user_id, g.step, o.value AS obs_v
+      FROM grid g LEFT JOIN o1 o
+        ON o.user_id = g.user_id AND o.step = g.step
+    )
+    SELECT user_id, step,
+           last_value(obs_v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY step
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           obs_v IS NOT NULL AS is_observed
+    FROM j
+    """,
+)
+def locf_resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/temporal.py::locf_resample):
+    per user, the complete hourly grid over the observed span with
+    last-observation-carried-forward fill — the resample step every
+    windowed-model feature pipeline needs (a silent missing hour must
+    mean "unchanged", not "absent"). Per-bucket winner = exact
+    max(struct(ts, id, value)) (map-side combine); the dense axis is
+    sequence()-exploded from two numbers per key, never shuffled as raw
+    events; the fill is one ignorenulls window pass. The carried value
+    is the same stored double on both engines — no arithmetic, no
+    drift."""
+    from ..operators.temporal import locf_resample
+
+    e = spread(_t(spark, sf_dir, "events"))
+    return locf_resample(
+        e, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", step_sec=3600,
+    )
+
+
+# ===========================================================================
+# Pivot (wide reshape) through the native DataFrame pivot API
+# ===========================================================================
+
+
+@register(
+    "revenue_pivot",
+    """
+    SELECT n.n_name,
+           CAST(coalesce(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+             THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END), 0)
+             AS BIGINT) AS "1-URGENT",
+           CAST(coalesce(sum(CASE WHEN o.o_orderpriority = '2-HIGH'
+             THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END), 0)
+             AS BIGINT) AS "2-HIGH",
+           CAST(coalesce(sum(CASE WHEN o.o_orderpriority = '3-MEDIUM'
+             THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END), 0)
+             AS BIGINT) AS "3-MEDIUM",
+           CAST(coalesce(sum(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED'
+             THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END), 0)
+             AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(coalesce(sum(CASE WHEN o.o_orderpriority = '5-LOW'
+             THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END), 0)
+             AS BIGINT) AS "5-LOW"
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native DataFrame pivot API: order revenue (exact cents) per
+    nation, reshaped wide by the five order priorities. The pivot value
+    list is PINNED — with an explicit list Spark pivots in one pass with
+    no values-discovery job, the form that survives at scale (an
+    unpinned pivot first runs a distinct over the pivot column). Oracle
+    = the conditional-aggregation expansion, which is also exactly what
+    Catalyst lowers pivot to. Dimension joins broadcast; missing cells
+    coalesce to 0 on both engines."""
+    o = spread(_t(spark, sf_dir, "orders"))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.col("o_orderpriority").alias("pri"),
+                cents.alias("cents"))
+        .groupBy("n_name")
+        .pivot("pri", pri)
+        .sum("cents")
+    )
+    return wide.select(
+        "n_name", *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(p) for p in pri]
     )

@@ -452,3 +452,53 @@ def test_media_builders_roundtrip_through_parsers(doc_id, n_chars):
     assert vfmt == "mp4"
     assert w == 320 + (doc_id % 8) * 160 and h == 240 + (doc_id % 6) * 120
     assert vdur == (600 + (n_chars % 1200) * 10) * 1000 // 600
+
+
+# -- line-level dedup -------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=docs_strategy, k=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_line_dedup_invariants(spark, docs, k):
+    """(1) kept + dropped == total lines per doc; (2) corpus-wide kept
+    line count == number of DISTINCT lines (each distinct line survives
+    exactly once); (3) the lexicographically first document is never
+    line-deduplicated against itself from elsewhere (its first line
+    always survives); (4) idempotence: running line_dedup over the
+    reassembled kept text drops nothing."""
+    from postgis_gtfs_importer_spark.operators.lines import line_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = line_dedup(df, tokens_per_line=k).collect()
+    assert all(r["kept_lines"] + r["dropped_lines"] == r["n_lines"] for r in out)
+
+    def lines_of(toks):
+        return [
+            " ".join(toks[i : i + k]) for i in range(0, len(toks), k)
+        ]
+
+    all_lines = [ln for toks in docs for ln in lines_of(toks)]
+    assert sum(r["kept_lines"] for r in out) == len(set(all_lines))
+    first = next(r for r in out if r["doc_id"] == 0)
+    assert first["kept_lines"] >= 1
+    assert first["kept_text"].split("\n")[0] == lines_of(docs[0])[0]
+    # idempotence over the survivors (re-segment at the same width)
+    kept_rows = [
+        (r["doc_id"], r["kept_text"].replace("\n", " "))
+        for r in out
+        if r["kept_lines"] > 0
+    ]
+    df2 = spark.createDataFrame(kept_rows, ["doc_id", "text"])
+    out2 = line_dedup(df2, tokens_per_line=k).collect()
+    assert all(r["dropped_lines"] == 0 for r in out2)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from postgis_gtfs_importer_spark.operators.temporal import asof_join
 
 
@@ -130,3 +132,31 @@ def test_asof_join_matches_naive_reference_on_random_inputs(spark):
                 best = max(cands)
                 want = (best[1], best[0])
             assert got[(k, ts, tag)] == want, (trial, k, ts, got[(k, ts, tag)], want)
+
+
+def test_locf_resample_fills_gaps_and_carries_last(spark):
+    from postgis_gtfs_importer_spark.operators.temporal import locf_resample
+
+    # user 1: events in hours 10, 13 (two in 13 — latest wins), gap 11-12
+    rows = [
+        (1, "2024-01-01 10:15:00", 100, 5.0),
+        (1, "2024-01-01 13:05:00", 101, 7.0),
+        (1, "2024-01-01 13:45:00", 102, 9.0),
+        (2, "2024-01-01 00:30:00", 103, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts_s", "event_id", "value"]
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {
+        (r["user_id"], r["step"]): (r["value"], r["is_observed"])
+        for r in locf_resample(
+            df, "user_id", "ts", "value", "event_id", step_sec=3600
+        ).collect()
+    }
+    base = 473362  # 2024-01-01 10:00 UTC in hours since epoch
+    assert out[(1, base)] == (5.0, True)
+    assert out[(1, base + 1)] == (5.0, False)   # gap: carried
+    assert out[(1, base + 2)] == (5.0, False)   # gap: carried
+    assert out[(1, base + 3)] == (9.0, True)    # latest of the two wins
+    assert len([k for k in out if k[0] == 1]) == 4  # exact span, no pad
+    assert len([k for k in out if k[0] == 2]) == 1  # singleton span
