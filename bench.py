@@ -142,6 +142,7 @@ HEADLINE = [
     "entity_resolution",
     "locf_resample",
     "revenue_pivot",
+    "streaming_corpus_gate",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -190,9 +191,11 @@ STDOUT_OMIT = {
     "entity_resolution",
     "locf_resample",
     "revenue_pivot",
+    "streaming_corpus_gate",
 }
 
 STREAMING_QUERIES = {
+    "streaming_corpus_gate",
     "streaming_windowed_stats",
     "streaming_sessionize",
     "streaming_interval_join",

@@ -80,7 +80,10 @@ _FRONT: list[str] = [
     # round-4 additions — no driver row yet
     "funnel_conversion",
     "retention_cohorts",
-    "stats_route_date",
+    # stats_route_date traded out for streaming_corpus_gate: it is the
+    # near-twin of the r3-green stats family shapes, while the
+    # batch==stream gate pin is a new verification class
+    "streaming_corpus_gate",
     "lexical_rarity",
     "neardup_incremental",
     "event_transitions",
@@ -4711,18 +4714,61 @@ def excess_shippers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EXCESS_SHIPPERS_SQL)
 
 
+def _fuzzy_keyed_titles(d: DataFrame, cap: int = 12) -> DataFrame:
+    """Hierarchically-blocked titles for the fuzzy-match family: the
+    blocking key is the first title token, EXTENDED to (token1|token2)
+    for any block whose size exceeds ``cap``. A single hot first token
+    ("the", "group") otherwise makes the within-block verify quadratic
+    in the hot block — at corpus scale that is the job-killer, and
+    dropping hot blocks (the df-cap alternative) silently loses recall.
+    Sub-blocking keeps every pair that shares the extended key; the
+    trade (hot-block pairs differing in token2 are not compared) is the
+    standard hierarchical-blocking recall contract, stated rather than
+    silent. Returns (doc_id, title, blk)."""
+    titles = d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("title"),
+        F.split(F.trim(F.substring("text", 1, 40)), " ")[0].alias("blk1"),
+        F.coalesce(
+            F.split(F.trim(F.substring("text", 1, 40)), " ")[1], F.lit("")
+        ).alias("blk2"),
+    )
+    sizes = titles.groupBy("blk1").agg(F.count("*").alias("_n"))
+    return (
+        titles.join(F.broadcast(sizes), "blk1")
+        .select(
+            "doc_id",
+            "title",
+            F.when(
+                F.col("_n") > cap, F.concat_ws("|", "blk1", "blk2")
+            )
+            .otherwise(F.col("blk1"))
+            .alias("blk"),
+        )
+    )
+
+
+
 @register(
     "fuzzy_title_pairs",
     """
     WITH titles AS (
       SELECT doc_id, substr(text, 1, 40) AS title,
-             split_part(trim(substr(text, 1, 40)), ' ', 1) AS blk
+             split_part(trim(substr(text, 1, 40)), ' ', 1) AS blk1,
+             split_part(trim(substr(text, 1, 40)), ' ', 2) AS blk2
       FROM documents
+    ),
+    sizes AS (SELECT blk1, count(*) AS n FROM titles GROUP BY blk1),
+    keyed AS (
+      SELECT t.doc_id, t.title,
+             CASE WHEN s.n > 12 THEN t.blk1 || '|' || t.blk2
+                  ELSE t.blk1 END AS blk
+      FROM titles t JOIN sizes s USING (blk1)
     ),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.title AS t_a, b.title AS t_b
-      FROM titles a JOIN titles b
+      FROM keyed a JOIN keyed b
         ON a.blk = b.blk AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
@@ -4734,18 +4780,16 @@ def excess_shippers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_title_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching at scale: blocked edit-distance join over
     the documents' 40-char title prefixes. The quadratic levenshtein
-    verify runs ONLY inside first-token blocks (the classic
-    blocking-key design — swap in q-gram or phonetic keys without
-    touching the verify); the block join is an equi-join, never
-    all-pairs. Both engines implement the same classic DP levenshtein,
-    so the distance is an exact shared integer."""
+    verify runs ONLY inside blocks, and blocks are HIERARCHICAL
+    (_fuzzy_keyed_titles): first-token key, extended by the second
+    token wherever the first-token block exceeds 12 members — bounding
+    the per-block quadratic cost without silently dropping hot blocks.
+    The block join is an equi-join, never all-pairs. Both engines
+    implement the same classic DP levenshtein, so the distance is an
+    exact shared integer."""
     d = spread(_t(spark, sf_dir, "documents"))
-    titles = d.select(
-        "doc_id",
-        F.substring("text", 1, 40).alias("title"),
-        F.split(F.trim(F.substring("text", 1, 40)), " ")[0].alias("blk"),
-    )
-    a, b = titles.alias("a"), titles.alias("b")
+    keyed = _fuzzy_keyed_titles(d, cap=12)
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
@@ -6127,10 +6171,18 @@ def session_window_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_PAIRS_SQL = """
-    WITH titles AS (
+    WITH titles0 AS (
       SELECT doc_id, substr(text, 1, 40) AS title,
-             split_part(trim(substr(text, 1, 40)), ' ', 1) AS blk
+             split_part(trim(substr(text, 1, 40)), ' ', 1) AS blk1,
+             split_part(trim(substr(text, 1, 40)), ' ', 2) AS blk2
       FROM documents
+    ),
+    sizes AS (SELECT blk1, count(*) AS n FROM titles0 GROUP BY blk1),
+    titles AS (
+      SELECT t.doc_id, t.title,
+             CASE WHEN s.n > 12 THEN t.blk1 || '|' || t.blk2
+                  ELSE t.blk1 END AS blk
+      FROM titles0 t JOIN sizes s USING (blk1)
     ),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6184,12 +6236,8 @@ def entity_resolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fuzzy_title_pairs, dedup_clusters); this entry pins the
     COMPOSITION, the form a production record-linkage job takes."""
     d = spread(_t(spark, sf_dir, "documents"))
-    titles = d.select(
-        "doc_id",
-        F.substring("text", 1, 40).alias("title"),
-        F.split(F.trim(F.substring("text", 1, 40)), " ")[0].alias("blk"),
-    )
-    a, b = titles.alias("a"), titles.alias("b")
+    keyed = _fuzzy_keyed_titles(d, cap=12)
+    a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(
             b,
@@ -6344,3 +6392,64 @@ def revenue_pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "n_name", *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(p) for p in pri]
     )
+
+
+# ===========================================================================
+# Streaming corpus curation gate (batch == stream, same expressions)
+# ===========================================================================
+
+
+@register(
+    "streaming_corpus_gate",
+    """
+    WITH contaminated AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d
+    WHERE len(string_split(d.text, ' ')) >= 30
+      AND d.lang IN ('en', 'de')
+      AND md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+          NOT IN (SELECT fp FROM contaminated)
+    """,
+)
+def streaming_corpus_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus curation gate run as a REAL Structured Streaming query:
+    documents arrive as a file stream, pass stateless quality gates
+    (token floor, language allowlist) and a stream-static LEFT ANTI
+    join against the broadcast contamination-fingerprint index (the
+    deterministic doc_id%17 synthetic benchmark set), and land in the
+    sink. The oracle is the identical batch SQL — pinning the
+    batch==stream contract that lets one curation codebase serve both
+    the backfill and the live ingest path. All gates are stateless and
+    the anti-join's static side broadcasts per micro-batch: no state
+    store, no watermark, unbounded scale-out by input files."""
+    from ..streaming.events import run_to_memory, stream_testdata_documents
+
+    docs = stream_testdata_documents(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    index = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                )
+            ).alias("fp")
+        )
+    )
+    gated = (
+        docs.withColumn("n_tokens", F.size(F.split(F.col("text"), " ")).cast("long"))
+        .filter(F.col("n_tokens") >= 30)
+        .filter(F.col("lang").isin("en", "de"))
+        .withColumn("fp", F.md5(norm))
+        .join(F.broadcast(index), "fp", "left_anti")
+        .select("doc_id", "source", "lang", "n_tokens")
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"scorpus_{_STREAM_QUERY_SEQ[0]}"
+    run_to_memory(gated, name, output_mode="append")
+    return spark.table(name)

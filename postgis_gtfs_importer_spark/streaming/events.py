@@ -380,3 +380,25 @@ def interval_join_stream(
         F.unix_timestamp("ts_r").alias("ts_r_epoch"),
         (F.unix_timestamp("ts_r") - F.unix_timestamp("ts_l")).alias("gap_sec"),
     )
+
+
+TESTDATA_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's documents.parquet — the live half of
+    the batch==stream corpus-curation contract (see
+    plans/queries.py::streaming_corpus_gate_query)."""
+    return (
+        spark.readStream.schema(TESTDATA_DOC_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
