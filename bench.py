@@ -143,6 +143,7 @@ HEADLINE = [
     "locf_resample",
     "revenue_pivot",
     "streaming_corpus_gate",
+    "eigenvector_centrality",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -192,6 +193,7 @@ STDOUT_OMIT = {
     "locf_resample",
     "revenue_pivot",
     "streaming_corpus_gate",
+    "eigenvector_centrality",
 }
 
 STREAMING_QUERIES = {

@@ -6453,3 +6453,100 @@ def streaming_corpus_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"scorpus_{_STREAM_QUERY_SEQ[0]}"
     run_to_memory(gated, name, output_mode="append")
     return spark.table(name)
+
+
+# ===========================================================================
+# Eigenvector centrality (power iteration, exact integers)
+# ===========================================================================
+
+
+def _eigcen_oracle_sql(iterations: int = 6) -> str:
+    head = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, pos, tok
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(t, 1) - 1 AS pos,
+               unnest(list_transform(t, x -> lower(x))) AS tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    bg AS MATERIALIZED (
+      SELECT a.tok AS s, b.tok AS d, count(*) AS c
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.tok, b.tok
+    ),
+    edges AS MATERIALIZED (
+      SELECT s AS src, d AS dst, CAST(sum(c) AS BIGINT) AS w FROM (
+        SELECT s, d, c FROM bg
+        UNION ALL
+        SELECT d AS s, s AS d, c FROM bg
+      ) GROUP BY s, d
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    v0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes)"""
+    steps = []
+    prev = "v0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    u{i} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(sum(e.w * v.v) AS BIGINT) AS u
+      FROM edges e JOIN {prev} v ON v.node = e.src
+      GROUP BY e.dst
+    ),
+    m{i} AS MATERIALIZED (SELECT max(u) AS m FROM u{i}),
+    v{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(coalesce((u.u * 1000000) // (SELECT m FROM m{i}), 0)
+                  AS BIGINT) AS v
+      FROM nodes n LEFT JOIN u{i} u USING (node)
+    )""")
+        prev = f"v{i}"
+    return head + "," + ",".join(steps) + f"\n    SELECT node AS tok, v FROM {prev}"
+
+
+@register("eigenvector_centrality", _eigcen_oracle_sql(6))
+def eigenvector_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral vocabulary centrality: the dominant eigenvector of the
+    symmetrized token-adjacency (bigram-count) matrix by power
+    iteration — the third iterative-graph family member after PageRank
+    and connected components. Every iterate is BIGINT-exact: the matvec
+    is an integer sum, the normalization is L-infinity (times 1e6, div
+    the max) — no float norm, no sqrt, so 6 unrolled oracle CTEs match
+    bit-for-bit. Adjacency is built MAP-SIDE (the same
+    transform/slice pair generation as pmi_bigrams — no corpus-token
+    shuffle); the matvec is the only per-iteration exchange
+    (operators/graph.py::eigenvector_centrality)."""
+    from ..operators.graph import eigenvector_centrality
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    toks_arr = F.filter(
+        F.transform(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.lower(x)
+        ),
+        lambda x: x != F.lit(""),
+    )
+    pairs = F.expr(
+        "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        " (x, i) -> struct(x AS s, _t[i + 1] AS d))"
+    )
+    bg = (
+        d.select(toks_arr.alias("_t"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.s").alias("s"), F.col("p.d").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    edges = (
+        bg.select("s", "d", "c")
+        .union(bg.select(F.col("d").alias("s"), F.col("s").alias("d"), "c"))
+        .groupBy(F.col("s").alias("src"), F.col("d").alias("dst"))
+        .agg(F.sum("c").cast("long").alias("w"))
+    )
+    v = eigenvector_centrality(edges, iterations=6)
+    return v.select(F.col("node").alias("tok"), "v")

@@ -167,3 +167,44 @@ def test_quantile_normalize_ties_and_bounds(spark):
     assert ("en", 30, 1_000_000) in out
     # singleton stratum normalizes to 0, not NULL/divide-by-zero
     assert ("de", 99, 0) in out
+
+
+# ---------------------------------------------------------------------------
+# eigenvector_centrality
+# ---------------------------------------------------------------------------
+
+
+def test_eigcen_symmetric_pair_and_star(spark):
+    from postgis_gtfs_importer_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    # two symmetric nodes: both stay at the L-inf ceiling 1e6
+    e = spark.createDataFrame([(0, 1, 3), (1, 0, 3)], ["src", "dst", "w"])
+    v = {r["node"]: r["v"] for r in eigenvector_centrality(e, 4).collect()}
+    assert v == {0: 1_000_000, 1: 1_000_000}
+
+    # star: hub has max centrality (1e6), leaves are equal and strictly
+    # smaller (leaf gets w*hub, hub gets 4*w*leaf -> hub is the max)
+    edges = [(0, i, 1) for i in range(1, 5)] + [(i, 0, 1) for i in range(1, 5)]
+    e2 = spark.createDataFrame(edges, ["src", "dst", "w"])
+    v2 = {r["node"]: r["v"] for r in eigenvector_centrality(e2, 5).collect()}
+    assert v2[0] == 1_000_000
+    leaves = [v2[i] for i in range(1, 5)]
+    assert len(set(leaves)) == 1 and leaves[0] < 1_000_000
+
+
+def test_eigcen_partitioning_invariance(spark):
+    from postgis_gtfs_importer_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    random.seed(23)
+    base = list({(random.randrange(12), random.randrange(12)) for _ in range(40)})
+    sym = list({*base, *[(b, a) for a, b in base]})
+    rows = [(a, b, (a + b) % 5 + 1) for a, b in sym]
+    a = spark.createDataFrame(rows, ["src", "dst", "w"]).repartition(1)
+    b = spark.createDataFrame(rows, ["src", "dst", "w"]).repartition(11)
+    ra = sorted((r["node"], r["v"]) for r in eigenvector_centrality(a, 5).collect())
+    rb = sorted((r["node"], r["v"]) for r in eigenvector_centrality(b, 5).collect())
+    assert ra == rb
