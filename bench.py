@@ -144,6 +144,7 @@ HEADLINE = [
     "revenue_pivot",
     "streaming_corpus_gate",
     "eigenvector_centrality",
+    "split_leakage_audit",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -194,6 +195,7 @@ STDOUT_OMIT = {
     "revenue_pivot",
     "streaming_corpus_gate",
     "eigenvector_centrality",
+    "split_leakage_audit",
 }
 
 STREAMING_QUERIES = {

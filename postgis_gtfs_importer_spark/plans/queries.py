@@ -125,10 +125,11 @@ _FRONT: list[str] = [
     "mad_outliers",
     "session_window_native",
     "entity_resolution",
-    # table_profile / locf_resample / revenue_pivot (also new) sit PAST
+    # table_profile / locf_resample / revenue_pivot /
+    # eigenvector_centrality / split_leakage_audit (also new) sit PAST
     # the window — 50 slots cannot hold every new entry this round;
-    # they are the least semantically risky (pure aggregates / value
-    # carrying, no novel hash or float paths) and stay fully
+    # they are compositions of in-window-verified pieces or pure
+    # aggregates (no novel hash or float paths) and stay fully
     # value-checked by tests/test_oracle_parity.py. ann_ivf_topk /
     # embedding_topk / semantic_dedup (stale-by-age, impl unchanged)
     # rotated out to make room.
@@ -6550,3 +6551,79 @@ def eigenvector_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = eigenvector_centrality(edges, iterations=6)
     return v.select(F.col("node").alias("tok"), "v")
+
+
+# ===========================================================================
+# Split-leakage audit (near-dups straddling train/val/test)
+# ===========================================================================
+
+
+def _split_leakage_oracle_sql() -> str:
+    pairs_sql = _minhash_oracle_sql(
+        num_hashes=32, bands=8, threshold=0.5, seed=42
+    )
+    split_case, _ = _curation_sql_parts()
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs_sql}),
+    assigned AS (
+      SELECT doc_id, {split_case} AS split FROM documents
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           count(*) AS n_pairs,
+           (least(sa.split, sb.split) <> greatest(sa.split, sb.split))
+             AS leaked
+    FROM pairs p
+    JOIN assigned sa ON sa.doc_id = p.id_a
+    JOIN assigned sb ON sb.doc_id = p.id_b
+    GROUP BY 1, 2
+    """
+
+
+@register("split_leakage_audit", _split_leakage_oracle_sql())
+def split_leakage_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination QA: near-duplicate pairs (the
+    MinHash+LSH graph, same parameters as minhash_lsh_pairs) joined to
+    the deterministic hash-split assignment, aggregated per unordered
+    split pair with a leakage flag — the audit that catches a val
+    document whose near-twin sits in train, the eval-inflation failure
+    mode hash_split alone cannot see (content-based leakage needs the
+    near-dup graph, not the key hash). Both stages are already
+    driver-verified alone; this pins their composition. Scale: the pair
+    graph is the expensive half and is band-bucketed (never all-pairs);
+    the split side is a pure column expression broadcast through the
+    two id joins."""
+    from ..operators.curation import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8, threshold=0.5, seed=42,
+    ).select("id_a", "id_b")
+    assigned = d.select(
+        "doc_id",
+        assign_split("doc_id", _SPLIT_WEIGHTS, salt="split").alias("split"),
+    )
+    j = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
