@@ -145,6 +145,9 @@ HEADLINE = [
     "streaming_corpus_gate",
     "eigenvector_centrality",
     "split_leakage_audit",
+    "benford_audit",
+    "wow_change",
+    "streaming_session_window",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -196,10 +199,14 @@ STDOUT_OMIT = {
     "streaming_corpus_gate",
     "eigenvector_centrality",
     "split_leakage_audit",
+    "benford_audit",
+    "wow_change",
+    "streaming_session_window",
 }
 
 STREAMING_QUERIES = {
     "streaming_corpus_gate",
+    "streaming_session_window",
     "streaming_windowed_stats",
     "streaming_sessionize",
     "streaming_interval_join",

@@ -6627,3 +6627,175 @@ def split_leakage_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .withColumn("leaked", F.col("split_a") != F.col("split_b"))
     )
+
+
+# ===========================================================================
+# Benford first-digit audit (data-quality / fraud screen)
+# ===========================================================================
+
+
+@register(
+    "benford_audit",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS grp,
+             CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    )
+    SELECT grp AS o_orderpriority, digit,
+           count(*) AS n,
+           CAST((count(*) * 1000000)
+                // (sum(count(*)) OVER (PARTITION BY grp)) AS BIGINT)
+             AS share_ppm
+    FROM d
+    GROUP BY grp, digit
+    """,
+)
+def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the distribution of leading digits of
+    order totals per priority class, with each digit's share in exact
+    ppm (integer division of window-summed counts — no float shares).
+    The classic synthetic-data / fraud screen in the data-quality
+    family alongside table_profile and mad_outliers: organically
+    generated amounts follow log-uniform leading digits; fabricated or
+    truncated pipelines show flat or spiked digit distributions. The
+    digit is derived from the SAME exact-cents quantization every money
+    query uses, so the audit and the revenue numbers cannot disagree
+    about the value. One map-side projection + one grouped count; the
+    window share is computed over the 9-row-per-group aggregate."""
+    o = spread(_t(spark, sf_dir, "orders"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"),
+    )
+    counts = d.groupBy("grp", "digit").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("grp")
+    return counts.select(
+        F.col("grp").alias("o_orderpriority"),
+        "digit",
+        "n",
+        F.expr("(n * 1000000) div (sum(n) OVER (PARTITION BY grp))")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+# ===========================================================================
+# Week-over-week change (lag analytics)
+# ===========================================================================
+
+
+@register(
+    "wow_change",
+    """
+    WITH wk AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS week,
+             count(*) AS n
+      FROM events
+      GROUP BY event_type, week
+    )
+    SELECT event_type, week, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+           CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY week) > 0
+                THEN ((n - lag(n) OVER (PARTITION BY event_type ORDER BY week))
+                      * 1000000)
+                     // lag(n) OVER (PARTITION BY event_type ORDER BY week)
+           END AS delta_ppm
+    FROM wk
+    """,
+)
+def wow_change_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume change per event type: epoch-week buckets,
+    lag() for the prior week, and the relative delta in exact ppm
+    (integer division — NULL for the first week of each series rather
+    than a fake 0). The standard KPI-trend shape; one count aggregate
+    plus one window pass over the tiny (type, week) series."""
+    e = spread(_t(spark, sf_dir, "events"))
+    wk = (
+        e.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 604800").alias("week"),
+        )
+        .groupBy("event_type", "week")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "n",
+        prev.alias("prev_n"),
+        F.when(prev > 0, F.expr(
+            "((n - lag(n) OVER (PARTITION BY event_type ORDER BY week))"
+            " * 1000000) div lag(n) OVER (PARTITION BY event_type ORDER BY week)"
+        )).cast("long").alias("delta_ppm"),
+    )
+
+
+# ===========================================================================
+# Native session windows under the STREAMING runtime
+# ===========================================================================
+
+
+@register(
+    "streaming_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS win_start_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS win_end_epoch,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merging-session-state operator under the REAL streaming
+    runtime: readStream -> session_window(30 min) aggregation ->
+    AvailableNow drain in complete mode, whose final state must equal
+    the batch gaps-and-islands definition — the same oracle as
+    session_window_native, now exercising the streaming session-merge
+    state store (sessions that arrive split across micro-batches must
+    merge server-side). Complete mode needs no watermark, so no
+    emission-boundary modeling clouds the comparison; the
+    watermark/append variant's late-drop behavior is covered in
+    tests/test_streaming.py for the sessionize family."""
+    from ..streaming.events import run_to_memory, stream_testdata_events
+
+    ev = stream_testdata_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+    ).agg(F.count("*").alias("n_events"))
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"ssw_{_STREAM_QUERY_SEQ[0]}"
+    run_to_memory(agg, name, output_mode="complete", state_partitions=8)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start"))
+        .cast("long")
+        .alias("win_start_epoch"),
+        F.unix_timestamp(F.col("session_window.end"))
+        .cast("long")
+        .alias("win_end_epoch"),
+        F.col("n_events").cast("long"),
+    )
