@@ -148,6 +148,7 @@ HEADLINE = [
     "benford_audit",
     "wow_change",
     "streaming_session_window",
+    "unpivot_roundtrip",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -202,6 +203,7 @@ STDOUT_OMIT = {
     "benford_audit",
     "wow_change",
     "streaming_session_window",
+    "unpivot_roundtrip",
 }
 
 STREAMING_QUERIES = {

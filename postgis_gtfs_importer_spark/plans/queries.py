@@ -6774,9 +6774,13 @@ def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFram
     runtime: readStream -> session_window(30 min) aggregation ->
     AvailableNow drain in complete mode, whose final state must equal
     the batch gaps-and-islands definition — the same oracle as
-    session_window_native, now exercising the streaming session-merge
-    state store (sessions that arrive split across micro-batches must
-    merge server-side). Complete mode needs no watermark, so no
+    session_window_native, now run through the streaming session-merge
+    state store. The driver's single-file input drains in ONE
+    micro-batch; the genuinely incremental case — sessions split
+    across micro-batches that must merge inside the state store — is
+    pinned by tests/test_streaming.py::
+    test_session_window_merges_across_microbatches (4-file input,
+    maxFilesPerTrigger=1). Complete mode needs no watermark, so no
     emission-boundary modeling clouds the comparison; the
     watermark/append variant's late-drop behavior is covered in
     tests/test_streaming.py for the sessionize family."""
@@ -6798,4 +6802,43 @@ def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("win_end_epoch"),
         F.col("n_events").cast("long"),
+    )
+
+
+# ===========================================================================
+# Unpivot (melt) — the reshape pair's inverse, proved as a round trip
+# ===========================================================================
+
+
+@register(
+    "unpivot_roundtrip",
+    """
+    SELECT n.n_name,
+           o.o_orderpriority AS priority,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+    """,
+)
+def unpivot_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native ``DataFrame.unpivot`` (melt): the wide per-nation
+    pivot from revenue_pivot is melted back to long form, and the
+    oracle is the DIRECT long-form aggregation — so the entry proves
+    pivot∘unpivot is the identity on the populated cells. Zero-filled
+    cells introduced by the pivot are dropped on the way back (melt
+    filters them), matching the long form exactly. Unpivot is a
+    map-side Expand — no shuffle beyond the pivot's own aggregate."""
+    wide = revenue_pivot_query(spark, sf_dir)
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    long = wide.unpivot(
+        ids=["n_name"],
+        values=pri,
+        variableColumnName="priority",
+        valueColumnName="revenue_cents",
+    )
+    return long.filter(F.col("revenue_cents") > 0).select(
+        "n_name", "priority", F.col("revenue_cents").cast("long")
     )

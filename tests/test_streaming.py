@@ -331,3 +331,59 @@ def test_sessionize_rocksdb_state_store_matches_hdfs(spark, event_dir):
         or "RocksDB"
         not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     )
+
+
+def test_session_window_merges_across_microbatches(spark, tmp_path):
+    """The part the single-file driver entry cannot exercise: a session
+    whose events arrive in DIFFERENT micro-batches must merge inside
+    the session-window state store. Events for each user alternate
+    between two files; maxFilesPerTrigger=1 forces two micro-batches,
+    so every session's odd/even events meet only in state. Final
+    complete-mode state must equal the batch session_window result."""
+    rows = []
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    for u in range(5):
+        for i in range(6):
+            # 10-min steps: one 30-min-gap session per user
+            rows.append((u * 100 + i, base + dt.timedelta(minutes=10 * i), u))
+        # a second session well past the gap
+        rows.append((u * 100 + 50, base + dt.timedelta(hours=5), u))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    # the file stream source lists only top-level files: materialize each
+    # chunk as a plain file under src/, not a .parquet output directory
+    import glob as _glob
+    import shutil as _shutil
+
+    src = str(tmp_path / "ssw_src")
+    (tmp_path / "ssw_src").mkdir()
+    for tag, cond in (("a", 0), ("b", 1)):
+        out = str(tmp_path / f"ssw_tmp_{tag}")
+        df.filter(F.col("event_id") % 2 == cond).coalesce(1).write.parquet(out)
+        part = _glob.glob(out + "/part-*.parquet")[0]
+        _shutil.copy(part, f"{src}/{tag}.parquet")
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy(
+        F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+    ).agg(F.count("*").alias("n"))
+    q = SE.run_to_memory(agg, "ssw_merge", output_mode="complete",
+                         state_partitions=4)
+    assert len(q.recentProgress) >= 2  # really ran multiple micro-batches
+    got = {
+        (r["user_id"], r["session_window"]["start"], r["session_window"]["end"], r["n"])
+        for r in spark.table("ssw_merge").collect()
+    }
+    expect = {
+        (r["user_id"], r["session_window"]["start"], r["session_window"]["end"], r["n"])
+        for r in df.groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
+    # and the merge really fused split sessions: 2 sessions per user
+    assert len(got) == 10
