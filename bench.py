@@ -149,6 +149,7 @@ HEADLINE = [
     "wow_change",
     "streaming_session_window",
     "unpivot_roundtrip",
+    "streaming_hll_dashboard",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -204,10 +205,12 @@ STDOUT_OMIT = {
     "wow_change",
     "streaming_session_window",
     "unpivot_roundtrip",
+    "streaming_hll_dashboard",
 }
 
 STREAMING_QUERIES = {
     "streaming_corpus_gate",
+    "streaming_hll_dashboard",
     "streaming_session_window",
     "streaming_windowed_stats",
     "streaming_sessionize",

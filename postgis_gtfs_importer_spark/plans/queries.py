@@ -6842,3 +6842,68 @@ def unpivot_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.filter(F.col("revenue_cents") > 0).select(
         "n_name", "priority", F.col("revenue_cents").cast("long")
     )
+
+
+# ===========================================================================
+# Streaming HLL dashboard (per-micro-batch sketches, merged serving state)
+# ===========================================================================
+
+
+@register(
+    "streaming_hll_dashboard",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, h // 18014398509481984 AS bucket,
+             h % 18014398509481984 AS rem
+      FROM h
+    ),
+    r AS (
+      SELECT event_type, bucket,
+             CASE WHEN rem = 0 THEN 55
+                  ELSE 54 - length(format('{:b}', rem)) + 1 END AS rank
+      FROM b
+    ),
+    reg AS (
+      SELECT event_type, bucket, CAST(max(rank) AS BIGINT) AS register
+      FROM r GROUP BY event_type, bucket
+    ),
+    z AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(55 - register AS INTEGER))
+                  AS BIGINT) AS zp
+      FROM reg GROUP BY event_type
+    )
+    SELECT event_type, n_buckets,
+           CAST(zp + (64 - n_buckets) * 36028797018963968 AS BIGINT) AS z_scaled,
+           CAST(floor(1.046802484394006e+20
+                      / CAST(zp + (64 - n_buckets) * 36028797018963968 AS DOUBLE)
+                      + 0.5) AS BIGINT) AS hll_est
+    FROM z
+    """,
+)
+def streaming_hll_dashboard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live-dashboard shape: the event stream is sketched
+    PER MICRO-BATCH inside foreachBatch (constant-size register state,
+    streaming/events.py::drain_hll_dashboard), the partial sketches
+    accumulate as serving state, and the merged estimate must equal the
+    oracle's direct whole-table sketch — register max-linearity makes
+    per-trigger partials exactly lossless, so a dashboard never
+    re-scans history. The driver's single-file stream drains in one
+    batch; the multi-batch merge across REAL trigger boundaries is
+    pinned by tests/test_streaming.py::
+    test_hll_dashboard_merges_across_microbatches."""
+    from ..operators.sketches import hll_estimate, hll_merge
+    from ..streaming.events import drain_hll_dashboard, stream_testdata_events
+
+    ev = stream_testdata_events(spark, sf_dir)
+    rows, _q = drain_hll_dashboard(ev, ["event_type"], "user_id", p=6)
+    regs = spark.createDataFrame(
+        rows, "event_type string, bucket long, register long"
+    )
+    merged = hll_merge(regs, ["event_type"])
+    return hll_estimate(merged, ["event_type"], p=6)

@@ -402,3 +402,36 @@ def stream_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+
+
+def drain_hll_dashboard(
+    stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+):
+    """Streaming distinct-count dashboard state: each micro-batch is
+    sketched independently (``hll_registers`` — constant-size state per
+    group) inside ``foreachBatch`` and the register rows accumulate on
+    the driver; callers merge + estimate after the drain. The pattern a
+    live dashboard runs unbounded: per-trigger partial sketches merged
+    into serving state, never a re-scan of history — correctness rests
+    on register max-linearity (merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B)), which tests/test_streaming.py pins across REAL
+    micro-batch boundaries. Returns (rows, terminated_query).
+    """
+    from ..operators.sketches import hll_registers
+
+    acc: list = []
+
+    def fb(batch: DataFrame, _bid: int) -> None:
+        regs = hll_registers(batch, group_cols, value_col, p=p)
+        acc.extend(regs.collect())  # <= m rows per group: sketch-sized
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return acc, q

@@ -387,3 +387,61 @@ def test_session_window_merges_across_microbatches(spark, tmp_path):
     assert got == expect
     # and the merge really fused split sessions: 2 sessions per user
     assert len(got) == 10
+
+
+def test_hll_dashboard_merges_across_microbatches(spark, tmp_path):
+    """Per-micro-batch HLL sketches merged as dashboard state must
+    equal the direct whole-input sketch — register max-linearity across
+    REAL trigger boundaries (4 files, maxFilesPerTrigger=1), including
+    users whose events straddle batches."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from postgis_gtfs_importer_spark.streaming.events import (
+        drain_hll_dashboard,
+    )
+
+    rows = [(i, i % 97, "t%d" % (i % 3)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type"])
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    for part in range(4):
+        out = str(tmp_path / f"hll_tmp_{part}")
+        df.filter(F.col("event_id") % 4 == part).coalesce(1).write.parquet(out)
+        _shutil.copy(
+            _glob.glob(out + "/part-*.parquet")[0], str(src / f"{part}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    acc, q = drain_hll_dashboard(stream, ["event_type"], "user_id", p=6)
+    assert len(q.recentProgress) >= 4  # really sketched per trigger
+    regs = spark.createDataFrame(
+        acc, "event_type string, bucket long, register long"
+    )
+    got = {
+        (r["event_type"], r["hll_est"])
+        for r in hll_estimate(
+            hll_merge(regs, ["event_type"]), ["event_type"], p=6
+        ).collect()
+    }
+    direct = {
+        (r["event_type"], r["hll_est"])
+        for r in hll_estimate(
+            hll_merge(
+                hll_registers(df, ["event_type"], "user_id", p=6),
+                ["event_type"],
+            ),
+            ["event_type"],
+            p=6,
+        ).collect()
+    }
+    assert got == direct
