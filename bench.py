@@ -150,6 +150,7 @@ HEADLINE = [
     "streaming_session_window",
     "unpivot_roundtrip",
     "streaming_hll_dashboard",
+    "robust_scale",
 ]
 
 #: Benched and recorded in BENCH_DETAIL.json like everything else, but
@@ -206,6 +207,7 @@ STDOUT_OMIT = {
     "streaming_session_window",
     "unpivot_roundtrip",
     "streaming_hll_dashboard",
+    "robust_scale",
 }
 
 STREAMING_QUERIES = {

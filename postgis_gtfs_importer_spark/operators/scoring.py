@@ -253,3 +253,60 @@ def mad_outliers(
         .withColumn("is_outlier", (F.col("_dev") > F.lit(int(k)) * F.col("mad")))
         .drop("_v", "_dev")
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Robust per-group scaling: (v - median) normalized by the IQR,
+    in exact integer ppm — the outlier-immune cousin of z-scoring
+    (mean/stddev move with the outliers; median/IQR do not), and the
+    third member of the robust-statistics family with quantile_normalize
+    and mad_outliers.
+
+    The quartiles are rank-SELECTED elements (rank ceil(n/4) and
+    ceil(3n/4) in (value, id) order) — actual data values, no
+    interpolation, so both engines pick identical BIGINTs. Output
+    ``scaled_ppm = ((v - med) * 1_000_000) div IQR`` (NULL when the IQR
+    is 0 — a constant-middle group has no scale, reported honestly
+    rather than as 0). One window pass computes all three quantile
+    ranks; per-group stats broadcast back.
+    """
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(v, F.col(id_col))
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("_v", v)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wg))
+    )
+    stats = (
+        ranked.groupBy(group_col)
+        .agg(
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n + 1) div 2"), F.col("_v"))
+            ).alias("med"),
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n + 3) div 4"), F.col("_v"))
+            ).alias("q1"),
+            F.max(
+                F.when(F.col("_rn") == F.expr("(3 * _n + 3) div 4"), F.col("_v"))
+            ).alias("q3"),
+        )
+    )
+    return (
+        df.withColumn("_v", v)
+        .join(F.broadcast(stats), group_col)
+        .withColumn("iqr", (F.col("q3") - F.col("q1")).cast("long"))
+        .withColumn(
+            "scaled_ppm",
+            F.when(
+                F.col("iqr") > 0,
+                F.expr("((_v - med) * 1000000) div iqr"),
+            ).cast("long"),
+        )
+        .drop("_v", "q1", "q3")
+    )

@@ -6907,3 +6907,64 @@ def streaming_hll_dashboard_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     merged = hll_merge(regs, ["event_type"])
     return hll_estimate(merged, ["event_type"], p=6)
+
+
+# ===========================================================================
+# Robust scaling (median/IQR, integer ppm)
+# ===========================================================================
+
+
+@register(
+    "robust_scale",
+    """
+    WITH v AS (
+      SELECT o_orderkey, o_orderstatus AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+               AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    stats AS (
+      SELECT grp,
+             max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med,
+             max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+             max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3
+      FROM r GROUP BY grp
+    )
+    SELECT v.o_orderkey, v.grp AS o_orderstatus, v.cents, s.med,
+           CAST(s.q3 - s.q1 AS BIGINT) AS iqr,
+           CAST(CASE WHEN s.q3 - s.q1 > 0
+                THEN ((v.cents - s.med) * 1000000) // (s.q3 - s.q1)
+           END AS BIGINT) AS scaled_ppm
+    FROM v JOIN stats s USING (grp)
+    """,
+)
+def robust_scale_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of order totals per status
+    (operators/scoring.py::robust_scale): quartiles are rank-SELECTED
+    data elements, the scaled score is integer ppm — the outlier-immune
+    z-score the feature pipeline uses where mean/stddev would be
+    dragged by the tail. Completes the robust-statistics trio with
+    quantile_normalize and mad_outliers; zero-IQR groups report NULL,
+    not a fake 0."""
+    from ..operators.scoring import robust_scale
+
+    o = spread(_t(spark, sf_dir, "orders"))
+    v = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    out = robust_scale(
+        v, value_col="cents", group_col="o_orderstatus", id_col="o_orderkey"
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", "cents", "med", "iqr", "scaled_ppm"
+    )

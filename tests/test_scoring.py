@@ -127,3 +127,21 @@ def test_mad_outliers_flags_far_tail_only(spark):
     assert all(not v[2] for k, v in out.items() if k != ("a", 5))
     # group b: med=6, MAD=1, no deviation exceeds 2
     assert out[("b", 0)] == (6, 1, False)
+
+
+def test_robust_scale_quartiles_and_null_iqr(spark):
+    from postgis_gtfs_importer_spark.operators.scoring import robust_scale
+
+    rows = [("a", i, v) for i, v in enumerate([10, 20, 30, 40])]
+    rows += [("b", i, 7) for i in range(3)]  # constant group: IQR 0
+    df = spark.createDataFrame(rows, ["grp", "rid", "val"])
+    out = {
+        (r["grp"], r["rid"]): (r["med"], r["iqr"], r["scaled_ppm"])
+        for r in robust_scale(df, "val", "grp", "rid").collect()
+    }
+    # group a: n=4 -> med rank (4+1)//2=2 -> 20; q1 rank 1 -> 10;
+    # q3 rank (12+3)//4=3 -> 30; IQR=20
+    assert out[("a", 0)] == (20, 20, -500_000)
+    assert out[("a", 3)] == (20, 20, 1_000_000)
+    # constant group: honest NULL, not fake 0
+    assert out[("b", 0)] == (7, 0, None)
