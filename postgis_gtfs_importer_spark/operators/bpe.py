@@ -140,6 +140,30 @@ def bpe_merges(
     )
 
 
+#: Pinned merge table (rank order) for the ENCODE registry entry —
+#: trained on the sf0.01 documents corpus (12 merges), equal to both
+#: the pure-Python reference trainer and the Spark trainer on that
+#: corpus (tests/test_bpe.py pins all three against each other, so a
+#: testdata regeneration that drifts the corpus fails loudly there).
+#: Encode correctness does NOT depend on which corpus trained the list:
+#: the registry entry and its DuckDB oracle replay the SAME pinned
+#: merges, and the pin makes the entry deterministic at every sf.
+PINNED_MERGES_12: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("e", EOW),
+    ("n", EOW),
+    ("er", EOW),
+    ("o", "w"),
+    ("ow", EOW),
+    ("o", "r"),
+    ("s", "t"),
+    ("h", EOW),
+    ("a", "t"),
+    ("l", "u"),
+    ("i", "n"),
+]
+
+
 def bpe_reference(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
     """Pure-Python reference BPE trainer (the classic dict-of-tuples
     formulation) — the exactness oracle for :func:`bpe_merges`. Returns

@@ -52,8 +52,12 @@ def segment_lines(
     if k <= 0:
         raise ValueError("tokens_per_line must be positive")
     toks = F.split(F.col(text_col), " ")
-    # ceil(n / k) without float math: (n + k - 1) div k
-    nlines = ((F.size(toks) + F.lit(k - 1)) / F.lit(k)).cast("int")
+    # ceil(n / k) without float math: (n + k - 1) div k — `div` is
+    # Spark's integral division, exact at any size (a float `/` then
+    # cast is only exact while n + k - 1 <= 2^53).
+    nlines = F.expr(
+        f"(size(split(`{text_col}`, ' ')) + {k - 1}) div {k}"
+    ).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), nlines - F.lit(1)),
         lambda i: F.array_join(F.slice(toks, i * F.lit(k) + F.lit(1), k), " "),

@@ -12,7 +12,9 @@ Scale design: ONE scan. All columns' aggregates are computed in a single
 one Expand + two-stage hash aggregation (rows multiply by the column
 count map-side, never a second table read), which at 100 TB beats
 per-column scans by the column count. The wide one-row result is then
-melted to one row per column with ``stack`` — driver-scale, free.
+melted to one row per column with an array-of-structs explode built
+from typed Column expressions (identifier-injection-proof) —
+driver-scale, free.
 Min/max are canonicalized to strings AFTER aggregation so one schema
 fits every column type (dates/ints/strings; floats are profiled by
 range only where string forms are engine-stable).
@@ -30,31 +32,33 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     Distinct counts are exact (null excluded, SQL semantics); min/max
     are cast to string post-aggregation.
     """
+    # Aliases are POSITIONAL (__rows_0, __rows_1, ...) and the melt is
+    # built from typed Column expressions (array of structs + explode),
+    # so a profiled column whose name contains spaces, quotes, hyphens
+    # or any other SQL-hostile character never reaches a parsed
+    # expression string — only F.col(), which takes names literally.
     aggs = []
-    for c in cols:
-        col = F.col(c)
+    for i, c in enumerate(cols):
+        col = df[c]
         aggs += [
-            F.count("*").alias(f"__rows_{c}"),
-            F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.countDistinct(col).alias(f"__dist_{c}"),
-            F.min(col).cast("string").alias(f"__min_{c}"),
-            F.max(col).cast("string").alias(f"__max_{c}"),
+            F.count("*").alias(f"__rows_{i}"),
+            F.sum(col.isNull().cast("long")).alias(f"__nulls_{i}"),
+            F.countDistinct(col).alias(f"__dist_{i}"),
+            F.min(col).cast("string").alias(f"__min_{i}"),
+            F.max(col).cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __rows_{c}, __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}"
-        for c in cols
+    melted = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__rows_{i}").cast("long").alias("n_rows"),
+                F.col(f"__nulls_{i}").cast("long").alias("n_nulls"),
+                F.col(f"__dist_{i}").cast("long").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_str"),
+                F.col(f"__max_{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
-        )
-    ).select(
-        "col_name",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_nulls").cast("long").alias("n_nulls"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_str",
-        "max_str",
-    )
+    return wide.select(F.explode(melted).alias("p")).select("p.*")

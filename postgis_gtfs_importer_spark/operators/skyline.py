@@ -13,13 +13,25 @@ Scale design (2-D case implemented here):
   greater x, and it carries its x-group's max y. Both are window
   aggregates — ``max(y) over (order by x range between 1 following and
   unbounded following)`` (exact "strictly greater x" frame for integer
-  metrics) and ``max(y) over (partition by x)``. One shuffle, no join,
-  no quadratic term; a 10^9-row input costs a sort.
-- For d > 2 metrics the standard distributed shape is local-skyline per
-  partition (``mapInPandas``) followed by a global skyline of the union
-  of local fronts — the front is tiny relative to the input, so the
-  final pass is driver-scale. The 2-D window form is strictly better
-  when it applies and is what the registry entry exercises.
+  metrics) and ``max(y) over (partition by x)``.
+- The global window has NO partition key, so Spark funnels its input
+  through one task. That is fine only when the input is already small;
+  :func:`skyline_2d` therefore first computes a **local skyline per
+  partition** (a narrow, shuffle-free ``mapInPandas`` pass — sort by x
+  descending, keep rows whose y exceeds the running max), and runs the
+  single-task window only over the UNION OF LOCAL FRONTS. A point on
+  the global front is on its partition's front (dominance within a
+  subset is weaker), so the prefilter is lossless; the fronts are
+  O(sqrt(n)) in expectation for random data and never larger than the
+  partition's distinct-x count, so the single-task tail sees
+  partitions x front-size rows, not the corpus. This is the standard
+  local-skyline + global-merge distributed shape, and the same
+  ``mapInPandas`` local pass generalizes to d > 2 (where no window
+  form exists).
+
+Correctness of the prefilter does not depend on partition layout — any
+partitioning yields a superset of the global front, and the global
+window pass is exact.
 
 Ties: rows with identical (x, y) on the front are all kept — dominance
 requires strict improvement on at least one metric.
@@ -31,6 +43,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _local_front(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Per-partition Pareto prefilter: within each partition, drop rows
+    dominated by another row of the SAME partition. Narrow (no shuffle);
+    the output is a superset of the global front. Arrow-batched
+    ``mapInPandas`` — sort by x desc then y desc, keep rows whose y
+    strictly exceeds the running max (ties on x are resolved by the
+    exact global pass that follows)."""
+    schema = df.schema
+
+    def part(batches):
+        import pandas as pd
+
+        rows = [b for b in batches]
+        if not rows:
+            return
+        p = pd.concat(rows, ignore_index=True)
+        p = p.sort_values([x_col, y_col], ascending=[False, False])
+        ymax = p[y_col].cummax()
+        # keep a row iff it sets a new running y-max (first occurrence
+        # at each cummax step) OR shares x with the row that set it —
+        # equivalently: y == cummax(y) (keeps x-ties with equal y, and
+        # every candidate the exact pass could still keep)
+        yield p[p[y_col] >= ymax]
+
+    return df.mapInPandas(part, schema=schema)
+
+
 def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Rows on the maximization Pareto front of integer metrics (x, y).
 
@@ -38,7 +77,14 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     frame is expressed as ``range between 1 following and unbounded
     following``, exact only for integer x). Returns the input rows that
     survive, unchanged.
+
+    Two phases: a shuffle-free per-partition prefilter
+    (:func:`_local_front`) shrinks the input to the union of local
+    fronts, then the exact single-task window pass runs over that small
+    remainder — so the unpartitioned ``Window.orderBy`` never sees the
+    full input (see module docstring for why the prefilter is lossless).
     """
+    df = _local_front(df, x_col, y_col)
     x, y = F.col(x_col), F.col(y_col)
     w_strict = (
         Window.orderBy(x.cast("long"))

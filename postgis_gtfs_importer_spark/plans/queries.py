@@ -5336,22 +5336,174 @@ def bigram_lm_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(d, id_col="doc_id", text_col="text")
 
 
-@register("bpe_merges", None)
+def _bpe_sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_train_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of the FULL BPE training loop as ``n_merges``
+    unrolled CTE stages (pair-count -> argmax -> rewrite), converting
+    the one formerly rows-only registry entry into a value-checked one.
+
+    Symbol sequences are carried as marker-wrapped strings
+    (``\\x01tok\\x02\\x01tok\\x02...``): applying a merge is then ONE
+    ``replace()`` — SQL replace scans left-to-right non-overlapping,
+    which is exactly the classic BPE apply order, and the per-token
+    wrapper means adjacent matches share no characters (a bare
+    space-separated form under-merges ``a a a a``). CTEs are
+    MATERIALIZED: each stage is referenced twice (argmax + rewrite) and
+    inlining would recompute the chain exponentially. Ties break on
+    (count DESC, lhs ASC, rhs ASC) — the trainer's determinism rule."""
+    m1, m2 = "chr(1)", "chr(2)"
+    sep = f"{m2}||{m1}"
+    ctes = [
+        """
+    words AS MATERIALIZED (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_transform(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     x -> lower(x))) AS t
+            FROM documents)
+      WHERE t <> ''
+      GROUP BY t
+    )""",
+        f"""
+    s0 AS MATERIALIZED (
+      SELECT freq,
+             {m1} || array_to_string(
+               list_append(list_filter(string_split(word, ''), c -> c <> ''),
+                           '</w>'),
+               {sep}) || {m2} AS s
+      FROM words
+    )""",
+    ]
+    unions = []
+    for i in range(1, n_merges + 1):
+        prev = i - 1
+        ctes.append(f"""
+    t{i} AS MATERIALIZED (
+      SELECT freq, s,
+             string_split(substr(s, 2, length(s) - 2), chr(2)||chr(1)) AS toks
+      FROM s{prev}
+    )""")
+        ctes.append(f"""
+    p{i} AS (
+      SELECT toks[j] AS a, toks[j+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM t{i}, unnest(range(1, len(toks))) AS r(j)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"""
+    b{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    )"""
+        )
+        ctes.append(f"""
+    s{i} AS MATERIALIZED (
+      SELECT t.freq,
+             replace(t.s, {m1}||b.a||{m2}||{m1}||b.b||{m2},
+                     {m1}||b.a||b.b||{m2}) AS s
+      FROM t{i} t CROSS JOIN b{i} b
+    )""")
+        unions.append(
+            f"SELECT CAST({prev} AS BIGINT) AS rank, a AS lhs, b AS rhs,"
+            f" a || b AS merged, cnt AS pair_count FROM b{i}"
+        )
+    return "WITH" + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(unions)
+
+
+@register("bpe_merges", _bpe_train_oracle_sql(12))
 def bpe_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer induction over the documents corpus — 12 learned
     merges. Genuinely iterative (per-round argmax -> rewrite -> recount
-    over the vocabulary-sized word-frequency table), so no SQL oracle
-    exists; the driver records the rows-only check and the EXACT
-    verification is tests/test_bpe.py (merge-for-merge equality with a
-    pure-Python reference trainer). See operators/bpe.py for why the
-    corpus is scanned exactly once regardless of merge count; wall time
-    here is ~1 driver-coordinated job per round (a fixed-overhead floor
-    at toy scale that amortizes to nothing on a real cluster, where
-    each round's aggregate does real work)."""
+    over the vocabulary-sized word-frequency table). The DuckDB oracle
+    replays the SAME 12 iterations as unrolled materialized CTE stages
+    (see _bpe_train_oracle_sql), so the entry is value-checked
+    merge-for-merge — and tests/test_bpe.py additionally pins both
+    against a pure-Python reference trainer. See operators/bpe.py for
+    why the corpus is scanned exactly once regardless of merge count;
+    wall time here is ~1 driver-coordinated job per round (a
+    fixed-overhead floor at toy scale that amortizes to nothing on a
+    real cluster, where each round's aggregate does real work)."""
     from ..operators.bpe import bpe_merges
 
     d = spread(_t(spark, sf_dir, "documents"))
     return bpe_merges(d, n_merges=12, text_col="text")
+
+
+def _bpe_encode_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB replay of the map-side BPE ENCODE with a pinned merge
+    list: per word, the marker-wrapped symbol string is passed through
+    one nested ``replace()`` per merge in rank order (identical
+    left-to-right non-overlapping semantics to the engine's column
+    fold — see _bpe_train_oracle_sql for why the wrappers make that
+    exact). Token counts are recovered as the number of ``\\x01``
+    markers, i.e. ``length(s) - length(replace(s, chr(1), ''))``."""
+    m1, m2 = "chr(1)", "chr(2)"
+    sep = f"{m2}||{m1}"
+    expr = "s0"
+    for lhs, rhs in merges:
+        ql, qr = _bpe_sql_quote(lhs), _bpe_sql_quote(rhs)
+        qm = _bpe_sql_quote(lhs + rhs)
+        expr = (
+            f"replace({expr}, {m1}||{ql}||{m2}||{m1}||{qr}||{m2},"
+            f" {m1}||{qm}||{m2})"
+        )
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'),
+               x -> lower(x))) AS word
+      FROM documents
+    ),
+    w2 AS MATERIALIZED (
+      SELECT doc_id, word,
+             {m1} || array_to_string(
+               list_append(list_filter(string_split(word, ''), c -> c <> ''),
+                           '</w>'),
+               {sep}) || {m2} AS s0
+      FROM w WHERE word <> ''
+    ),
+    enc AS (
+      SELECT doc_id, s0, {expr} AS s FROM w2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(s0) - length(replace(s0, chr(1), '')))
+                  AS BIGINT) AS n_symbols_char,
+             CAST(sum(length(s) - length(replace(s, chr(1), '')))
+                  AS BIGINT) AS n_tokens_bpe
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_symbols_char, 0) AS BIGINT) AS n_symbols_char,
+           CAST(coalesce(a.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+
+from ..operators.bpe import PINNED_MERGES_12 as _PINNED_BPE  # noqa: E402
+
+
+@register("bpe_encode", _bpe_encode_oracle_sql(_PINNED_BPE))
+def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side BPE tokenization of every document with the PINNED
+    12-merge table (operators/bpe.py::PINNED_MERGES_12) — the APPLY half
+    of the tokenizer pair, as a pure column fold: zero shuffles besides
+    none at all (the plan is scan -> project), embarrassingly parallel
+    at any corpus size. Returns per-document word / char-symbol / BPE
+    token counts — the length accounting a packing stage consumes. The
+    DuckDB oracle applies the SAME pinned merges as nested rank-ordered
+    replace() calls over marker-wrapped words, making the encode
+    value-checked end-to-end (VERDICT r4 item 3)."""
+    from ..operators.bpe import PINNED_MERGES_12, bpe_encode
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return bpe_encode(d, merges=PINNED_MERGES_12, id_col="doc_id",
+                      text_col="text")
 
 
 @register(
@@ -6694,9 +6846,20 @@ def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wk AS (
       SELECT event_type,
              (CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS week,
-             count(*) AS n
+             CAST(count(*) AS BIGINT) AS n
       FROM events
       GROUP BY event_type, week
+    ),
+    axis AS (
+      SELECT event_type, unnest(generate_series(w0, w1)) AS week
+      FROM (SELECT event_type, min(week) AS w0, max(week) AS w1
+            FROM wk GROUP BY event_type)
+    ),
+    dense AS (
+      SELECT a.event_type, a.week,
+             CAST(coalesce(wk.n, 0) AS BIGINT) AS n
+      FROM axis a LEFT JOIN wk
+        ON wk.event_type = a.event_type AND wk.week = a.week
     )
     SELECT event_type, week, n,
            lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
@@ -6705,15 +6868,21 @@ def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * 1000000)
                      // lag(n) OVER (PARTITION BY event_type ORDER BY week)
            END AS delta_ppm
-    FROM wk
+    FROM dense
     """,
 )
 def wow_change_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Week-over-week volume change per event type: epoch-week buckets,
-    lag() for the prior week, and the relative delta in exact ppm
-    (integer division — NULL for the first week of each series rather
-    than a fake 0). The standard KPI-trend shape; one count aggregate
-    plus one window pass over the tiny (type, week) series."""
+    """Week-over-week volume change per event type: epoch-week buckets
+    DENSIFIED to every calendar week of each type's observed span
+    (sequence/explode, the locf_resample axis pattern), so a zero-event
+    week surfaces as n=0 and the next week's delta is computed against
+    the true PRIOR CALENDAR WEEK, not the previous observed one. lag()
+    for the prior week and the relative delta in exact ppm (integer
+    division — NULL for the first week of each series, and NULL when
+    the prior week had zero events, rather than a fake 0). One count
+    aggregate plus one window pass over the tiny (type, week) series;
+    the densified axis is bounded by types x span-weeks, never by the
+    event count."""
     e = spread(_t(spark, sf_dir, "events"))
     wk = (
         e.select(
@@ -6723,9 +6892,22 @@ def wow_change_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "week")
         .agg(F.count("*").alias("n"))
     )
+    axis = (
+        wk.groupBy("event_type")
+        .agg(F.min("week").alias("w0"), F.max("week").alias("w1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("w0", "w1")).alias("week"),
+        )
+    )
+    dense = axis.join(wk, ["event_type", "week"], "left").select(
+        "event_type",
+        "week",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
     w = Window.partitionBy("event_type").orderBy("week")
     prev = F.lag("n").over(w)
-    return wk.select(
+    return dense.select(
         "event_type",
         "week",
         "n",
