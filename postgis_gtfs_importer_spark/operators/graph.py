@@ -223,3 +223,77 @@ def eigenvector_centrality(
         e.unpersist()
         if nodes is not None:
             nodes.unpersist()
+
+
+def part_cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected part co-occurrence graph: edge (a, b), a < b, iff parts
+    a and b appear in the same order. Pair generation is MAP-SIDE: the
+    per-order distinct part list is collected in one aggregate and the
+    a<b pairs are emitted from a nested array transform — TPC-H orders
+    carry at most 7 lines, so the quadratic term is bounded per row
+    (document the cap before reusing on unbounded baskets: a k-line
+    order emits k(k-1)/2 pairs)."""
+    per_order = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        per_order.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count by degree orientation — the standard
+    distributed formulation (Suri & Vassilvitskii's MR-friendly
+    variant): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one, so every node's out-adjacency is
+    O(sqrt(m)); a triangle is then exactly one wedge (u->v, v->w) whose
+    closing edge (u->w) exists, counted once. Two shuffle joins over
+    the oriented edge list; no node ever owns more than its oriented
+    out-degree, which the orientation bounds — THE property that makes
+    the count survive power-law degree skew at 100 TB (a celebrity node
+    of degree 10^7 still has oriented out-degree ~sqrt(m)).
+
+    Input: undirected edges (a, b), a < b, distinct.
+    Output: one row (n_nodes, n_edges, n_triangles).
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    wedges = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(
+            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            "v",
+        )
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+    )
+    n_tri = closed.agg(F.count("*").cast("long").alias("n_triangles"))
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

@@ -62,3 +62,84 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(melted).alias("p")).select("p.*")
+
+
+def tvd_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution-drift monitor: total-variation distance between the
+    reference window (first half of the observed time span) and the
+    current window (second half), per group, over ``n_buckets``
+    equal-width value buckets.
+
+    The PSI/KL family needs ln() — transcendental, so the last ulp can
+    differ across engines and break exact verification; TVD
+    ( sum_b |p_ref(b) - p_cur(b)| / 2 ) carries the same "how much did
+    the distribution move" signal and is computable in EXACT integer
+    arithmetic by cross-multiplying the two sample sizes:
+
+        tvd_ppm = (sum_b |c_ref_b * n_cur - c_cur_b * n_ref|) * 1e6
+                  div (2 * n_ref * n_cur)
+
+    (exact while n_ref * n_cur * 1e6 < 2^63 — fine to ~3e6 rows/side;
+    beyond that move the numerator to DECIMAL(38,0)).
+
+    One pass over the fact: global (min, max, mid-timestamp) come from a
+    single 1-row aggregate (broadcast), bucketing is a map-side
+    expression, and ONE (group, bucket) aggregate feeds the per-group
+    roll-up — buckets empty on both sides contribute zero so no axis
+    densification is needed. Output: (group, n_ref, n_cur, tvd_ppm).
+    """
+    g, v, ts = F.col(group_col), F.col(value_col), F.col(ts_col)
+    bounds = df.agg(
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.min(F.unix_micros(ts.cast("timestamp"))).alias("t0"),
+        F.max(F.unix_micros(ts.cast("timestamp"))).alias("t1"),
+    )
+    mid = F.expr("t0 + (t1 - t0) div 2")
+    with_b = df.crossJoin(F.broadcast(bounds)).select(
+        g.alias("grp"),
+        F.least(
+            F.floor(
+                (v - F.col("vmin"))
+                * F.lit(float(n_buckets))
+                / (F.col("vmax") - F.col("vmin"))
+            ),
+            F.lit(n_buckets - 1),
+        )
+        .cast("long")
+        .alias("bucket"),
+        (F.unix_micros(ts.cast("timestamp")) < mid).alias("is_ref"),
+    )
+    per_bucket = with_b.groupBy("grp", "bucket").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("c_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("c_cur"),
+    )
+    totals = per_bucket.groupBy("grp").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    return (
+        per_bucket.join(totals, "grp")
+        .groupBy("grp", "n_ref", "n_cur")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_ref") * F.col("n_cur")
+                    - F.col("c_cur") * F.col("n_ref")
+                )
+            ).alias("num")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.expr("(num * 1000000) div (2 * n_ref * n_cur)")
+            .cast("long")
+            .alias("tvd_ppm"),
+        )
+    )

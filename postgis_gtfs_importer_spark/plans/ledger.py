@@ -1,0 +1,253 @@
+"""Mechanized driver-verification ledger (VERDICT r4 item 2).
+
+The external correctness gate checks a 50-entry prefix window of the
+registry each round. The standing rule is: any entry whose
+implementation changed since its last green driver row MUST sit inside
+that window. Through round 4 the rule was enforced by hand-maintained
+prose comments around ``_FRONT`` — and it drifted (commit e33fced
+rewired four entries onto the staged C11 fact while the comments said
+"impl unchanged"). This module replaces the prose with a RECORDED
+ledger plus a content digest, so drift is a test failure instead of a
+judge finding. Reference analog: the composite feed digest hashes the
+postprocessing hooks precisely so changed inputs can never reuse a
+stale verdict (/root/reference/import.js:200-227).
+
+Design
+------
+- ``verification_ledger.json`` (next to this module) records, per
+  registry entry: the last round with a fully-green driver row
+  (rows+schema+hash all true in ``CORRECTNESS_r{N}.json``) and the
+  entry's **implementation digest** at the time that row was recorded.
+- ``entry_digest(name)`` hashes everything the entry's result can
+  depend on: the registry function's source (which includes its inline
+  oracle SQL via the decorator call), the resolved oracle string, the
+  sources of queries.py-level helpers it references, and the FULL
+  module source of every intra-package module in the transitive import
+  closure of what the entry touches. Whole-module granularity is
+  deliberately conservative: editing any operator a query imports
+  flags the query, even when the edit "looks" unrelated.
+- ``stale_entries()`` = entries with no ledger row (never
+  driver-verified) or a digest mismatch (implementation changed after
+  the recorded row). ``tests/test_registry_ledger.py`` asserts every
+  stale entry sits inside the driver window.
+
+Round discipline
+----------------
+Run ``python -m postgis_gtfs_importer_spark.plans.ledger refresh`` at
+ROUND START, immediately after the driver's ``CORRECTNESS_r{N}.json``
+lands and BEFORE any code edit — the working tree then still equals the
+code the driver ran, so recording current digests is exact. Any edit
+made after refresh changes digests and mechanically forces the touched
+entries back into the window.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+import types
+
+_PKG = "postgis_gtfs_importer_spark"
+LEDGER_PATH = os.path.join(os.path.dirname(__file__), "verification_ledger.json")
+REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+#: Module aliases used inside queries.py entry bodies.
+_ALIAS_MODULES = {
+    "DD": f"{_PKG}.operators.dedup",
+    "SIM": f"{_PKG}.operators.similarity",
+    "TX": f"{_PKG}.functions.text",
+    "MM": f"{_PKG}.operators.multimodal",
+    "SS": f"{_PKG}.operators.sessions",
+}
+
+_IMPORT_RE = re.compile(
+    r"from\s+\.\.([a-z_]+(?:\.[a-z_]+)*)\s+import|"
+    r"from\s+" + _PKG + r"\.([a-z_]+(?:\.[a-z_]+)*)\s+import"
+)
+
+
+def _queries_module():
+    from . import queries as Q  # late import: avoid cycles at module load
+
+    return Q
+
+
+def _module_closure(mod_names: set[str]) -> set[str]:
+    """Transitive closure over intra-package imports, computed from each
+    module's SOURCE (regex over ``from ..x import`` / absolute package
+    imports) so the closure doesn't depend on import-time side effects."""
+    seen: set[str] = set()
+    todo = list(mod_names)
+    while todo:
+        name = todo.pop()
+        if name in seen:
+            continue
+        seen.add(name)
+        src = _module_source(name)
+        for m in _IMPORT_RE.finditer(src):
+            rel = m.group(1) or m.group(2)
+            child = f"{_PKG}.{rel}"
+            if _module_path(child) and child not in seen:
+                todo.append(child)
+    return seen
+
+
+def _module_path(mod_name: str) -> str | None:
+    rel = mod_name.replace(".", "/") + ".py"
+    p = os.path.join(REPO_ROOT, rel)
+    if os.path.exists(p):
+        return p
+    # package __init__
+    p = os.path.join(REPO_ROOT, mod_name.replace(".", "/"), "__init__.py")
+    return p if os.path.exists(p) else None
+
+
+def _module_source(mod_name: str) -> str:
+    p = _module_path(mod_name)
+    if p is None:
+        return ""
+    with open(p, encoding="utf-8") as f:
+        return f.read()
+
+
+def _entry_deps(fn_src: str) -> set[str]:
+    """Intra-package modules an entry body references: alias-qualified
+    calls (DD./SIM./...) plus any local ``from ..x import`` lines."""
+    mods: set[str] = set()
+    for alias, mod in _ALIAS_MODULES.items():
+        if re.search(rf"\b{alias}\.", fn_src):
+            mods.add(mod)
+    for m in _IMPORT_RE.finditer(fn_src):
+        rel = m.group(1) or m.group(2)
+        full = f"{_PKG}.{rel}"
+        if _module_path(full):
+            mods.add(full)
+    # every entry loads tables through _t/spread -> sources.tables
+    mods.add(f"{_PKG}.sources.tables")
+    mods.add(f"{_PKG}.session")
+    return mods
+
+
+def _helper_sources(fn_src: str) -> list[str]:
+    """Sources/reprs of queries.py module-level names the entry body
+    references (oracle-builder helpers, SQL string constants, shared
+    CTE fragments, fixed_point, ...)."""
+    Q = _queries_module()
+    idents = set(re.findall(r"\b([A-Za-z_][A-Za-z0-9_]*)\b", fn_src))
+    out: list[str] = []
+    for name in sorted(idents):
+        obj = getattr(Q, name, None)
+        if obj is None:
+            continue
+        if isinstance(obj, str):
+            out.append(f"{name}={obj}")
+        elif isinstance(obj, types.FunctionType) and obj.__module__ == Q.__name__:
+            try:
+                out.append(inspect.getsource(obj))
+            except OSError:
+                pass
+    return out
+
+
+def entry_digest(name: str) -> str:
+    """Content digest of everything the registry entry's RESULT can
+    depend on (see module docstring)."""
+    Q = _queries_module()
+    fn, oracle = Q._REGISTRY[name]
+    fn_src = inspect.getsource(fn)
+    parts = [fn_src, oracle if oracle is not None else "\x00NO_ORACLE"]
+    parts += _helper_sources(fn_src)
+    for mod in sorted(_module_closure(_entry_deps(fn_src))):
+        parts.append(f"=== {mod} ===\n" + _module_source(mod))
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(p.encode("utf-8", "replace"))
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def load_ledger() -> dict[str, dict]:
+    if not os.path.exists(LEDGER_PATH):
+        return {}
+    with open(LEDGER_PATH, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def stale_entries() -> dict[str, str]:
+    """Registry entries requiring a fresh driver row: name -> reason
+    (``never-verified`` or ``changed-since-r{N}``)."""
+    Q = _queries_module()
+    ledger = load_ledger()
+    out: dict[str, str] = {}
+    for name in Q._REGISTRY:
+        row = ledger.get(name)
+        if row is None:
+            out[name] = "never-verified"
+        elif row["digest"] != entry_digest(name):
+            out[name] = f"changed-since-r{row['round']}"
+    return out
+
+
+def _green_rounds() -> dict[str, int]:
+    """entry -> latest round with a fully-green driver row, from every
+    CORRECTNESS_r{N}.json in the repo root."""
+    best: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path, encoding="utf-8") as f:
+            rows = json.load(f)
+        for name, r in rows.items():
+            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match"):
+                best[name] = max(best.get(name, 0), rnd)
+    return best
+
+
+#: Sentinel digest for entries KNOWN to have changed after their last
+#: green row (backfill use only — a normal refresh records real digests).
+STALE_SENTINEL = "0" * 64
+
+
+def refresh(mark_stale: set[str] | None = None) -> dict[str, dict]:
+    """Rewrite the ledger from the CORRECTNESS artifacts + CURRENT
+    digests. Only valid at round start, before any edit (the working
+    tree must equal what the driver ran). ``mark_stale`` entries keep
+    their last green round but get the sentinel digest, recording that
+    their implementation is already known to post-date that row (used
+    once, for the initial r4 backfill — the digests the driver actually
+    ran were never recorded for rounds 1-4)."""
+    Q = _queries_module()
+    mark_stale = mark_stale or set()
+    green = _green_rounds()
+    ledger = {}
+    for name in Q._REGISTRY:
+        if name not in green:
+            continue
+        digest = (
+            STALE_SENTINEL if name in mark_stale else entry_digest(name)
+        )
+        ledger[name] = {"round": green[name], "digest": digest}
+    with open(LEDGER_PATH, "w", encoding="utf-8") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return ledger
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "refresh":
+        led = refresh(mark_stale=set(sys.argv[2:]))
+        print(f"ledger: {len(led)} entries recorded")
+    else:
+        st = stale_entries()
+        for n, why in sorted(st.items()):
+            print(f"{n}: {why}")
+        print(f"-- {len(st)} stale entries")

@@ -49,105 +49,86 @@ def register(name: str, oracle: str | None):
 #: the dict order below is a statement of verification priority, not
 #: taste. Standing rule (VERDICT r3 item 1): any registry entry whose
 #: transitive implementation changed since its last recorded driver row
-#: MUST sit inside the window — list it in _MUST_VERIFY below and the
-#: smoke test enforces containment.
+#: MUST sit inside the window. Since round 5 that rule is MECHANIZED:
+#: plans/ledger.py records (last-green-round, implementation-digest) per
+#: entry in verification_ledger.json, and tests/test_registry_ledger.py
+#: fails if any stale entry (no row, or digest drift) sits outside the
+#: window — the e33fced class of hand-comment drift is now a test
+#: failure. Run `python -m postgis_gtfs_importer_spark.plans.ledger
+#: refresh` at round start, before any edit.
 
-#: Entries whose implementation changed after their last green driver row
-#: (round noted). Rotate entries OUT of this list only once a fresh
-#: CORRECTNESS_r{N}.json row lands for them.
+#: Human-readable subset of the ledger's stale set: entries with a PRIOR
+#: green driver row whose implementation changed afterwards. Enforced
+#: against the ledger by tests/test_registry_ledger.py (both directions).
 _MUST_VERIFY: list[str] = [
-    # shingle_rows rewrite (r3 commit 8899568) — consumers last driver-
-    # verified in r2, before the rewrite
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_capped",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "decontaminate",
-    # simhash_pairs / token_topk were listed here as cautionary
-    # shingle/token siblings, but their transitive impl (token_rows,
-    # dedup.py:134) is unchanged since the initial commit — only
-    # shingle_rows was rewritten in 8899568 — so their r1/r2 driver rows
-    # remain valid and their slots go to never-verified new entries.
-    # r4 ADVICE fixes touch these implementations (NULL-bin policy, CMS
-    # salt separator, z-value input masking)
-    "hist_quantiles",
-    "cms_token_counts",
-    "zorder_hist",
+    # e33fced (r4) rewired the C11/C15 family onto the _synthetic_ad
+    # staged fact after their r2 rows — the drift VERDICT r4 flagged
+    "arrivals_departures_abs",
+    "stats_agency_route_stop_hour",
+    "active_trips_by_hour",
+    "stats_route_date",
+    # r5 changes: skyline local-front prefilter; segment_lines integer
+    # ceil; BPE training oracle replacing the rows-only row
+    "pareto_customers",
+    "line_dedup",
+    "bpe_merges",
+    # r5: triangle_count/part_cooccurrence_edges landed in operators/
+    # graph.py — whole-module digest granularity flags every graph.py
+    # dependent (the ledger's conservative-by-design behavior)
+    "pagerank_trade",
 ]
 
 _FRONT: list[str] = [
     *_MUST_VERIFY,
-    # round-4 additions — no driver row yet
-    "funnel_conversion",
-    "retention_cohorts",
-    # stats_route_date traded out for streaming_corpus_gate: it is the
-    # near-twin of the r3-green stats family shapes, while the
-    # batch==stream gate pin is a new verification class
-    "streaming_corpus_gate",
-    "lexical_rarity",
-    "neardup_incremental",
-    "event_transitions",
-    "bloom_membership",
-    "hopping_window_stats",
-    "min_cost_supplier",
-    "excess_shippers",
-    "fuzzy_title_pairs",
-    "trend_by_type",
-    # TPC-H-22 completion (this round) — no driver row yet
-    "shipping_priority",
-    "revenue_forecast",
-    "product_type_profit",
-    "important_parts",
-    "priority_shipment_buckets",
-    "customer_order_distribution",
-    "promo_revenue_share",
-    "top_supplier",
-    "supplier_part_counts",
-    "bulk_customers",
-    "disjunctive_revenue",
-    "dormant_customers",
-    # late round-4 operator additions — no driver row yet
-    "bigram_lm_scores",
-    "bpe_merges",
-    "ann_int8_topk",
-    "audio_features",
-    "streaming_interval_join_outer",
-    "quality_gate",
-    "video_features",
-    # continuation-block additions — no driver row yet
-    "line_dedup",
-    "pagerank_trade",
-    "pareto_customers",
-    "events_json_stats",
-    "score_quantile_norm",
-    "hilbert_hist",
-    "temperature_sample",
-    "mad_outliers",
-    "session_window_native",
-    "entity_resolution",
-    # table_profile / locf_resample / revenue_pivot /
-    # eigenvector_centrality / split_leakage_audit (also new) sit PAST
-    # the window — 50 slots cannot hold every new entry this round;
-    # they are compositions of in-window-verified pieces or pure
-    # aggregates (no novel hash or float paths) and stay fully
-    # value-checked by tests/test_oracle_parity.py. ann_ivf_topk /
-    # embedding_topk / semantic_dedup (stale-by-age, impl unchanged)
-    # rotated out to make room.
-    # r4 real-decoder rewrite postdates the r1/r2 driver row — must stay
-    # in the window until a fresh row lands
-    "multimodal_features",
-    # departures_at_station / corpus_curation / reconcile_imports /
-    # gc_candidates / lang_normalized / digest_mint / composite_digest /
-    # retention_topk / minimize_stoptimes / doc_fingerprint /
-    # rolling_fingerprint / text_quality / lang_id / hash_split /
-    # stratified_sample / repetition_profile / sessionize / dedup_exact /
-    # frame_sample_stats / ann_lsh_topk / embedding_cosine_pairs /
-    # translations_feedwide / translations_applied / pii_redaction /
-    # arrivals_departures_abs / stats_agency_route_stop_hour /
-    # active_trips_by_hour rotated out (r1/r2-green,
-    # impl unchanged, pytest-covered) to keep every new/changed r4
-    # entry — including the 12 TPC-H-22 completions and video_features
-    # (never driver-verified) — inside the 50-entry driver window
+    # r5 change with no prior green row (week-axis densification)
+    "wow_change",
+    # never driver-verified (r4 continuation block, past the old window)
+    "table_profile",
+    "locf_resample",
+    "revenue_pivot",
+    "eigenvector_centrality",
+    "split_leakage_audit",
+    "benford_audit",
+    "streaming_session_window",
+    "unpivot_roundtrip",
+    "streaming_hll_dashboard",
+    "robust_scale",
+    # round-5 additions — no driver row yet
+    "bpe_encode",
+    "prefix_filter_jaccard",
+    "triangle_count",
+    "tvd_drift",
+    "revenue_cube",
+    "knn_label_vote",
+    "ann_recall_at_k",
+    "skew_salted_join",
+    "topk_parts_per_nation",
+    "zorder_pruning_stats",
+    # freshness rotation: the entries with the OLDEST green rows
+    # (r1/r2, impl unchanged per the ledger) — at 141+ entries and a
+    # 50-slot window each entry is re-verified at best every ~3 rounds,
+    # so the spare slots go to the longest-unverified tail
+    "ann_ivf_topk",
+    "embedding_topk",
+    "semantic_dedup",
+    "departures_at_station",
+    "corpus_curation",
+    "reconcile_imports",
+    "gc_candidates",
+    "lang_normalized",
+    "digest_mint",
+    "composite_digest",
+    "retention_topk",
+    "minimize_stoptimes",
+    "doc_fingerprint",
+    "rolling_fingerprint",
+    "text_quality",
+    "lang_id",
+    "hash_split",
+    "stratified_sample",
+    "repetition_profile",
+    "sessionize",
+    "dedup_exact",
 ]
 
 
@@ -7149,4 +7130,510 @@ def robust_scale_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "o_orderkey", "o_orderstatus", "cents", "med", "iqr", "scaled_ppm"
+    )
+
+
+# ===========================================================================
+# Round-5 additions: exact-threshold set-similarity join, triangle counting,
+# drift monitoring, CUBE, kNN composition, ANN quality measurement, explicit
+# salting, per-group top-k, layout pruning statistics
+# ===========================================================================
+
+
+@register(
+    "prefix_filter_jaccard",
+    f"""
+    WITH {_SHINGLE_CTES},
+    sets AS (
+      SELECT doc_id, list_sort(list(shingle)) AS ts,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM sh GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+             a.sz + b.sz
+               - CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS union_sz
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, inter, union_sz,
+           CAST(floor(CAST(inter AS DOUBLE) / greatest(union_sz, 1) * 1e6
+                      + 0.5) AS BIGINT) AS jaccard_e6
+    FROM pairs
+    WHERE inter * 2 >= union_sz * 1
+    """,
+)
+def prefix_filter_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold shingle-set Jaccard join (tau = 1/2, word
+    3-grams) via PPJoin prefix filtering — the near-dup family's EXACT
+    member next to the probabilistic MinHash-LSH (same shingle
+    granularity, so their outputs are directly comparable). The oracle
+    is the DEFINITIONAL quadratic all-pairs test, so the green row
+    proves the prefix filter is lossless on real data, not just in
+    theory. Scale story in operators/setjoin.py: prefixes are the
+    rarest shingles (df-ascending order), so candidate-join keys are
+    anti-skewed by construction."""
+    from ..operators.setjoin import prefix_filter_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard(
+        d, id_col="doc_id", text_col="text", n=3, tau_num=1, tau_den=2
+    )
+
+
+@register(
+    "triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS (
+      SELECT DISTINCT node
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+    )
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*)
+                 FROM e ab
+                 JOIN e bc ON bc.a = ab.b
+                 JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS BIGINT)
+             AS n_triangles
+    """,
+)
+def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-occurrence graph (parts sharing an
+    order). Engine plan: degree orientation (operators/graph.py::
+    triangle_count) — every node's oriented out-degree is O(sqrt(m)),
+    THE property that survives power-law skew at 100 TB; the oracle is
+    the independent a<b<c three-way self-join formulation, so the green
+    row proves the orientation counts each triangle exactly once."""
+    from ..operators.graph import part_cooccurrence_edges, triangle_count
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    return triangle_count(part_cooccurrence_edges(li))
+
+
+@register(
+    "tvd_drift",
+    """
+    WITH bounds AS (
+      SELECT min(value) AS vmin, max(value) AS vmax,
+             min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      FROM events
+    ),
+    b AS (
+      SELECT event_type AS grp,
+             CAST(least(floor((value - vmin) * 10.0 / (vmax - vmin)), 9)
+                  AS BIGINT) AS bucket,
+             (epoch_us(ts) < t0 + (t1 - t0) // 2) AS is_ref
+      FROM events, bounds
+    ),
+    pb AS (
+      SELECT grp, bucket,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+      FROM b GROUP BY grp, bucket
+    ),
+    t AS (
+      SELECT grp, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur
+      FROM pb GROUP BY grp
+    )
+    SELECT pb.grp AS event_type, t.n_ref, t.n_cur,
+           CAST((CAST(sum(abs(pb.c_ref * t.n_cur - pb.c_cur * t.n_ref))
+                      AS BIGINT) * 1000000)
+                // (2 * t.n_ref * t.n_cur) AS BIGINT) AS tvd_ppm
+    FROM pb JOIN t ON t.grp = pb.grp
+    GROUP BY pb.grp, t.n_ref, t.n_cur
+    """,
+)
+def tvd_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor per event type: total-variation
+    distance between the first and second half of the observed time
+    span over 10 equal-width value buckets, in EXACT integer ppm
+    (operators/profiling.py::tvd_drift — TVD instead of PSI/KL because
+    ln() is transcendental and breaks cross-engine exactness). The
+    drift gate a training pipeline puts in front of feature backfills."""
+    from ..operators.profiling import tvd_drift
+
+    ev = spread(_t(spark, sf_dir, "events"))
+    return tvd_drift(ev, "event_type", "value", "ts", n_buckets=10)
+
+
+@register(
+    "revenue_cube",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           l_returnflag AS ret_flag,
+           CAST(GROUPING(n_name, year(o_orderdate), l_returnflag)
+                AS BIGINT) AS gid,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY CUBE(n_name, year(o_orderdate), l_returnflag)
+    """,
+)
+def revenue_cube_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (nation, order year, return flag) with revenue in
+    exact per-row-quantized cents (floor(x*100+0.5) BEFORE the integer
+    sum — order-independent on any topology, unlike summing doubles)
+    and the grouping_id bitmask distinguishing subtotal NULLs from data
+    NULLs. Spark plans a cube as ONE scan + Expand (rows multiply 8x
+    map-side, partial-aggregated before the shuffle) — the multi-
+    granularity rollup a reporting layer wants without 8 scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("l_returnflag").alias("ret_flag"),
+            cents.alias("cents"),
+        )
+        .cube("nation", "o_year", "ret_flag")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+_INT8_QZ_CTE = """
+    qz AS (
+      SELECT vec_id, label,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(emb,
+                         x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
+                  ELSE list_transform(emb, x -> CAST(0 AS BIGINT))
+             END AS q
+      FROM (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS maxabs
+        FROM embeddings
+      )
+    )
+"""
+
+
+@register(
+    "knn_label_vote",
+    f"""
+    WITH {_INT8_QZ_CTE},
+    topk AS (
+      SELECT q_id, vec_id
+      FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                                CAST(b.q AS DOUBLE[]))
+                               AS BIGINT) DESC,
+                          b.vec_id ASC) AS rn
+        FROM qz a JOIN qz b ON b.vec_id >= 20
+        WHERE a.vec_id < 20
+      )
+      WHERE rn <= 10
+    ),
+    votes AS (
+      SELECT t.q_id, CAST(e.label AS BIGINT) AS pred_label,
+             CAST(count(*) AS BIGINT) AS votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+      GROUP BY t.q_id, e.label
+    )
+    SELECT q_id, pred_label, votes
+    FROM (
+      SELECT q_id, pred_label, votes,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY votes DESC, pred_label ASC) AS rn
+      FROM votes
+    )
+    WHERE rn = 1
+    """,
+)
+def knn_label_vote_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority vote: 20 query vectors classified
+    by the labels of their 10 nearest int8-quantized neighbors in the
+    held-out corpus (vec_id >= 20) — the weak-labeling / label-
+    propagation primitive of a curation pipeline, composed entirely
+    from the verified ANN + aggregation surface. Exact BIGINT dot
+    products make the neighbor sets engine- and topology-independent;
+    vote ties break on the smaller label, deterministically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    topk = SIM.int8_topk(corpus, q, k=10)
+    votes = (
+        topk.join(corpus.select("vec_id", "label"), "vec_id")
+        .groupBy("q_id", F.col("label").cast("long").alias("pred_label"))
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.asc("pred_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "pred_label", "votes")
+    )
+
+
+@register(
+    "ann_recall_at_k",
+    f"""
+    WITH {_INT8_QZ_CTE},
+    int8_topk AS (
+      SELECT q_id, vec_id
+      FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                                CAST(b.q AS DOUBLE[]))
+                               AS BIGINT) DESC,
+                          b.vec_id ASC) AS rn
+        FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+      )
+      WHERE rn <= 10
+    ),
+    exact_topk AS (
+      SELECT q_id, vec_id
+      FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      )
+      WHERE rn <= 10
+    ),
+    matches AS (
+      SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_match
+      FROM int8_topk a JOIN exact_topk b
+        ON b.q_id = a.q_id AND b.vec_id = a.vec_id
+      GROUP BY a.q_id
+    )
+    SELECT q.vec_id AS q_id,
+           CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match,
+           CAST(coalesce(m.n_match, 0) * 100000 AS BIGINT) AS recall_ppm
+    FROM embeddings q LEFT JOIN matches m ON m.q_id = q.vec_id
+    WHERE q.vec_id < 10
+    """,
+)
+def ann_recall_at_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY as a first-class query: recall@10 of the int8-
+    quantized index against the exact float-cosine baseline, per query
+    vector — the measurement loop that gates an index rollout (compare
+    tests/test_approx.py, which pins the same recall in CI). Both
+    rankings are deterministic (exact BIGINT dots; rounded cosine with
+    id tie-breaks), so recall is a pure function of the data and the
+    DuckDB twin reproduces it bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = SIM.int8_topk(emb, q, k=10).select("q_id", "vec_id")
+    b = SIM.brute_force_topk(emb, q, k=10).select("q_id", "vec_id")
+    matches = a.join(b, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_match")
+    )
+    return (
+        q.select(F.col("vec_id").alias("q_id"))
+        .join(matches, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_match"), F.lit(0)).cast("long").alias("n_match"),
+            (F.coalesce(F.col("n_match"), F.lit(0)) * 100000)
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CAST(length(event_type) AS BIGINT) AS weight
+      FROM events
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(d.weight) AS BIGINT) AS sum_w,
+           CAST(min(floor(e.value * 100 + 0.5)) AS BIGINT) AS min_v_e2,
+           CAST(max(floor(e.value * 100 + 0.5)) AS BIGINT) AS max_v_e2
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def skew_salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join under a skewed key (operators/skew.py::
+    salted_join): the events fact joins a non-broadcastable dim on
+    event_type — 5 hot keys that would each land on ONE reducer in a
+    plain sort-merge join; salting spreads every key over 16 reducers
+    and replicates the dim 16x. The oracle is the PLAIN join, so the
+    green row proves the equality-preservation contract (result ==
+    unsalted join) on real data. Aggregates are order-independent
+    (count / integer sum / min-max of per-row-quantized cents)."""
+    from ..operators.skew import salted_join
+
+    ev = spread(_t(spark, sf_dir, "events"))
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(
+        ev.select("event_type", "value"), dim, "event_type", n_salts=16
+    )
+    v_e2 = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("weight").cast("long").alias("sum_w"),
+        F.min(v_e2).cast("long").alias("min_v_e2"),
+        F.max(v_e2).cast("long").alias("max_v_e2"),
+    )
+
+
+@register(
+    "topk_parts_per_nation",
+    """
+    WITH per AS (
+      SELECT n_name, l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      GROUP BY n_name, l_partkey
+    )
+    SELECT n_name, l_partkey, revenue_cents, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT n_name, l_partkey, revenue_cents,
+             row_number() OVER (
+               PARTITION BY n_name
+               ORDER BY revenue_cents DESC, l_partkey ASC) AS rn
+      FROM per
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_parts_per_nation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — the canonical analytics shape at scale: revenue
+    per (supplier nation, part) in exact per-row-quantized cents, then
+    the top 3 parts per nation by a partitioned row_number with
+    deterministic tie-breaks. The aggregate shrinks the fact BEFORE the
+    window, so the rank pass runs on groups-x-parts rows, never the
+    fact; dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    per = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue_cents"), F.asc("l_partkey")
+    )
+    return (
+        per.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "l_partkey", "revenue_cents", "rn")
+    )
+
+
+def _zorder_prune_oracle_sql() -> str:
+    from ..operators.layout import interleave_bits_sql
+
+    z = interleave_bits_sql(
+        ["o_custkey % 256", "(o_orderkey // 7) % 256"], bits=8
+    )
+    return f"""
+    WITH q AS (
+      SELECT o_custkey % 256 AS qx, (o_orderkey // 7) % 256 AS qy,
+             {z} AS zval
+      FROM orders
+    ),
+    buckets AS (
+      SELECT zval >> 8 AS zbucket,
+             CAST(count(*) AS BIGINT) AS n,
+             min(qx) AS min_qx, max(qx) AS max_qx,
+             min(qy) AS min_qy, max(qy) AS max_qy
+      FROM q GROUP BY zbucket
+    )
+    SELECT (max_qx < 32 OR min_qx > 95 OR max_qy < 64 OR min_qy > 127)
+             AS prunable,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_rows
+    FROM buckets
+    GROUP BY prunable
+    """
+
+
+@register("zorder_pruning_stats", _zorder_prune_oracle_sql())
+def zorder_pruning_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout EFFECTIVENESS as a query: per-z-bucket min/max statistics
+    (exactly what parquet footers give the scan planner over a
+    z-ordered layout) evaluated against the box predicate qx in
+    [32, 95] AND qy in [64, 127] — reporting how many buckets (files)
+    and rows the predicate can skip without reading. Companion to
+    zorder_hist (which pins the bucket statistics themselves) and to
+    tests/test_layout.py (which proves the <=1/8-files-read bound
+    against a 1-D-sorted layout)."""
+    from ..operators.layout import interleave_bits
+
+    o = _t(spark, sf_dir, "orders")
+    q = o.select(
+        (F.col("o_custkey") % 256).alias("qx"),
+        ((F.col("o_orderkey") / 7).cast("long") % 256).alias("qy"),
+    )
+    z = interleave_bits([F.col("qx"), F.col("qy")], bits=8)
+    buckets = (
+        q.withColumn("zval", z)
+        .groupBy(F.shiftright("zval", 8).alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("qx").alias("min_qx"),
+            F.max("qx").alias("max_qx"),
+            F.min("qy").alias("min_qy"),
+            F.max("qy").alias("max_qy"),
+        )
+    )
+    prunable = (
+        (F.col("max_qx") < 32)
+        | (F.col("min_qx") > 95)
+        | (F.col("max_qy") < 64)
+        | (F.col("min_qy") > 127)
+    )
+    return buckets.groupBy(prunable.alias("prunable")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
     )

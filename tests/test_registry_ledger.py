@@ -1,0 +1,81 @@
+"""Mechanized window-drift enforcement (VERDICT r4 item 2).
+
+plans/ledger.py records (last-green-driver-round, implementation
+digest) per registry entry; these tests make the standing rule — any
+entry whose implementation changed since its last green driver row MUST
+sit inside the 50-entry driver window — a test failure instead of a
+hand-maintained comment. The e33fced drift class (rewire an entry, keep
+the 'impl unchanged' prose) now fails test_stale_entries_inside_window
+the moment the rewire lands, because the recorded digest no longer
+matches.
+"""
+
+from __future__ import annotations
+
+from postgis_gtfs_importer_spark.plans import ledger as L
+from postgis_gtfs_importer_spark.plans import queries as Q
+
+WINDOW = 50
+
+
+def _window() -> set[str]:
+    return set(list(Q.queries())[:WINDOW])
+
+
+def test_stale_entries_inside_window():
+    """Every never-verified or changed-since-verification entry must be
+    in the driver's 50-slot prefix window this round."""
+    stale = L.stale_entries()
+    outside = sorted(set(stale) - _window())
+    assert not outside, (
+        f"stale registry entries OUTSIDE the driver window: "
+        f"{ {n: stale[n] for n in outside} } — either move them into "
+        f"_FRONT or (only at round start, pre-edit) refresh the ledger"
+    )
+
+
+def test_ledger_rows_reference_live_entries():
+    orphans = sorted(set(L.load_ledger()) - set(Q._REGISTRY))
+    assert not orphans, f"ledger rows for deleted/renamed entries: {orphans}"
+
+
+def test_must_verify_consistent_with_ledger():
+    """_MUST_VERIFY is the human-readable changed-impl subset: it must
+    contain every ledger-detected changed-since entry and name only
+    entries the ledger agrees are stale."""
+    stale = L.stale_entries()
+    changed = {n for n, why in stale.items() if why.startswith("changed-since")}
+    missing = sorted(changed - set(Q._MUST_VERIFY))
+    assert not missing, (
+        f"ledger-detected changed entries absent from _MUST_VERIFY: {missing}"
+    )
+    not_stale = sorted(set(Q._MUST_VERIFY) - set(stale))
+    assert not not_stale, (
+        f"_MUST_VERIFY names entries the ledger considers verified: "
+        f"{not_stale} — rotate them out (their fresh row landed)"
+    )
+
+
+def test_digest_is_deterministic_and_sensitive():
+    name = next(iter(Q._REGISTRY))
+    d1, d2 = L.entry_digest(name), L.entry_digest(name)
+    assert d1 == d2 and len(d1) == 64
+    # two different entries should not collide
+    other = [n for n in Q._REGISTRY if n != name][0]
+    assert L.entry_digest(other) != d1
+
+
+def test_digest_covers_operator_module_closure():
+    """pareto_customers imports operators.skyline inside its body; the
+    digest must include that module's source (whole-module granularity:
+    ANY skyline edit flags the entry)."""
+    import inspect
+
+    fn, _ = Q._REGISTRY["pareto_customers"]
+    deps = L._entry_deps(inspect.getsource(fn))
+    closure = L._module_closure(deps)
+    assert "postgis_gtfs_importer_spark.operators.skyline" in closure
+    # dedup-family entry pulls the dedup module transitively
+    fn2, _ = Q._REGISTRY["minhash_lsh_pairs"]
+    deps2 = L._module_closure(L._entry_deps(inspect.getsource(fn2)))
+    assert "postgis_gtfs_importer_spark.operators.dedup" in deps2

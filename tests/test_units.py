@@ -135,31 +135,38 @@ def test_download_feed_conditional_mirror(tmp_path):
 def test_bench_line_budget():
     """The driver captures only the ~2 KB stdout tail of bench.py; the
     round-2 failure was the final JSON line outgrowing it. Reconstruct
-    the line at worst-case per-query width (999.9 s timings) and pin it
-    under the 1800-byte guard bench.py itself asserts before printing."""
+    the line at worst-case width (999.9 s timings, 5 long regressed
+    names) and pin it under the 800-byte guard bench.py itself asserts
+    before printing — the budget now holds at ANY suite size because
+    only STDOUT_KEEP canaries are named."""
     import json
 
     import bench
 
-    worst = {
-        name: 999.9
-        for name in bench.HEADLINE
-        if name not in bench.STDOUT_OMIT
-    }
+    worst = {name: 999.9 for name in bench.STDOUT_KEEP}
+    longest = sorted(bench.HEADLINE, key=len, reverse=True)[:5]
     line = json.dumps(
         {
             "metric": "headline_query_suite_total",
             "value": 99999.99,
             "unit": "sec",
             "queries": worst,
+            "n_queries": 999,
             "total_warm": 99999.99,
             "import_e2e": 99999.999,
+            "delta_vs_prev": {
+                "common": 999,
+                "prev_warm_sum": 99999.99,
+                "now_warm_sum": 99999.99,
+                "n_regressed_2x": 999,
+                "regressed_2x": longest,
+            },
             "sf": 0.1,
             "detail": "BENCH_DETAIL_r99.json",
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1800, (
-        f"worst-case bench line = {len(line)} bytes; trim HEADLINE or "
-        "shorten names before the driver's tail capture truncates it"
+    assert len(line) < 800, (
+        f"worst-case bench line = {len(line)} bytes; trim STDOUT_KEEP "
+        "before the driver's tail capture truncates it"
     )
