@@ -289,6 +289,88 @@ def main() -> None:
         print(f"# import_e2e: FAILED {type(e).__name__}: {e}", flush=True)
         detail["import_e2e"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # sf1-class scale smoke (VERDICT r4 item 6): the heavy near-dup path
+    # on a 50k-doc synthetic corpus with a deliberately hot key (one
+    # line verbatim in EVERY document, sources/synth.py) — recorded here
+    # so the per-round artifact carries the above-sf0.1 wall-clock and
+    # the skew-split evidence, not just the correctness-suite timings.
+    # Not folded into the query-suite totals (different input).
+    try:
+        from pyspark.sql import functions as SF
+
+        from postgis_gtfs_importer_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs_capped,
+        )
+        from postgis_gtfs_importer_spark.operators.lines import line_dedup
+        from postgis_gtfs_importer_spark.sources.synth import (
+            synth_skewed_corpus,
+        )
+
+        n_docs = 50_000
+        smoke: dict = {"n_docs": n_docs}
+        # hot-line corpus (boilerplate in EVERY doc, 4x) for line dedup.
+        # Skew thresholds scaled to this input (the defaults trigger at
+        # 256 MB partitions — proportionate at 100 TB, unreachable at
+        # 50k docs), so the recorded skew_split reflects the plan
+        # behavior the thresholds are FOR, at this size.
+        skew_confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        }
+        saved_confs = {k: spark.conf.get(k, None) for k in skew_confs}
+        corpus_hot = synth_skewed_corpus(spark, n_docs)
+        try:
+            for k, v in skew_confs.items():
+                spark.conf.set(k, v)
+            t0 = time.monotonic()
+            ld_agg = line_dedup(corpus_hot).agg(
+                SF.sum("dropped_lines").alias("dropped"), SF.count("*")
+            )
+            ld_agg.collect()
+            smoke["line_dedup_sec"] = round(time.monotonic() - t0, 3)
+            smoke["line_dedup_skew_split"] = (
+                "skew=true"
+                in ld_agg._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            for k, v in saved_confs.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        # twin-pair corpus (36-token shared phrase per doc pair, no
+        # boilerplate — a real pipeline runs MinHash after line-level
+        # boilerplate removal) for the similarity family: twins land
+        # above the 0.5 threshold, non-twins near zero — pair volume
+        # stays linear in n_docs. (The hot-shingle cap behavior itself
+        # is pinned by test_capped_jaccard_skew_split_and_hot_only_semantics.)
+        corpus_pairs = synth_skewed_corpus(
+            spark, n_docs, hot_repeats=0, filler_tokens=12, phrase_tokens=36
+        )
+        t0 = time.monotonic()
+        mh = minhash_lsh_pairs(
+            corpus_pairs, id_col="doc_id", text_col="text",
+            num_hashes=32, bands=8, threshold=0.5, seed=42,
+        )
+        smoke["minhash_pairs"] = mh.count()
+        smoke["minhash_sec"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        nj = ngram_jaccard_pairs_capped(
+            corpus_pairs.withColumn("blk", SF.lit("B")),
+            "doc_id", "text", "blk", 3, 0.5, max_df=1000,
+        )
+        smoke["jaccard_capped_pairs"] = nj.count()
+        smoke["jaccard_capped_sec"] = round(time.monotonic() - t0, 3)
+        detail["scale_smoke_sf1"] = smoke
+        print(f"# scale_smoke_sf1: {smoke}", flush=True)
+    except Exception as e:
+        print(f"# scale_smoke_sf1: FAILED {type(e).__name__}: {e}", flush=True)
+        detail["scale_smoke_sf1"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Cross-round comparability (VERDICT r4 item 7): read the PREVIOUS
     # run's detail file BEFORE overwriting it and record per-query warm
     # deltas, so cold-vs-warm artifacts (e.g. r4's staged-fact

@@ -82,10 +82,27 @@ def line_dedup(
     where ``kept_text`` is the document reassembled from its surviving
     lines in original order (newline-joined).
     """
+    from .dedup import materialize
+
     ldf = segment_lines(df, id_col, text_col, tokens_per_line)
-    firsts = ldf.groupBy("line").agg(
-        F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("first_occ")
+    firsts = materialize(
+        ldf.groupBy("line").agg(
+            F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("first_occ")
+        )
     )
+    # materialize() is LOAD-BEARING for skew here, not an optimization
+    # nicety: AQE's OptimizeSkewedJoin only rewrites a sort-merge join
+    # whose two children are Sort <- ShuffleQueryStage(ENSURE_REQUIREMENTS).
+    # Without the checkpoint, the first-occurrence aggregate sits between
+    # the exchange and the sort on the build side, the pattern doesn't
+    # match, and every copy of the hottest boilerplate line funnels into
+    # ONE unsplittable task (measured: no skew=true at any threshold; a
+    # repartition() hint doesn't help either — its REPARTITION_BY_NUM
+    # shuffle origin is likewise excluded). With it, the join re-shuffles
+    # both sides naturally and the hot-line partition splits
+    # (SortMergeJoin(skew=true), pinned by tests/test_scale_smoke.py).
+    # Cost: one materialization of the distinct-lines relation, the same
+    # order as the shuffle write the join pays anyway.
     joined = ldf.join(firsts, "line")
     kept = (F.col(id_col) == F.col("first_occ")[id_col]) & (
         F.col("line_no") == F.col("first_occ")["line_no"]

@@ -238,3 +238,79 @@ def test_capped_jaccard_skew_split_and_hot_only_semantics(spark):
     assert dropped, "fixture must actually produce hot-only pairs"
     # 2. AQE split the warm-shingle partition
     assert "skew=true" in plan, plan[:4000]
+
+
+def test_neardup_family_skew_and_linearity(spark):
+    """VERDICT r4 item 6 — sf1-class behavior of the heavy near-dup
+    path under a deliberately skewed hot key (sources/synth.py: one
+    line verbatim in EVERY document, df = n_docs stop-shingles):
+
+    1. line_dedup under the hot line: the min-struct grouped aggregate
+       must keep exactly ONE copy corpus-wide and drop the rest, and
+       the plan must contain no sort-merge join that funnels the hot
+       line into a single unsplit task (AQE skew handling engaged via
+       skew-tuned confs — 'skew=true' appears when Spark picks SMJ, or
+       the build side broadcasts, either of which defuses the hot key).
+    2. ~linear growth: 4x the corpus must cost well under the quadratic
+       blowup (16x); the bound is deliberately loose (<10x) so only a
+       complexity regression fails, not timing noise.
+
+    The sf1-scale (50k-doc) wall-clock figure itself is recorded by
+    bench.py into BENCH_DETAIL.json under 'scale_smoke_sf1'.
+    """
+    import time
+
+    from postgis_gtfs_importer_spark.operators.lines import line_dedup
+    from postgis_gtfs_importer_spark.sources.synth import (
+        HOT_LINE,
+        synth_skewed_corpus,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def run(n_docs):
+        t0 = time.monotonic()
+        out = line_dedup(synth_skewed_corpus(spark, n_docs))
+        agg_df = out.agg(
+            F.sum("kept_lines").alias("kept"),
+            F.sum("dropped_lines").alias("dropped"),
+            F.count("*").alias("docs"),
+        )
+        agg = agg_df.collect()[0]
+        # the EXECUTED (AQE-final) plan — reading it from the un-executed
+        # `out` would show isFinalPlan=false with no skew annotations
+        plan = agg_df._jdf.queryExecution().executedPlan().toString()
+        return time.monotonic() - t0, agg, plan
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        run(1_000)  # warm codegen/shuffle paths so t1 isn't startup-heavy
+        t1, a1, plan1 = run(8_000)
+        t4, a4, plan4 = run(32_000)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # hot line kept exactly once corpus-wide: each doc carries 4 copies
+    # (8 lines/doc total), only (doc 0, line 0) survives -> kept = 4n+1,
+    # dropped = 4n-1, exactly
+    assert a1.docs == 8_000 and a4.docs == 32_000
+    assert (a1.kept, a1.dropped) == (4 * 8_000 + 1, 4 * 8_000 - 1)
+    assert (a4.kept, a4.dropped) == (4 * 32_000 + 1, 4 * 32_000 - 1)
+    # skew defused: AQE split the hot-line join partition (line_dedup
+    # materializes the first-occurrence side precisely so the
+    # OptimizeSkewedJoin pattern matches — see operators/lines.py), or
+    # the build side broadcast (when thresholds allow)
+    assert ("skew=true" in plan4) or ("BroadcastHashJoin" in plan4), plan4[:3000]
+    # complexity: 4x data must NOT cost quadratic (16x); loose 10x bound
+    assert t4 < 10 * max(t1, 0.5), f"superlinear: {t1:.2f}s -> {t4:.2f}s"
