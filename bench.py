@@ -162,6 +162,12 @@ HEADLINE = [
     "skew_salted_join",
     "topk_parts_per_nation",
     "zorder_pruning_stats",
+    "asof_join_forward",
+    "ntile_buckets",
+    "equidepth_hist",
+    "time_rollup",
+    "corr_components",
+    "first_touch_attribution",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

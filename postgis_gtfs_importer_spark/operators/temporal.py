@@ -177,3 +177,44 @@ def locf_resample(
             F.col("_obs").isNotNull().alias("is_observed"),
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    asof_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """Forward as-of left join: EARLIEST right values at-or-after left
+    ts — the mirror of :func:`asof_join` (same union-then-window single
+    shuffle, frame reversed to currentRow..unboundedFollowing with
+    first(ignorenulls)). Ties at equal ts match (<=): left rows sort
+    BEFORE right rows at the same timestamp so the following-frame
+    includes them. The "next scheduled event / next price revision"
+    lookup of a timeline pipeline."""
+    l_tagged = left.withColumn("_side", F.lit(0))
+    r_tagged = (
+        right.select(*on, ts_col, *value_cols)
+        .withColumn("_side", F.lit(1))
+        .withColumn("_r_ts", F.col(ts_col))
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col), F.col("_side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.first(F.col(c), ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+        F.first(F.col("_r_ts"), ignorenulls=True).over(w).alias(asof_ts_col),
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"_f_{c}").alias(c) for c in value_cols
+    ] + [asof_ts_col]
+    return filled.filter(F.col("_side") == 0).select(*out_cols)

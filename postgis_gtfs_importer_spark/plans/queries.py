@@ -76,6 +76,10 @@ _MUST_VERIFY: list[str] = [
     # graph.py — whole-module digest granularity flags every graph.py
     # dependent (the ledger's conservative-by-design behavior)
     "pagerank_trade",
+    # r5: asof_join_forward landed in operators/temporal.py — same
+    # whole-module flagging of its dependents
+    "asof_join",
+    "range_join",
 ]
 
 _FRONT: list[str] = [
@@ -104,6 +108,13 @@ _FRONT: list[str] = [
     "skew_salted_join",
     "topk_parts_per_nation",
     "zorder_pruning_stats",
+    # round-5 second wave — no driver row yet
+    "asof_join_forward",
+    "ntile_buckets",
+    "equidepth_hist",
+    "time_rollup",
+    "corr_components",
+    "first_touch_attribution",
     # freshness rotation: the entries with the OLDEST green rows
     # (r1/r2, impl unchanged per the ledger) — at 141+ entries and a
     # 50-slot window each entry is re-verified at best every ~3 rounds,
@@ -121,14 +132,10 @@ _FRONT: list[str] = [
     "retention_topk",
     "minimize_stoptimes",
     "doc_fingerprint",
-    "rolling_fingerprint",
-    "text_quality",
-    "lang_id",
-    "hash_split",
-    "stratified_sample",
-    "repetition_profile",
-    "sessionize",
-    "dedup_exact",
+    # text_quality / lang_id / hash_split / stratified_sample /
+    # repetition_profile / sessionize / dedup_exact / rolling_fingerprint
+    # released their freshness-rotation slots to the second-wave
+    # additions (they are ledger-verified, impl unchanged)
 ]
 
 
@@ -7636,4 +7643,295 @@ def zorder_pruning_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy(prunable.alias("prunable")).agg(
         F.count("*").cast("long").alias("n_buckets"),
         F.sum("n").cast("long").alias("n_rows"),
+    )
+
+
+# ===========================================================================
+# Round-5 second wave: forward as-of, ntile, equi-depth histograms, time
+# rollup, exact correlation components, first-touch attribution
+# ===========================================================================
+
+
+@register(
+    "asof_join_forward",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_type
+      FROM events WHERE event_type <> 'error'
+    ),
+    r AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             arg_max(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+    )
+    SELECT l.event_id, l.user_id, l.ts_us, l.event_type,
+           r.err_value, r.ts_us AS err_ts_us
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
+    """,
+)
+def asof_join_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD point-in-time join: every non-error event picks the
+    user's NEXT error value at-or-after its timestamp — the mirror of
+    asof_join (next-scheduled-event lookups). Same union-then-window
+    single shuffle (operators/temporal.py::asof_join_forward); the
+    oracle is DuckDB's native ASOF LEFT JOIN with the inequality
+    reversed, so <=-tie semantics face a first-party implementation."""
+    from ..operators.temporal import asof_join_forward
+
+    e = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = e.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", ts_us.alias("ts_us"), "event_type"
+    )
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", ts_us.alias("ts_us"))
+        .agg(F.expr("max_by(value, event_id)").alias("err_value"))
+    )
+    return asof_join_forward(
+        left, right, on=["user_id"], ts_col="ts_us",
+        value_cols=["err_value"], asof_ts_col="err_ts_us",
+    )
+
+
+@register(
+    "ntile_buckets",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, spend_cents,
+           CAST(ntile(4) OVER (ORDER BY spend_cents DESC, c_custkey ASC)
+                AS BIGINT) AS quartile
+    FROM spend
+    """,
+)
+def ntile_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via NATIVE ntile() — Spark's and
+    DuckDB's first-party NTILE implementations face each other under a
+    fully deterministic order (exact cents, custkey tie-break), pinning
+    the bucket-boundary arithmetic (first n%k buckets get the extra
+    row). The aggregate shrinks the fact before the single window
+    pass."""
+    o = spread(_t(spark, sf_dir, "orders"))
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    w = Window.orderBy(F.desc("spend_cents"), F.asc("c_custkey"))
+    return spend.select(
+        "c_custkey",
+        "spend_cents",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "equidepth_hist",
+    """
+    WITH v AS (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                        o_orderkey) AS rn
+      FROM orders
+    ),
+    n AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus
+    ),
+    targets AS (
+      SELECT o_orderstatus, n, j, (j * n + 7) // 8 AS target_rn
+      FROM n, unnest(range(1, 9)) AS r(j)
+    )
+    SELECT t.o_orderstatus, CAST(t.j AS BIGINT) AS bucket,
+           v.cents AS boundary_cents
+    FROM targets t JOIN v
+      ON v.o_orderstatus = t.o_orderstatus AND v.rn = t.target_rn
+    """,
+)
+def equidepth_hist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram boundaries per group: the j/8 quantile
+    boundary is the EXACT data element at rank ceil(j*n/8) (all-integer
+    rank selection — no float percentiles, no interpolation), the
+    statistics a join planner or a stratified sampler consumes.
+    Complements the equi-WIDTH hist_quantiles family. One ranked window
+    over the group + a broadcast-size target-rank join."""
+    o = spread(_t(spark, sf_dir, "orders"))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    v = o.select(
+        "o_orderstatus", cents.alias("cents"), "o_orderkey"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_orderstatus").orderBy("cents", "o_orderkey")
+        ),
+    )
+    n = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    targets = n.select(
+        "o_orderstatus",
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
+        "n",
+    ).select(
+        "o_orderstatus",
+        "j",
+        F.expr("(j * n + 7) div 8").alias("target_rn"),
+    )
+    return (
+        v.join(
+            F.broadcast(targets),
+            (v.o_orderstatus == targets.o_orderstatus)
+            & (v.rn == targets.target_rn),
+        )
+        .select(
+            v.o_orderstatus,
+            F.col("j").cast("long").alias("bucket"),
+            F.col("cents").alias("boundary_cents"),
+        )
+    )
+
+
+@register(
+    "time_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           CAST(GROUPING(year(o_orderdate), month(o_orderdate))
+                AS BIGINT) AS gid,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+    """,
+)
+def time_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (year -> month -> grand total) with
+    grouping_id over per-row-quantized cents — the reporting rollup as
+    ONE scan + Expand (3 grouping sets, partial-aggregated map-side)
+    instead of three scans; companion to revenue_cube's full CUBE."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .rollup("o_year", "o_month")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "corr_components",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM q GROUP BY event_type
+    """,
+)
+def corr_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson-correlation COMPONENTS per group in one pass: the five
+    algebraic sums (plus n) over per-row-quantized integers, from which
+    r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2)) derives.
+    Emitting EXACT BIGINT components instead of the float r keeps the
+    oracle check bit-exact (sqrt happens client-side, outside the
+    verified surface) and is also the mergeable form 1000 executors
+    ship: components add; correlations don't. All map-side compute +
+    one 5-key aggregate."""
+    e = spread(_t(spark, sf_dir, "events"))
+    x = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    y = F.hour(F.col("ts").cast("timestamp")).cast("long")
+    q = e.select("event_type", x.alias("x"), y.alias("y"))
+    return q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+
+
+@register(
+    "first_touch_attribution",
+    """
+    WITH tl AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    attr AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             min(CASE WHEN event_type = 'click'
+                      THEN {'ts': ts_us, 'id': event_id} END)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+               AS m
+      FROM tl
+    )
+    SELECT event_id, user_id, ts_us,
+           m.id AS click_event_id, m.ts AS click_ts_us
+    FROM attr WHERE event_type = 'purchase'
+    """,
+)
+def first_touch_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the user's
+    EARLIEST click within the preceding 7 days — min-struct over a RANGE
+    frame on the per-user timeline, one shuffle (the timeline sort), no
+    self-join, no lookback explosion. NULL when no click qualifies (an
+    unattributed conversion stays visible). The struct min makes the
+    earliest-click tie-break (ts, then event_id) identical on both
+    engines."""
+    e = spread(_t(spark, sf_dir, "events"))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tl = e.select("event_id", "user_id", "event_type", ts_us.alias("ts_us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    m = F.min(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("ts_us").alias("ts"), F.col("event_id").alias("id")),
+        )
+    ).over(w)
+    return (
+        tl.withColumn("m", m)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("m.id").alias("click_event_id"),
+            F.col("m.ts").alias("click_ts_us"),
+        )
     )

@@ -40,6 +40,15 @@ BNLJ_OK = {
     "ann_ivf_topk",          # probe-cell ids x queries (both tiny)
     "translations_feedwide", # feed_info default-lang row (1 row) x tables
     "trend_by_type",         # corpus-epoch scalar (1 row) x events
+    "knn_label_vote",        # 20-query probe broadcast x held-out corpus
+                             # (the deliberate int8 linear scan)
+    "ann_recall_at_k",       # int8 + float probe broadcasts (10 queries)
+                             # x corpus — the measurement query runs BOTH
+                             # deliberate baselines
+    "tvd_drift",             # 1-row global (min,max,mid) bounds x events
+    "triangle_count",        # final assembly: three 1-ROW scalar frames
+                             # (n_nodes x n_edges x n_triangles) cross-
+                             # joined into the single output row
 }
 
 STREAMING = {

@@ -160,3 +160,90 @@ def test_locf_resample_fills_gaps_and_carries_last(spark):
     assert out[(1, base + 3)] == (9.0, True)    # latest of the two wins
     assert len([k for k in out if k[0] == 1]) == 4  # exact span, no pad
     assert len([k for k in out if k[0] == 2]) == 1  # singleton span
+
+
+# ---------------------------------------------------------------------------
+# asof_join_forward
+# ---------------------------------------------------------------------------
+
+
+def _run_fwd(spark, left_rows, right_rows):
+    from postgis_gtfs_importer_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame(left_rows, "k string, ts long, ev string")
+    right = spark.createDataFrame(right_rows, "k string, ts long, v double")
+    return {
+        (r.k, r.ts): (r.v, r.asof_ts)
+        for r in asof_join_forward(
+            left, right, on=["k"], ts_col="ts", value_cols=["v"]
+        ).collect()
+    }
+
+
+def test_asof_forward_match_ties_and_misses(spark):
+    out = _run_fwd(
+        spark,
+        left_rows=[
+            ("a", 5, "x"),   # next right at 6 -> 60.0
+            ("a", 3, "y"),   # tie with r@3 -> matches (<=)
+            ("a", 7, "z"),   # after the last right -> NULL
+            ("b", 9, "w"),   # key with no right rows -> NULL
+        ],
+        right_rows=[("a", 3, 30.0), ("a", 6, 60.0), ("c", 1, 10.0)],
+    )
+    assert out[("a", 5)] == (60.0, 6)
+    assert out[("a", 3)] == (30.0, 3)
+    assert out[("a", 7)] == (None, None)
+    assert out[("b", 9)] == (None, None)
+
+
+def test_asof_forward_earliest_wins_not_latest(spark):
+    out = _run_fwd(
+        spark,
+        left_rows=[("a", 1, "x")],
+        right_rows=[("a", 2, 1.0), ("a", 50, 2.0), ("a", 99, 3.0)],
+    )
+    assert out[("a", 1)] == (1.0, 2)
+
+
+def test_asof_forward_single_shuffle(spark):
+    from postgis_gtfs_importer_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame([("a", 5, "x")], "k string, ts long, ev string")
+    right = spark.createDataFrame([("a", 6, 1.0)], "k string, ts long, v double")
+    plan = (
+        asof_join_forward(left, right, on=["k"], ts_col="ts", value_cols=["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
+    assert n_exchanges == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_forward_matches_naive_reference_on_random_inputs(spark):
+    import random
+
+    random.seed(21)
+    keys = ["a", "b", "c"]
+    left_rows = [
+        (random.choice(keys), random.randrange(100), f"e{i}")
+        for i in range(120)
+    ]
+    right_rows = list(
+        {
+            (random.choice(keys), random.randrange(100)): None
+            for _ in range(60)
+        }
+    )
+    right_rows = [(k, t, float(t * 10)) for k, t in right_rows]
+    got = _run_fwd(spark, left_rows, right_rows)
+    by_key: dict = {}
+    for k, t, v in right_rows:
+        by_key.setdefault(k, []).append((t, v))
+    for k, t, _ in left_rows:
+        cands = sorted(x for x in by_key.get(k, []) if x[0] >= t)
+        want = (cands[0][1], cands[0][0]) if cands else (None, None)
+        assert got[(k, t)] == want, (k, t)
