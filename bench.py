@@ -168,6 +168,7 @@ HEADLINE = [
     "time_rollup",
     "corr_components",
     "first_touch_attribution",
+    "variant_extract_stats",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -264,7 +264,20 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Input: undirected edges (a, b), a < b, distinct.
     Output: one row (n_nodes, n_edges, n_triangles).
+
+    The edge relation is REUSED five times (degree count, orientation
+    join, edge count, wedge build, closure probe) and the oriented form
+    three times; both are materialized (localCheckpoint). At sf0.1 this
+    is timing-neutral (~6.3 s either way — ReusedExchange already
+    deduplicates the identical subtrees, and the wedge join dominates),
+    but the checkpoint makes single-computation a GUARANTEE rather than
+    an optimizer outcome: exchange reuse only fires for bit-identical
+    plan subtrees, which a more complex upstream edge derivation (or a
+    non-deterministic one) can silently break.
     """
+    from .dedup import materialize
+
+    edges = materialize(edges)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -278,9 +291,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = with_deg.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    oriented = materialize(
+        with_deg.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
     )
     wedges = (
         oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))

@@ -82,6 +82,12 @@ def prefix_filter_jaccard(
     prefix_len = F.expr(
         f"sz - ((sz * {tau_num} + {tau_den - 1}) div {tau_den}) + 1"
     )
+    # docs is referenced three times (prefix explode + both verification
+    # sides) but NOT explicitly materialized: the three subtrees share
+    # the per_doc aggregate's shuffle, which Spark already deduplicates
+    # via ReusedExchange — an explicit localCheckpoint was measured
+    # SLOWER at sf0.1 (3.5 s -> 6.2 s warm: it pays a full extra
+    # materialization to save work the exchange reuse had already saved)
     docs = per_doc.select(
         "id",
         "sz",

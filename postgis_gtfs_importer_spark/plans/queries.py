@@ -115,6 +115,7 @@ _FRONT: list[str] = [
     "time_rollup",
     "corr_components",
     "first_touch_attribution",
+    "variant_extract_stats",
     # freshness rotation: the entries with the OLDEST green rows
     # (r1/r2, impl unchanged per the ledger) — at 141+ entries and a
     # 50-slot window each entry is re-verified at best every ~3 rounds,
@@ -131,10 +132,9 @@ _FRONT: list[str] = [
     "composite_digest",
     "retention_topk",
     "minimize_stoptimes",
-    "doc_fingerprint",
-    # text_quality / lang_id / hash_split / stratified_sample /
+    # doc_fingerprint / text_quality / lang_id / hash_split / stratified_sample /
     # repetition_profile / sessionize / dedup_exact / rolling_fingerprint
-    # released their freshness-rotation slots to the second-wave
+    # released their freshness-rotation slots to the second/third-wave
     # additions (they are ledger-verified, impl unchanged)
 ]
 
@@ -7934,4 +7934,66 @@ def first_touch_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("m.id").alias("click_event_id"),
             F.col("m.ts").alias("click_ts_us"),
         )
+    )
+
+
+# ===========================================================================
+# Round-5 third wave: VariantType semi-structured path
+# ===========================================================================
+
+
+@register(
+    "variant_extract_stats",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+             CAST(user_id % 7 AS VARCHAR) AS tag
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+           CAST(min(v_cents) AS BIGINT) AS min_cents,
+           CAST(count(DISTINCT tag) AS BIGINT) AS n_tags
+    FROM q GROUP BY event_type
+    """,
+)
+def variant_extract_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path, proved as a TYPED IDENTITY: each event is
+    serialized to nested JSON (to_json), ingested as a binary Variant
+    (parse_json — parsed ONCE per row), and its fields re-extracted
+    with typed variant_get paths ($.m.v as long, $.m.t as string,
+    $.tags[1]) before aggregating. The oracle computes the SAME
+    aggregates directly from the source columns, so a green row proves
+    the serialize -> variant -> typed-extract round trip loses nothing
+    — the property that makes Variant the schema-on-read format for
+    semi-structured columns at scale (one parse, many typed accesses,
+    no per-field string re-parsing like get_json_object chains)."""
+    e = spread(_t(spark, sf_dir, "events"))
+    j = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("v"),
+            ).alias("m"),
+            F.array(
+                F.col("event_type"), (F.col("user_id") % 7).cast("string")
+            ).alias("tags"),
+        )
+    )
+    v = F.parse_json(j)
+    ext = e.select(
+        F.variant_get(v, "$.m.t", "string").alias("event_type"),
+        F.variant_get(v, "$.m.v", "long").alias("v_cents"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("v_cents").cast("long").alias("sum_cents"),
+        F.min("v_cents").cast("long").alias("min_cents"),
+        F.countDistinct("tag").cast("long").alias("n_tags"),
     )

@@ -97,3 +97,47 @@ def test_tar_member_reassembly_groups_by_key(spark, tmp_path):
     )
     got = {r.key: r.exts for r in grouped}
     assert got == {"k0": ["bin", "txt"], "k1": ["txt"]}
+
+
+# ---------------------------------------------------------------------------
+# gtfszip Python Data Source (Spark 4 API)
+# ---------------------------------------------------------------------------
+
+
+def test_gtfszip_datasource_reads_members_distributed(spark, tmp_path):
+    """The Spark-4 Python Data Source over a GTFS zip: every member's
+    lines surface with (member, line_no, line), one input partition per
+    member (member-granular parallelism, no extraction step), content
+    byte-identical to direct zipfile reads."""
+    import zipfile
+
+    from .gtfs_fixtures import write_feed_zip
+
+    from postgis_gtfs_importer_spark.sources.pyds import register_gtfszip
+
+    zp = write_feed_zip(str(tmp_path / "feed.zip"))
+    register_gtfszip(spark)
+    df = spark.read.format("gtfszip").option("path", zp).load()
+
+    got = {
+        (r.member, r.line_no): r.line for r in df.collect()
+    }
+    with zipfile.ZipFile(zp) as z:
+        members = [n for n in z.namelist() if n.endswith(".txt")]
+        want = {}
+        for m in members:
+            with z.open(m) as f:
+                for i, raw in enumerate(f):
+                    want[(m, i)] = raw.decode("utf-8").rstrip("\r\n")
+    assert got == want
+    # one partition per member
+    assert df.rdd.getNumPartitions() == len(members)
+    # and the source composes with ordinary SQL: per-member line counts
+    counts = {
+        r.member: r.n
+        for r in df.groupBy("member").count().withColumnRenamed("count", "n").collect()
+    }
+    import collections
+
+    want_counts = collections.Counter(m for m, _ in want)
+    assert counts == dict(want_counts)

@@ -445,3 +445,56 @@ def test_hll_dashboard_merges_across_microbatches(spark, tmp_path):
         ).collect()
     }
     assert got == direct
+
+
+def test_transform_with_state_running_totals_or_probe(spark, tmp_path):
+    """transformWithState (Spark 4 arbitrary-state API): per-user running
+    totals replayed over a 3-file stream must equal the batch aggregate
+    — state carried across REAL micro-batch boundaries. Skips with the
+    recorded import-probe evidence when the protobuf runtime dependency
+    is absent (streaming/stateful.py ENVIRONMENT GATE)."""
+    import pytest
+
+    from postgis_gtfs_importer_spark.streaming.stateful import (
+        final_totals,
+        running_totals_stream,
+        tws_available,
+    )
+
+    ok, evidence = tws_available()
+    if not ok:
+        pytest.skip(
+            "transformWithState runtime dependency missing — probe "
+            f"evidence: {evidence}"
+        )
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        src.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "stream"))
+    ev = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "stream"))
+    )
+    from postgis_gtfs_importer_spark.streaming.events import run_to_memory
+
+    tot = running_totals_stream(ev)
+    run_to_memory(
+        tot, "tws_rt", output_mode="update",
+        state_partitions=4, state_store="rocksdb",
+    )
+    got = {
+        r.user_id: (r.n_events, r.sum_cents)
+        for r in final_totals(spark.table("tws_rt")).collect()
+    }
+    batch = src.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("s"),
+    )
+    want = {r.user_id: (r.n, r.s) for r in batch.collect()}
+    assert got == want
