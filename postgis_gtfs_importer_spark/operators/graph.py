@@ -251,29 +251,34 @@ def part_cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """Global triangle count by degree orientation — the standard
-    distributed formulation (Suri & Vassilvitskii's MR-friendly
-    variant): orient every undirected edge from its lower-(degree, id)
-    endpoint to the higher one, so every node's out-adjacency is
-    O(sqrt(m)); a triangle is then exactly one wedge (u->v, v->w) whose
-    closing edge (u->w) exists, counted once. Two shuffle joins over
-    the oriented edge list; no node ever owns more than its oriented
-    out-degree, which the orientation bounds — THE property that makes
-    the count survive power-law degree skew at 100 TB (a celebrity node
-    of degree 10^7 still has oriented out-degree ~sqrt(m)).
+    """Global triangle count by degree orientation — EDGE-ITERATOR form:
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one (every node's oriented out-adjacency is then
+    O(sqrt(m)) — THE property that survives power-law degree skew at
+    100 TB: a celebrity node of degree 10^7 still owns ~sqrt(m)
+    out-neighbors), collect each node's SORTED oriented adjacency
+    array once, and count per oriented edge (u, v) the intersection
+    |N+(u) ∩ N+(v)|. A triangle whose vertices order u < v < w under
+    the orientation has oriented edges u->v, u->w, v->w; it is counted
+    exactly once, at edge (u, v), where w sits in both N+(u) and
+    N+(v) — at (u, w) and (v, w) the highest vertex w contributes no
+    out-neighbor inside the triangle.
+
+    Chosen over the wedge-materializing three-way self-join after
+    measuring both at sf0.1 (1.2M edges, 1.88M triangles): wedge join
+    5.0 s warm vs 2.3 s — the wedge relation (every open two-path) is
+    an order of magnitude larger than the edge list and all of it
+    crossed a shuffle; the adjacency arrays ship each neighbor list
+    once instead. Intersection cost per edge is bounded by the
+    orientation's sqrt(m) cap on both arrays.
 
     Input: undirected edges (a, b), a < b, distinct.
     Output: one row (n_nodes, n_edges, n_triangles).
 
-    The edge relation is REUSED five times (degree count, orientation
-    join, edge count, wedge build, closure probe) and the oriented form
-    three times; both are materialized (localCheckpoint). At sf0.1 this
-    is timing-neutral (~6.3 s either way — ReusedExchange already
-    deduplicates the identical subtrees, and the wedge join dominates),
-    but the checkpoint makes single-computation a GUARANTEE rather than
-    an optimizer outcome: exchange reuse only fires for bit-identical
-    plan subtrees, which a more complex upstream edge derivation (or a
-    non-deterministic one) can silently break.
+    The edge relation is reused (degree count, orientation join, edge
+    count) and the oriented form three times (adjacency build + both
+    probe sides); both are materialized so single-computation is a
+    guarantee rather than a ReusedExchange outcome.
     """
     from .dedup import materialize
 
@@ -297,18 +302,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
-    wedges = (
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    )
+    probed = (
+        oriented.join(
+            adj.select(F.col("src"), F.col("nbrs").alias("nu")), "src"
+        )
         .join(
-            oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-            "v",
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nw")),
+            "dst",
         )
     )
-    closed = wedges.join(
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w")),
-        ["u", "w"],
+    n_tri = probed.agg(
+        F.coalesce(
+            F.sum(F.size(F.array_intersect("nu", "nw"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_triangles")
     )
-    n_tri = closed.agg(F.count("*").cast("long").alias("n_triangles"))
     n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
