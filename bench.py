@@ -169,6 +169,10 @@ HEADLINE = [
     "corr_components",
     "first_touch_attribution",
     "variant_extract_stats",
+    "item_similarity",
+    "association_rules",
+    "peak_concurrency",
+    "weekday_seasonality",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -324,3 +324,26 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def part_cooccurrence_counts(lineitem: DataFrame) -> DataFrame:
+    """(a, b, cooc) with a < b: in how many orders parts a and b appear
+    together — the support counts the recommendation family (item
+    similarity, association rules) consumes. Same map-side bounded pair
+    generation as :func:`part_cooccurrence_edges`, aggregated instead
+    of distinct'd."""
+    per_order = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    return (
+        per_order.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("cooc"))
+    )

@@ -116,14 +116,19 @@ _FRONT: list[str] = [
     "corr_components",
     "first_touch_attribution",
     "variant_extract_stats",
+    "item_similarity",
+    "association_rules",
+    "peak_concurrency",
+    "weekday_seasonality",
     # freshness rotation: the entries with the OLDEST green rows
     # (r1/r2, impl unchanged per the ledger) — at 141+ entries and a
     # 50-slot window each entry is re-verified at best every ~3 rounds,
     # so the spare slots go to the longest-unverified tail
-    "ann_ivf_topk",
-    "embedding_topk",
-    "semantic_dedup",
-    "departures_at_station",
+    # ann_ivf_topk / embedding_topk / semantic_dedup /
+    # departures_at_station released their freshness slots to the
+    # fourth-wave additions (ledger-verified, impl unchanged; the ANN
+    # family keeps fresh rows via ann_int8_topk / ann_recall_at_k /
+    # knn_label_vote this round)
     "corpus_curation",
     "reconcile_imports",
     "gc_candidates",
@@ -7996,4 +8001,339 @@ def variant_extract_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_cents").cast("long").alias("sum_cents"),
         F.min("v_cents").cast("long").alias("min_cents"),
         F.countDistinct("tag").cast("long").alias("n_tags"),
+    )
+
+
+# ===========================================================================
+# Round-5 fourth wave: recommendation primitives, sweep-line concurrency,
+# seasonality profile
+# ===========================================================================
+
+_COOC_CTES = """
+    per_order AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    cooc AS (
+      SELECT parts[i] AS a, parts[j] AS b, CAST(count(*) AS BIGINT) AS cooc
+      FROM per_order,
+           unnest(range(1, len(parts) + 1)) AS r(i),
+           unnest(range(1, len(parts) + 1)) AS s(j)
+      WHERE i < j
+      GROUP BY 1, 2
+    ),
+    part_n AS (
+      SELECT l_partkey AS part, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+"""
+
+
+@register(
+    "item_similarity",
+    f"""
+    WITH {_COOC_CTES},
+    both_dirs AS (
+      SELECT a AS part, b AS other, cooc FROM cooc
+      UNION ALL
+      SELECT b AS part, a AS other, cooc FROM cooc
+    ),
+    scored AS (
+      SELECT bd.part, bd.other, bd.cooc,
+             CAST(floor(CAST(bd.cooc AS DOUBLE)
+                        / (na.n + nb.n - bd.cooc) * 1e6 + 0.5)
+                  AS BIGINT) AS jaccard_e6
+      FROM both_dirs bd
+      JOIN part_n na ON na.part = bd.part
+      JOIN part_n nb ON nb.part = bd.other
+      WHERE bd.cooc >= 2
+    )
+    SELECT part, other, cooc, jaccard_e6, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY part
+               ORDER BY jaccard_e6 DESC, other ASC) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def item_similarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity ("customers who bought X also
+    bought"): co-purchase Jaccard over order baskets, top-5 neighbors
+    per part — the recommendation-candidate primitive. Pair support
+    comes from the map-side bounded basket expansion
+    (operators/graph.py::part_cooccurrence_counts); the top-k window
+    runs on the support-filtered pair relation, never the basket data.
+    Exact e6 scores with deterministic tie-breaks."""
+    from ..operators.graph import part_cooccurrence_counts
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    cooc = part_cooccurrence_counts(li)
+    part_n = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    )
+    both = cooc.select(
+        F.col("a").alias("part"), F.col("b").alias("other"), "cooc"
+    ).unionByName(
+        cooc.select(
+            F.col("b").alias("part"), F.col("a").alias("other"), "cooc"
+        )
+    )
+    scored = (
+        both.filter(F.col("cooc") >= 2)
+        .join(part_n.select(F.col("part"), F.col("n").alias("na")), "part")
+        .join(
+            part_n.select(
+                F.col("part").alias("other"), F.col("n").alias("nb")
+            ),
+            "other",
+        )
+        .select(
+            "part",
+            "other",
+            "cooc",
+            F.floor(
+                F.col("cooc")
+                / (F.col("na") + F.col("nb") - F.col("cooc"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.desc("jaccard_e6"), F.asc("other")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("part", "other", "cooc", "jaccard_e6", "rn")
+    )
+
+
+@register(
+    "association_rules",
+    f"""
+    WITH {_COOC_CTES},
+    norders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem
+    ),
+    rules AS (
+      SELECT bd.part AS antecedent, bd.other AS consequent, bd.cooc,
+             CAST(floor(CAST(bd.cooc AS DOUBLE) / no.n_orders * 1e6 + 0.5)
+                  AS BIGINT) AS support_ppm,
+             CAST(floor(CAST(bd.cooc AS DOUBLE) / na.n * 1e6 + 0.5)
+                  AS BIGINT) AS conf_ppm,
+             CAST(floor(CAST(bd.cooc AS DOUBLE) * no.n_orders
+                        / (na.n * nb.n) * 1e6 + 0.5) AS BIGINT) AS lift_ppm
+      FROM (
+        SELECT a AS part, b AS other, cooc FROM cooc
+        UNION ALL
+        SELECT b AS part, a AS other, cooc FROM cooc
+      ) bd
+      JOIN part_n na ON na.part = bd.part
+      JOIN part_n nb ON nb.part = bd.other
+      CROSS JOIN norders no
+      WHERE bd.cooc >= 3
+    )
+    SELECT antecedent, consequent, cooc, support_ppm, conf_ppm, lift_ppm,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY antecedent
+               ORDER BY lift_ppm DESC, consequent ASC) AS rn
+      FROM rules
+    )
+    WHERE rn <= 3
+    """,
+)
+def association_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (antecedent -> consequent) with
+    exact-ppm support / confidence / lift, top-3 per antecedent by lift
+    — the classic co-purchase mining surface on the same bounded basket
+    expansion as item_similarity; lift's cross-multiplied integers stay
+    under 2^53 through sf1, so the double arithmetic is exact on both
+    engines."""
+    from ..operators.graph import part_cooccurrence_counts
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    cooc = part_cooccurrence_counts(li)
+    part_n = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    )
+    norders = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    both = cooc.select(
+        F.col("a").alias("antecedent"), F.col("b").alias("consequent"), "cooc"
+    ).unionByName(
+        cooc.select(
+            F.col("b").alias("antecedent"),
+            F.col("a").alias("consequent"),
+            "cooc",
+        )
+    )
+    rules = (
+        both.filter(F.col("cooc") >= 3)
+        .join(
+            part_n.select(
+                F.col("part").alias("antecedent"), F.col("n").alias("na")
+            ),
+            "antecedent",
+        )
+        .join(
+            part_n.select(
+                F.col("part").alias("consequent"), F.col("n").alias("nb")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "antecedent",
+            "consequent",
+            "cooc",
+            F.floor(F.col("cooc") / F.col("n_orders") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("support_ppm"),
+            F.floor(F.col("cooc") / F.col("na") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("conf_ppm"),
+            F.floor(
+                F.col("cooc")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy("antecedent").orderBy(
+        F.desc("lift_ppm"), F.asc("consequent")
+    )
+    return (
+        rules.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "antecedent", "consequent", "cooc",
+            "support_ppm", "conf_ppm", "lift_ppm", "rn",
+        )
+    )
+
+
+@register(
+    "peak_concurrency",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+             min(CAST(floor(epoch(ts)) AS BIGINT)) AS s,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) + 1 AS e
+      FROM events GROUP BY user_id, day
+    ),
+    d AS (
+      SELECT s AS t, 1 AS delta FROM spans
+      UNION ALL
+      SELECT e AS t, -1 AS delta FROM spans
+    ),
+    r AS (
+      SELECT t, delta,
+             CAST(sum(delta) OVER (ORDER BY t, delta
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running
+      FROM d
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM spans) AS n_intervals,
+           CAST(max(running) AS BIGINT) AS peak,
+           CAST(min(t) FILTER (WHERE running =
+                  (SELECT max(running) FROM r)) AS BIGINT) AS peak_at
+    FROM r
+    """,
+)
+def peak_concurrency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous activity: per-(user, day) activity spans
+    [first event, last event + 1) swept for the maximum overlap and
+    its earliest instant. The engine runs the DISTRIBUTED two-phase
+    prefix sum (operators/sweep.py: per-bucket partials -> tiny offset
+    cascade -> within-bucket windows — no global single-task scan over
+    the deltas); the oracle is the NAIVE unpartitioned running-sum
+    window, so the green row proves the two-phase split exactly equals
+    the global scan on real data."""
+    from ..operators.sweep import max_concurrency
+
+    e = spread(_t(spark, sf_dir, "events"))
+    epoch = F.expr("CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6) AS BIGINT)")
+    spans = (
+        e.select(
+            "user_id",
+            epoch.alias("ep"),
+            F.expr(
+                "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6)"
+                " AS BIGINT) div 86400"
+            ).alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("ep").alias("s"),
+            (F.max("ep") + 1).alias("e"),
+        )
+    )
+    return max_concurrency(spans, "s", "e", bucket_width=86_400)
+
+
+@register(
+    "weekday_seasonality",
+    """
+    WITH base AS (
+      SELECT event_type,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 3) % 7 AS dow
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY event_type, dow
+    ),
+    t AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.cnt,
+           CAST(floor(CAST(c.cnt AS DOUBLE) / t.total * 1e6 + 0.5)
+                AS BIGINT) AS share_ppm,
+           CAST(floor(CAST(c.cnt AS DOUBLE) / t.total * 1e6 + 0.5)
+                AS BIGINT) - 142857 AS dev_ppm
+    FROM c JOIN t ON t.event_type = c.event_type
+    """,
+)
+def weekday_seasonality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile per event type: share of the type's
+    events per weekday in exact ppm, plus the deviation from the
+    uniform 1/7 — the day-of-week effect a forecast or anomaly baseline
+    subtracts first. Weekday is derived ARITHMETICALLY from epoch days
+    ((days + 3) % 7, Monday = 0): engine date-part functions disagree
+    on week-start conventions, integer arithmetic cannot."""
+    e = spread(_t(spark, sf_dir, "events"))
+    dow = F.expr(
+        "((CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6) AS BIGINT)"
+        " div 86400) + 3) % 7"
+    )
+    c = e.select("event_type", dow.alias("dow")).groupBy(
+        "event_type", "dow"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    t = c.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("total"))
+    share = F.floor(
+        F.col("cnt") / F.col("total") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return c.join(t, "event_type").select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "cnt",
+        share.alias("share_ppm"),
+        (share - F.lit(142857)).cast("long").alias("dev_ppm"),
     )

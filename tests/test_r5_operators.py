@@ -270,3 +270,71 @@ def test_pinned_merges_match_reference_trainer_on_sf001():
     ]
     learned = [(lhs, rhs) for lhs, rhs, _ in bpe_reference(texts, 12)]
     assert learned == PINNED_MERGES_12
+
+
+# ---------------------------------------------------------------------------
+# sweep-line distributed prefix sum
+# ---------------------------------------------------------------------------
+
+
+def test_running_prefix_sum_equals_global_scan(spark):
+    from pyspark.sql import Window
+
+    from postgis_gtfs_importer_spark.operators.sweep import running_prefix_sum
+
+    random.seed(17)
+    rows = [(random.randrange(10_000), random.choice([-2, -1, 1, 3]))
+            for _ in range(5_000)]
+    df = spark.createDataFrame(rows, "t long, delta long")
+    got = running_prefix_sum(
+        df, "t", "delta", bucket_width=500, extra_order=[F.col("delta")]
+    )
+    naive = df.withColumn(
+        "running",
+        F.sum("delta").over(
+            Window.orderBy("t", "delta").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    # compare as multisets of (t, delta, running): equal-key ties make
+    # row identity ambiguous, but the VALUE multiset must match
+    a = sorted((r.t, r.delta, r.running) for r in got.collect())
+    b = sorted((r.t, r.delta, r.running) for r in naive.collect())
+    assert a == b
+
+
+def test_running_prefix_sum_no_global_single_task_window(spark):
+    from postgis_gtfs_importer_spark.operators.sweep import running_prefix_sum
+
+    df = spark.range(1000).selectExpr("id AS t", "1 AS delta")
+    out = running_prefix_sum(df, "t", "delta", bucket_width=100)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data-sized window must be partitioned by bucket; the only
+    # unpartitioned window runs over the bucket TOTALS (tiny)
+    import re
+
+    windows = [l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l]
+    assert any("_bkt" in w for w in windows), plan[:2000]
+
+
+def test_max_concurrency_known_intervals(spark):
+    from postgis_gtfs_importer_spark.operators.sweep import max_concurrency
+
+    iv = spark.createDataFrame(
+        [(0, 10), (5, 15), (9, 12), (20, 25), (24, 30), (10, 11)],
+        "s long, e long",
+    )
+    r = max_concurrency(iv, "s", "e", bucket_width=7).collect()[0]
+    # overlap sweep: [9,10) has {0-10, 5-15, 9-12} = 3; at 10 the first
+    # ends (half-open) as 10-11 starts -> still 3; earliest peak at 9
+    assert (r.n_intervals, r.peak, r.peak_at) == (6, 3, 9)
+
+
+def test_max_concurrency_half_open_no_touch_overlap(spark):
+    from postgis_gtfs_importer_spark.operators.sweep import max_concurrency
+
+    iv = spark.createDataFrame([(0, 5), (5, 10)], "s long, e long")
+    r = max_concurrency(iv, "s", "e", bucket_width=3).collect()[0]
+    assert r.peak == 1  # [0,5) and [5,10) never overlap
