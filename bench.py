@@ -173,6 +173,7 @@ HEADLINE = [
     "association_rules",
     "peak_concurrency",
     "weekday_seasonality",
+    "kcore_membership",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

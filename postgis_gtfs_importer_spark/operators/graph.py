@@ -347,3 +347,66 @@ def part_cooccurrence_counts(lineitem: DataFrame) -> DataFrame:
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").cast("long").alias("cooc"))
     )
+
+
+def kcore(
+    edges: DataFrame, k: int, max_rounds: int = 10
+) -> DataFrame:
+    """k-core decomposition: iteratively peel nodes of degree < k until
+    fixpoint — the fourth iterative-graph family member (PageRank /
+    eigenvector / connected components rank or label; this one carves
+    the densely-connected backbone community detection and graph
+    cleaning start from).
+
+    Input: undirected distinct edges (a, b), a < b. Output: one row per
+    ORIGINAL node — (node, in_core, core_deg) with core_deg the node's
+    degree inside the final core (0 outside). Peeling is synchronous
+    (all sub-k nodes of a round drop together), the textbook
+    formulation whose unrolled-round replay is the oracle.
+
+    Scale shape per round: one degree aggregate (map-side combined) +
+    one semi-join of the edge list against the surviving nodes — both
+    keyed shuffles, nothing quadratic; the edge list only ever shrinks.
+    Convergence is a 1-row driver probe per round (the same justified
+    collect as connected_components); lineage is cut by materializing
+    the shrinking edge list each round, the iterative-DataFrame
+    discipline pagerank documents. ``max_rounds`` bounds the loop; the
+    caller (and the registry oracle, which unrolls the same rounds)
+    must pick it >= the data's peel depth — the fixpoint probe makes an
+    insufficient bound visible as a non-converged result, not a hang.
+    """
+    from .dedup import materialize
+
+    e = materialize(edges.select("a", "b").dropDuplicates(["a", "b"]))
+    all_nodes = materialize(
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    for _ in range(int(max_rounds)):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        any_drop = deg.filter(F.col("deg") < k).limit(1).collect()
+        if not any_drop:
+            break
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = materialize(
+            e.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+        )
+    core_deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+    )
+    return all_nodes.join(core_deg, "node", "left").select(
+        "node",
+        F.col("core_deg").isNotNull().alias("in_core"),
+        F.coalesce(F.col("core_deg"), F.lit(0)).cast("long").alias("core_deg"),
+    )

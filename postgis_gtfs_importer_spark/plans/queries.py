@@ -120,6 +120,7 @@ _FRONT: list[str] = [
     "association_rules",
     "peak_concurrency",
     "weekday_seasonality",
+    "kcore_membership",
     # freshness rotation: the entries with the OLDEST green rows
     # (r1/r2, impl unchanged per the ledger) — at 141+ entries and a
     # 50-slot window each entry is re-verified at best every ~3 rounds,
@@ -129,7 +130,7 @@ _FRONT: list[str] = [
     # fourth-wave additions (ledger-verified, impl unchanged; the ANN
     # family keeps fresh rows via ann_int8_topk / ann_recall_at_k /
     # knn_label_vote this round)
-    "corpus_curation",
+    # corpus_curation released its slot to kcore_membership
     "reconcile_imports",
     "gc_candidates",
     "lang_normalized",
@@ -8337,3 +8338,87 @@ def weekday_seasonality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share_ppm"),
         (share - F.lit(142857)).cast("long").alias("dev_ppm"),
     )
+
+
+# ===========================================================================
+# k-core decomposition (fourth iterative-graph family)
+# ===========================================================================
+
+
+def _kcore_oracle_sql(k: int, rounds: int, mod: int) -> str:
+    """Unrolled synchronous peeling in DuckDB: per round, one degree
+    aggregate + one both-endpoints-survive edge filter, MATERIALIZED
+    (the eigenvector lesson: default CTE inlining re-expands the chain
+    exponentially). ``rounds`` must be >= the data's peel depth plus
+    one fixpoint-confirming round — pinned with margin and asserted
+    converged by tests/test_r5_operators.py."""
+    ctes = [
+        f"""
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(o_custkey * 2, l_suppkey * 2 + 1) AS a,
+             greatest(o_custkey * 2, l_suppkey * 2 + 1) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE (least(o_custkey * 2, l_suppkey * 2 + 1) * 7919
+             + greatest(o_custkey * 2, l_suppkey * 2 + 1) * 104729)
+            % {mod} = 0
+    )""",
+        """
+    nodes0 AS MATERIALIZED (
+      SELECT DISTINCT node
+      FROM (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS deg
+      FROM (SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p})
+      GROUP BY node
+    )""")
+        ctes.append(f"""
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{p} e
+      JOIN d{i} da ON da.node = e.a AND da.deg >= {k}
+      JOIN d{i} db ON db.node = e.b AND db.deg >= {k}
+    )""")
+    last = f"e{rounds}"
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    , fin AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+      FROM (SELECT a AS node FROM {last}
+            UNION ALL SELECT b AS node FROM {last})
+      GROUP BY node
+    )
+    SELECT n.node, fin.node IS NOT NULL AS in_core,
+           CAST(coalesce(fin.core_deg, 0) AS BIGINT) AS core_deg
+    FROM nodes0 n LEFT JOIN fin ON fin.node = n.node
+    """
+    )
+
+
+@register("kcore_membership", _kcore_oracle_sql(k=4, rounds=10, mod=15))
+def kcore_membership_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of a sparsified customer-supplier trade graph (every 15th
+    edge by hash — the full bipartite graph has min degree >= 3 and
+    never peels): iterative synchronous peeling to fixpoint, a genuine
+    4-round cascade on this data. The oracle unrolls the same peels as
+    MATERIALIZED CTEs; the engine loop early-exits on a 1-row
+    convergence probe (operators/graph.py::kcore — the justified
+    driver-side collect pattern shared by connected_components)."""
+    from ..operators.graph import kcore
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.least(F.col("o_custkey") * 2, F.col("l_suppkey") * 2 + 1)
+    hi = F.greatest(F.col("o_custkey") * 2, F.col("l_suppkey") * 2 + 1)
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(lo.alias("a"), hi.alias("b"))
+        .filter(
+            (F.col("a") * 7919 + F.col("b") * 104729) % 15 == 0
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return kcore(edges, k=4, max_rounds=10)

@@ -338,3 +338,72 @@ def test_max_concurrency_half_open_no_touch_overlap(spark):
     iv = spark.createDataFrame([(0, 5), (5, 10)], "s long, e long")
     r = max_concurrency(iv, "s", "e", bucket_width=3).collect()[0]
     assert r.peak == 1  # [0,5) and [5,10) never overlap
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_known_graph(spark):
+    from postgis_gtfs_importer_spark.operators.graph import kcore
+
+    # path 0-1-2-3 hanging off a K4 {3,4,5,6}: 2-core peels the path
+    # in a 3-round cascade (0, then 1, then 2), keeps the K4
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (3, 5), (3, 6),
+             (4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: (r.in_core, r.core_deg) for r in kcore(df, k=2).collect()}
+    assert {n for n, (f, _) in out.items() if f} == {3, 4, 5, 6}
+    assert out[3] == (True, 3) and out[0] == (False, 0)
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    from postgis_gtfs_importer_spark.operators.graph import kcore
+
+    random.seed(9)
+    nodes = list(range(40))
+    edges = sorted({(a, b) for a in nodes for b in nodes
+                    if a < b and random.random() < 0.08})
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    k = 2
+    live = {n for n in nodes if adj[n]}
+    while True:
+        drop = {n for n in live if len(adj[n] & live) < k}
+        if not drop:
+            break
+        live -= drop
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: r.in_core for r in kcore(df, k=k).collect()}
+    got_core = {n for n, f in out.items() if f}
+    assert got_core == live
+    # every node that ever had an edge is reported
+    assert set(out) == {n for n in nodes if adj[n]}
+
+
+def test_kcore_registry_fixpoint_within_bound(spark):
+    """The oracle unrolls 10 peel rounds; assert the sf0.01 data
+    actually converges within that bound (an 11th peel would remove
+    nothing) so the pinned round count is evidence, not hope."""
+    from pyspark.sql import functions as F
+
+    from postgis_gtfs_importer_spark.operators.graph import kcore
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    lo = F.least(F.col("o_custkey") * 2, F.col("l_suppkey") * 2 + 1)
+    hi = F.greatest(F.col("o_custkey") * 2, F.col("l_suppkey") * 2 + 1)
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(lo.alias("a"), hi.alias("b"))
+        .filter((F.col("a") * 7919 + F.col("b") * 104729) % 15 == 0)
+        .dropDuplicates(["a", "b"])
+    )
+    r10 = kcore(edges, k=4, max_rounds=10)
+    r11 = kcore(edges, k=4, max_rounds=11)
+    a = sorted(map(tuple, r10.collect()))
+    b = sorted(map(tuple, r11.collect()))
+    assert a == b, "peel did NOT converge within the oracle's 10 rounds"
