@@ -49,6 +49,8 @@ BNLJ_OK = {
     "triangle_count",        # final assembly: three 1-ROW scalar frames
                              # (n_nodes x n_edges x n_triangles) cross-
                              # joined into the single output row
+    "association_rules",     # 1-row total-order-count scalar x rules
+    "peak_concurrency",      # 1-row interval-count scalar x 1-row peak
 }
 
 STREAMING = {
