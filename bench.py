@@ -174,6 +174,8 @@ HEADLINE = [
     "peak_concurrency",
     "weekday_seasonality",
     "kcore_membership",
+    "grouping_sets_mix",
+    "percent_rank_native",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

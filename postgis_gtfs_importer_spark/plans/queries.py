@@ -121,6 +121,8 @@ _FRONT: list[str] = [
     "peak_concurrency",
     "weekday_seasonality",
     "kcore_membership",
+    "grouping_sets_mix",
+    "percent_rank_native",
     # freshness rotation: the entries with the OLDEST green rows
     # (r1/r2, impl unchanged per the ledger) — at 141+ entries and a
     # 50-slot window each entry is re-verified at best every ~3 rounds,
@@ -133,11 +135,9 @@ _FRONT: list[str] = [
     # corpus_curation released its slot to kcore_membership
     "reconcile_imports",
     "gc_candidates",
-    "lang_normalized",
     "digest_mint",
     "composite_digest",
     "retention_topk",
-    "minimize_stoptimes",
     # doc_fingerprint / text_quality / lang_id / hash_split / stratified_sample /
     # repetition_profile / sessionize / dedup_exact / rolling_fingerprint
     # released their freshness-rotation slots to the second/third-wave
@@ -8422,3 +8422,110 @@ def kcore_membership_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a", "b"])
     )
     return kcore(edges, k=4, max_rounds=10)
+
+
+# ===========================================================================
+# SQL-surface completions: arbitrary GROUPING SETS, native rank functions
+# ===========================================================================
+
+
+@register(
+    "grouping_sets_mix",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           l_returnflag AS ret_flag,
+           CAST(GROUPING(n_name, year(o_orderdate), l_returnflag)
+                AS BIGINT) AS gid,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name, year(o_orderdate)), (l_returnflag), ())
+    """,
+)
+def grouping_sets_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY grouping sets — the general form cube/rollup are sugar
+    for: (nation, year) detail, a return-flag marginal, and the grand
+    total in ONE scan + Expand (3 sets, partial-aggregated map-side)
+    where naive SQL would union three scans. Completes the
+    multi-granularity trio with revenue_cube (full lattice) and
+    time_rollup (hierarchy prefix)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("l_returnflag").alias("ret_flag"),
+            cents.alias("cents"),
+        )
+    )
+    base.createOrReplaceTempView("_gs_base")
+    return spark.sql(
+        """
+        SELECT nation, o_year, ret_flag,
+               CAST(grouping_id(nation, o_year, ret_flag) AS BIGINT) AS gid,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents,
+               count(*) AS n_rows
+        FROM _gs_base
+        GROUP BY GROUPING SETS ((nation, o_year), (ret_flag), ())
+        """
+    )
+
+
+@register(
+    "percent_rank_native",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, spend_cents,
+           CAST(floor(percent_rank() OVER w * 1e6 + 0.5) AS BIGINT)
+             AS pr_e6,
+           CAST(floor(cume_dist() OVER w * 1e6 + 0.5) AS BIGINT)
+             AS cd_e6
+    FROM spend
+    WINDOW w AS (ORDER BY spend_cents ASC, c_custkey ASC)
+    """,
+)
+def percent_rank_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native percent_rank() and cume_dist() pinned engine-vs-engine
+    under a fully deterministic order (exact cents, id tie-break),
+    quantized to e6 — certifying both engines implement the same
+    (rank-1)/(n-1) and rank/n definitions, the way ntile_buckets pins
+    NTILE's bucket arithmetic. The manual integer twin of percent_rank
+    already exists (score_quantile_norm); this entry pins the NATIVE
+    functions a SQL user reaches for first."""
+    o = spread(_t(spark, sf_dir, "orders"))
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    w = Window.orderBy(F.asc("spend_cents"), F.asc("c_custkey"))
+    return spend.select(
+        "c_custkey",
+        "spend_cents",
+        F.floor(F.percent_rank().over(w) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("pr_e6"),
+        F.floor(F.cume_dist().over(w) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("cd_e6"),
+    )
