@@ -1,0 +1,112 @@
+"""Hypothesis property suites for the round-5 primitives.
+
+Deterministic pure-Python references face the Spark operators on
+randomized inputs — the same strategy the BPE / minimization / media
+round-trip suites use. One shared SparkSession (conftest), small
+max_examples: each example costs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _deltas(draw):
+    n = draw(st.integers(min_value=1, max_value=120))
+    return [
+        (
+            draw(st.integers(min_value=0, max_value=300)),
+            draw(st.sampled_from([-3, -1, 1, 2])),
+        )
+        for _ in range(n)
+    ]
+
+
+@given(rows=_deltas(), width=st.sampled_from([7, 32, 1000]))
+@settings(**_SETTINGS)
+def test_prefix_sum_property(spark, rows, width):
+    """Two-phase distributed prefix sum == sequential scan, for any
+    delta sequence and any bucket width (including width > span: one
+    bucket, and tiny widths: one row per bucket)."""
+    from postgis_gtfs_importer_spark.operators.sweep import running_prefix_sum
+
+    df = spark.createDataFrame(rows, "t long, delta long")
+    got = sorted(
+        (r.t, r.delta, r.running)
+        for r in running_prefix_sum(
+            df, "t", "delta", width, extra_order=[F.col("delta")]
+        ).collect()
+    )
+    acc, want = 0, []
+    for t, d in sorted(rows):
+        acc += d
+        want.append((t, d, acc))
+    assert got == sorted(want)
+
+
+@st.composite
+def _graph(draw):
+    n = draw(st.integers(min_value=2, max_value=25))
+    density = draw(st.floats(min_value=0.05, max_value=0.5))
+    edges = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if draw(st.floats(min_value=0, max_value=1)) < density:
+                edges.add((a, b))
+    return sorted(edges)
+
+
+@given(edges=_graph(), k=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_kcore_property(spark, edges, k):
+    from postgis_gtfs_importer_spark.operators.graph import kcore
+
+    if not edges:
+        return
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    live = set(adj)
+    while True:
+        drop = {x for x in live if len(adj[x] & live) < k}
+        if not drop:
+            break
+        live -= drop
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r.node: (r.in_core, r.core_deg) for r in kcore(df, k=k, max_rounds=30).collect()}
+    assert {x for x, (f, _) in out.items() if f} == live
+    for x in live:
+        assert out[x][1] == len(adj[x] & live)
+
+
+@given(edges=_graph())
+@settings(**_SETTINGS)
+def test_triangle_property(spark, edges):
+    from postgis_gtfs_importer_spark.operators.graph import triangle_count
+
+    if not edges:
+        return
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a in adj
+        for b in adj[a]
+        for c in adj[b]
+        if a < b < c and c in adj[a]
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (len(edges), brute)
