@@ -176,6 +176,7 @@ HEADLINE = [
     "kcore_membership",
     "grouping_sets_mix",
     "percent_rank_native",
+    "global_rank_distributed",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -123,6 +123,7 @@ _FRONT: list[str] = [
     "kcore_membership",
     "grouping_sets_mix",
     "percent_rank_native",
+    "global_rank_distributed",
     # freshness rotation: the entries with the OLDEST green rows
     # (r1/r2, impl unchanged per the ledger) — at 141+ entries and a
     # 50-slot window each entry is re-verified at best every ~3 rounds,
@@ -137,7 +138,7 @@ _FRONT: list[str] = [
     "gc_candidates",
     "digest_mint",
     "composite_digest",
-    "retention_topk",
+    # retention_topk released its slot to global_rank_distributed
     # doc_fingerprint / text_quality / lang_id / hash_split / stratified_sample /
     # repetition_profile / sessionize / dedup_exact / rolling_fingerprint
     # released their freshness-rotation slots to the second/third-wave
@@ -8528,4 +8529,41 @@ def percent_rank_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.cume_dist().over(w) * F.lit(1e6) + F.lit(0.5))
         .cast("long")
         .alias("cd_e6"),
+    )
+
+
+@register(
+    "global_rank_distributed",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, spend_cents,
+           CAST(rank() OVER (ORDER BY spend_cents DESC) AS BIGINT) AS rnk
+    FROM spend
+    """,
+)
+def global_rank_distributed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank over customer spend WITHOUT a single-task window:
+    the two-phase form (operators/ranking.py::global_rank — range
+    partition so tie groups stay intact, parallel per-partition rank()
+    plus a #partitions-sized offset cascade). Ranked on spend alone so
+    REAL tie groups exercise the ties-share / gaps-after semantics
+    across partition boundaries. The oracle is the NATIVE single-task
+    rank() window, so the green row proves the distributed split equals
+    the definition on real data (the peak_concurrency verification
+    pattern, applied to ranking)."""
+    from ..operators.ranking import global_rank
+
+    o = spread(_t(spark, sf_dir, "orders"))
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    return global_rank(spend, [F.desc("spend_cents")]).select(
+        "c_custkey", "spend_cents", "rnk"
     )

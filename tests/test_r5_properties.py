@@ -110,3 +110,30 @@ def test_triangle_property(spark, edges):
     df = spark.createDataFrame(edges, "a long, b long")
     r = triangle_count(df).collect()[0]
     assert (r.n_edges, r.n_triangles) == (len(edges), brute)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=200
+    ),
+    parts=st.sampled_from([2, 5, 16]),
+)
+@settings(**_SETTINGS)
+def test_global_rank_property(spark, vals, parts):
+    """Two-phase distributed rank == sequential rank definition (ties
+    share, gaps after) for any value multiset and partition count."""
+    from postgis_gtfs_importer_spark.operators.ranking import global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.rnk
+        for r in global_rank(
+            df, [F.asc("v")], num_partitions=parts
+        ).collect()
+    }
+    svals = sorted(vals)
+    want = {i: 1 + svals.index(v) for i, v in rows}  # rank = 1 + #strictly-less
+    # index() finds the FIRST occurrence in the sorted list == count of
+    # strictly smaller values
+    assert got == want
