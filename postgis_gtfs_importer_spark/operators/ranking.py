@@ -25,6 +25,12 @@ the key order). The registry entry's oracle is the NATIVE rank()
 window, so the green row proves the two-phase form equals the
 single-task definition on real data — the same verification pattern as
 peak_concurrency's prefix sum.
+
+Reference scope: extension family (no ranking surface in the
+reference); the scalable twin of the native-window rank pins
+(Q: ntile_buckets / percent_rank_native), which tolerate the
+single-task window only because they rank small aggregated
+relations.
 """
 
 from __future__ import annotations

@@ -24,6 +24,11 @@ precisely what the driver oracle (the naive unpartitioned window form)
 verifies on real data. Tie handling is delegated to the caller's
 ``order_cols`` (e.g. process -1 before +1 at equal t for half-open
 intervals).
+
+Reference scope: the reference is a batch ETL with no windowed
+analytics surface (SURVEY §2.D); this module belongs to the
+large-scale analytics extension family, the running-total /
+concurrency shapes an event pipeline needs.
 """
 
 from __future__ import annotations
