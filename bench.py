@@ -177,6 +177,10 @@ HEADLINE = [
     "grouping_sets_mix",
     "percent_rank_native",
     "global_rank_distributed",
+    "sssp_trade",
+    "phrase_search",
+    "ols_trend",
+    "greedy_set_cover",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -410,3 +410,114 @@ def kcore(
         F.col("core_deg").isNotNull().alias("in_core"),
         F.coalesce(F.col("core_deg"), F.lit(0)).cast("long").alias("core_deg"),
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int | None = None,
+    max_rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths over a weighted directed edge list —
+    synchronous Bellman-Ford relaxation, the fifth iterative-graph
+    family member (PageRank / eigenvector / connected components /
+    k-core rank, score, label, peel; this one measures).
+
+    Weights must be non-negative BIGINTs, so every tentative distance is
+    an exact integer: min() over integers is associative and
+    partition-order-free, which is what lets the DataFrame loop and an
+    unrolled-CTE replay agree bit-for-bit (the float-free discipline all
+    five families share). ``source`` defaults to the smallest node id in
+    the graph — a data-derived anchor both engines compute identically.
+
+    Returns one row per node: ``(node, dist, reached)`` with
+    ``dist = -1`` for nodes the source cannot reach within
+    ``max_rounds`` relaxations. A fixpoint probe (1-row driver collect,
+    the kcore/connected-components pattern) exits early; because a
+    fixpoint is stable under further rounds, early exit and the oracle's
+    full unroll coincide whenever the data converges within the bound —
+    tests assert convergence so the bound is evidence, not hope.
+
+    Scale shape per round: ONE shuffle — the min-by-destination
+    aggregate of relaxed candidates; the frontier join reuses the edge
+    list's src partitioning (edges repartitioned once and persisted, the
+    pagerank layout). Distances are |V|-sized and broadcast into the
+    join; lineage is cut by materializing the new distance relation
+    every round (each is one aggregate deep, so per-round checkpoint
+    cost is the floor, unlike pagerank's cadence trade-off).
+    """
+    from .dedup import materialize
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    e = e.repartition("src").persist()
+    try:
+        nodes = materialize(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if source is None:
+            source = nodes.agg(F.min("node")).collect()[0][0]
+        dist = materialize(
+            nodes.select(
+                "node",
+                F.when(F.col("node") == F.lit(source), F.lit(0))
+                .cast("long")
+                .alias("dist"),
+            )
+        )
+        for _ in range(int(max_rounds)):
+            frontier = dist.filter(F.col("dist").isNotNull())
+            relaxed = (
+                e.join(
+                    F.broadcast(frontier.withColumnRenamed("node", "src")),
+                    "src",
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("cand"),
+                )
+                .groupBy("node")
+                .agg(F.min("cand").alias("cand"))
+            )
+            new_dist = materialize(
+                dist.join(F.broadcast(relaxed), "node", "left").select(
+                    "node",
+                    F.least(
+                        F.col("dist"), F.col("cand")
+                    ).alias("dist"),
+                )
+            )
+            improved = (
+                new_dist.alias("n")
+                .join(dist.alias("o"), "node")
+                .filter(
+                    F.col("n.dist").isNotNull()
+                    & (
+                        F.col("o.dist").isNull()
+                        | (F.col("n.dist") < F.col("o.dist"))
+                    )
+                )
+                .limit(1)
+                .collect()
+            )
+            dist = new_dist
+            if not improved:
+                break
+        return dist.select(
+            "node",
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
+            F.col("dist").isNotNull().alias("reached"),
+        )
+    finally:
+        e.unpersist()

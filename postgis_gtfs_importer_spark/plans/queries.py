@@ -134,10 +134,13 @@ _FRONT: list[str] = [
     # family keeps fresh rows via ann_int8_topk / ann_recall_at_k /
     # knn_label_vote this round)
     # corpus_curation released its slot to kcore_membership
-    "reconcile_imports",
-    "gc_candidates",
-    "digest_mint",
-    "composite_digest",
+    # reconcile_imports / gc_candidates / digest_mint / composite_digest
+    # released their freshness slots to the round-5 final wave below
+    # (ledger-verified, impl unchanged since their r2 rows)
+    "sssp_trade",
+    "phrase_search",
+    "ols_trend",
+    "greedy_set_cover",
     # retention_topk released its slot to global_rank_distributed
     # doc_fingerprint / text_quality / lang_id / hash_split / stratified_sample /
     # repetition_profile / sessionize / dedup_exact / rolling_fingerprint
@@ -8566,4 +8569,301 @@ def global_rank_distributed_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return global_rank(spend, [F.desc("spend_cents")]).select(
         "c_custkey", "spend_cents", "rnk"
+    )
+
+
+# ===========================================================================
+# Round-5 final wave: SSSP, phrase search, OLS trend, greedy set cover
+# ===========================================================================
+
+
+def _sssp_oracle_sql(rounds: int, mod: int) -> str:
+    """Unrolled synchronous Bellman-Ford in DuckDB: per round ONE
+    min-by-node aggregate over (relaxed candidates UNION ALL current
+    distances), MATERIALIZED (the eigenvector/kcore lesson — default CTE
+    inlining re-expands the chain exponentially). ``rounds`` must be >=
+    the data's relaxation depth plus one confirming round (measured: 7
+    at sf0.001, 11 at sf0.01; pinned 12 with margin and asserted
+    converged by tests/test_r5_operators.py). The sparsifier hashes the
+    PAIR via md5 — a linear (a*p + b*q) % m filter makes customer
+    residue classes invariant under two hops on a bipartite graph and
+    disconnects 4/5 of it (measured); the md5 mix has no such algebra."""
+    ctes = [
+        """
+    pairs AS MATERIALIZED (
+      SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s,
+             CAST(min(l.l_quantity) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )""",
+        f"""
+    sp AS MATERIALIZED (
+      SELECT * FROM pairs
+      WHERE CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || '_'
+                                      || CAST(s AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {mod} = 0
+    )""",
+        """
+    e0 AS MATERIALIZED (
+      SELECT c AS src, s AS dst, w FROM sp
+      UNION ALL
+      SELECT s AS src, c AS dst, w FROM sp
+    )""",
+        """
+    nodes0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e0
+      UNION
+      SELECT DISTINCT dst AS node FROM e0
+    )""",
+        """
+    d0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node = (SELECT min(node) FROM nodes0)
+                  THEN CAST(0 AS BIGINT) END AS dist
+      FROM nodes0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT d.node, min(x.dist) AS dist
+      FROM d{p} d LEFT JOIN (
+        SELECT e.dst AS node, dp.dist + e.w AS dist
+        FROM e0 e JOIN d{p} dp ON dp.node = e.src
+        WHERE dp.dist IS NOT NULL
+        UNION ALL
+        SELECT node, dist FROM d{p} WHERE dist IS NOT NULL
+      ) x ON x.node = d.node
+      GROUP BY d.node
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT node, CAST(coalesce(dist, -1) AS BIGINT) AS dist,
+           dist IS NOT NULL AS reached
+    FROM d{rounds}
+    """
+    )
+
+
+@register("sssp_trade", _sssp_oracle_sql(rounds=12, mod=5))
+def sssp_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (fifth iterative-graph family:
+    rank, score, label, peel — and now MEASURE) over the md5-sparsified
+    customer↔supplier trade graph, edge weight = the pair's minimum
+    traded quantity, source = the smallest node id (data-derived, both
+    engines compute it). Exact-integer min-plus relaxation
+    (operators/graph.py::sssp): min over BIGINTs is associative and
+    partition-order-free, so the DataFrame loop equals the oracle's
+    12-round unrolled replay bit-for-bit; the engine's fixpoint early
+    exit coincides with the full unroll because a fixpoint is stable."""
+    from ..operators.graph import sssp
+
+    o = spread(_t(spark, sf_dir, "orders"))
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c").cast("string"),
+                            F.lit("_"),
+                            F.col("s").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    return sssp(edges, max_rounds=12)
+
+
+@register(
+    "phrase_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                      t -> lower(t))
+             END AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM toks
+    ),
+    m AS (
+      SELECT a.doc_id, a.pos AS start
+      FROM pos a
+      JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      WHERE a.tok = 'row' AND b.tok = 'column' AND c.tok = 'sort'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(start) AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id
+    """,
+)
+def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact contiguous-phrase search ('row column sort', a trigram the
+    corpus actually contains at every SF) via the POSITIONAL inverted
+    index (operators/indexing.py::phrase_match): postings filtered to
+    the phrase terms BEFORE the (doc, pos+offset) self-joins, so the
+    join legs carry only those terms' postings lists — the
+    postings-intersection cost a search engine pays, never a
+    corpus-sized join. The oracle recomputes positions independently in
+    DuckDB via zipped unnest; Spark's 0-based posexplode surfaces as the
+    same 1-based first_pos."""
+    from ..operators.phrases import phrase_match
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return phrase_match(d, ["row", "column", "sort"])
+
+
+@register(
+    "ols_trend",
+    """
+    WITH q AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) - 19723 AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    comp AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num,
+           CASE WHEN n * sxy - sx * sy = 0 THEN 'flat'
+                WHEN n * sxy - sx * sy > 0 THEN 'rising'
+                ELSE 'falling' END AS trend
+    FROM comp
+    """,
+)
+def ols_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares TREND: the OLS slope/intercept of value
+    (cents) against the day index, emitted as exact BIGINT rationals —
+    slope = slope_num/slope_den, intercept = intercept_num/slope_den —
+    plus the sign-derived trend label. Extends corr_components from the
+    five raw sums to the FITTED line while keeping the same discipline:
+    components are mergeable integers 1000 executors can partial-sum in
+    any order; no division crosses the verified surface (Spark ``div``
+    truncates toward zero while DuckDB ``//`` floors, so a NEGATIVE
+    slope quotient would diverge between engines — rationals sidestep
+    the trap). Day index is anchored at epoch day 19723 (2024-01-01) so
+    the products stay far inside BIGINT through sf1 (bound: n*sxy <
+    6e16 at 2e5 rows/group). One map-side projection + one 6-sum
+    aggregate."""
+    e = spread(_t(spark, sf_dir, "events"))
+    x = (
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        - F.lit(19723)
+    ).alias("x")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y")
+    comp = (
+        e.select("event_type", x, y)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return comp.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .cast("long")
+        .alias("intercept_num"),
+        F.when(num == 0, F.lit("flat"))
+        .when(num > 0, F.lit("rising"))
+        .otherwise(F.lit("falling"))
+        .alias("trend"),
+    )
+
+
+def _setcover_oracle_sql(k: int) -> str:
+    """Unrolled greedy max-coverage in DuckDB over the shared word-3-gram
+    shingle CTEs: per pick one count-by-doc aggregate, a deterministic
+    (gain DESC, doc_id ASC) argmax, and an ANTI JOIN deleting the
+    winner's shingles — MATERIALIZED per round like every unrolled
+    iterative oracle in this file."""
+    ctes = [_SHINGLE_CTES.strip().rstrip(), """
+    u0 AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh)"""]
+    finals = []
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(f"""
+    p{r} AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+      FROM u{p} GROUP BY doc_id
+      ORDER BY gain DESC, doc_id ASC LIMIT 1
+    )""")
+        if r < k:
+            ctes.append(f"""
+    u{r} AS MATERIALIZED (
+      SELECT a.doc_id, a.shingle FROM u{p} a
+      ANTI JOIN (SELECT shingle FROM u{p}
+                 WHERE doc_id = (SELECT doc_id FROM p{r})) c
+      USING (shingle)
+    )""")
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, doc_id, gain FROM p{r}"
+        )
+    return "WITH " + ",".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@register("greedy_set_cover", _setcover_oracle_sql(k=5))
+def greedy_set_cover_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-maximizing corpus selection: the 5 documents a greedy
+    max-coverage picks to cover the most distinct word-3-gram shingles
+    (operators/curation.py::greedy_set_cover) — the diversity-driven
+    subset-selection primitive (facility-location objective) that
+    complements score-ranked (quality_gate) and weight-proportional
+    (priority_sample) selection. Each pick's trace row carries the
+    MARGINAL gain, tie-broken by doc_id, so the whole trajectory — not
+    just the final set — must replay identically against the unrolled
+    oracle."""
+    from ..operators.coverage import greedy_set_cover
+    from ..operators.dedup import shingle_rows
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    sh = shingle_rows(d, "doc_id", "text", 3)
+    return greedy_set_cover(sh, k=5, id_col="id", elem_col="shingle").select(
+        "round", F.col("id").alias("doc_id"), "gain"
     )
