@@ -31,9 +31,15 @@ Scale design:
   ``checkpoint_every`` rounds AND after the final round — an unbounded
   iterative plan otherwise nests every round's joins into the final
   plan (duplicated subtrees, re-execution from source on failure), the
-  classic iterative-DataFrame trap. Measured at 4 iterations: cadence 2
-  beats both every-round (twice the materialization barriers) and
-  end-only (one quadratically-nested plan).
+  classic iterative-DataFrame trap. Re-measured at sf0.1 (r5): EVERY
+  round is fastest — each iterate is |V|-sized, so the materialization
+  barrier is noise next to planning/executing an un-truncated
+  multi-round subplan. pagerank 4 iters: cadence 1 = 4.4 s warm vs
+  cadence 2 = 5.1 s; eigenvector 6 iters: 3.6 / 5.5 / 7.0 / 33 s for
+  cadence 1 / 2 / 3 / end-only (the end-only blowup is the nested-plan
+  trap in full). An earlier 4-iteration measurement had preferred
+  cadence 2; the barrier cost it amortized shrank when the state
+  relations moved to broadcast joins, flipping the trade.
 """
 
 from __future__ import annotations
@@ -49,7 +55,7 @@ def pagerank(
     iterations: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     broadcast_state: bool = True,
 ) -> DataFrame:
     """Exact-integer PageRank over a directed edge list.
@@ -156,7 +162,7 @@ def eigenvector_centrality(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "w",
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     broadcast_state: bool = True,
 ) -> DataFrame:
     """Eigenvector centrality by power iteration — exact integers.
