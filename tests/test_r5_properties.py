@@ -137,3 +137,107 @@ def test_global_rank_property(spark, vals, parts):
     # index() finds the FIRST occurrence in the sorted list == count of
     # strictly smaller values
     assert got == want
+
+
+@st.composite
+def _weighted_digraph(draw):
+    n = draw(st.integers(min_value=2, max_value=20))
+    density = draw(st.floats(min_value=0.05, max_value=0.5))
+    edges = []
+    for a in range(n):
+        for b in range(n):
+            if a != b and draw(st.floats(min_value=0, max_value=1)) < density:
+                edges.append((a, b, draw(st.integers(min_value=1, max_value=9))))
+    return edges or [(0, 1, 1)]
+
+
+@given(edges=_weighted_digraph())
+@settings(**_SETTINGS)
+def test_sssp_property(spark, edges):
+    """Bellman-Ford DataFrame loop == exact Dijkstra for any weighted
+    digraph (including unreachable nodes -> dist=-1), with max_rounds
+    at the |V| worst case so convergence is structural, not assumed."""
+    from tests.test_r5_final_wave import _dijkstra
+
+    from postgis_gtfs_importer_spark.operators.graph import sssp
+
+    nodes = {x for e in edges for x in e[:2]}
+    source = min(nodes)
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r.node: r.dist
+        for r in sssp(df, source=source, max_rounds=len(nodes)).collect()
+    }
+    assert got == _dijkstra(edges, source)
+
+
+@st.composite
+def _setcover_items(draw):
+    n_sets = draw(st.integers(min_value=1, max_value=12))
+    n_elems = draw(st.integers(min_value=1, max_value=20))
+    items = set()
+    for i in range(n_sets):
+        size = draw(st.integers(min_value=0, max_value=6))
+        for _ in range(size):
+            items.add((i, f"e{draw(st.integers(min_value=0, max_value=n_elems))}"))
+    return sorted(items) or [(0, "e0")]
+
+
+@given(items=_setcover_items(), k=st.integers(min_value=1, max_value=5))
+@settings(**_SETTINGS)
+def test_set_cover_property(spark, items, k):
+    """Distributed greedy max-coverage trace == the sequential reference
+    greedy (same gain-then-id tie-break), for any set system and any k,
+    including early exhaustion."""
+    from tests.test_r5_final_wave import _greedy_trace
+
+    from postgis_gtfs_importer_spark.operators.coverage import greedy_set_cover
+
+    df = spark.createDataFrame(items, "id long, elem string")
+    got = [
+        (r["round"], r.id, r.gain)
+        for r in greedy_set_cover(df, k=k).orderBy("round").collect()
+    ]
+    assert got == _greedy_trace(items, k)
+
+
+@st.composite
+def _phrase_corpus(draw):
+    vocab = ["a", "b", "c"]
+    n_docs = draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        n_toks = draw(st.integers(min_value=0, max_value=25))
+        docs.append(
+            (i, " ".join(draw(st.sampled_from(vocab)) for _ in range(n_toks)))
+        )
+    phrase_len = draw(st.integers(min_value=2, max_value=3))
+    phrase = [draw(st.sampled_from(vocab)) for _ in range(phrase_len)]
+    return docs, phrase
+
+
+@given(cp=_phrase_corpus())
+@settings(**_SETTINGS)
+def test_phrase_match_property(spark, cp):
+    """Positional-index phrase join == naive sliding-window scan for any
+    corpus over a tiny alphabet (maximal overlap pressure: phrases like
+    'a a' self-overlap, which the join must count at every position)."""
+    from postgis_gtfs_importer_spark.operators.phrases import phrase_match
+
+    docs, phrase = cp
+    want = {}
+    for i, text in docs:
+        toks = text.split()
+        hits = [
+            p
+            for p in range(len(toks) - len(phrase) + 1)
+            if toks[p : p + len(phrase)] == phrase
+        ]
+        if hits:
+            want[i] = (len(hits), hits[0] + 1)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_match(df, phrase).collect()
+    }
+    assert got == want
