@@ -52,12 +52,13 @@ def greedy_set_cover(
     from .dedup import materialize
 
     spark = items.sparkSession
+    id_type = items.schema[id_col].dataType.simpleString()
     remaining = materialize(
         items.select(
             F.col(id_col).alias("id"), F.col(elem_col).alias("elem")
         ).dropDuplicates(["id", "elem"])
     )
-    picks: list[tuple[int, int, int]] = []
+    picks: list[tuple] = []
     for r in range(1, int(k) + 1):
         best = (
             remaining.groupBy("id")
@@ -66,7 +67,9 @@ def greedy_set_cover(
             .limit(1)
             .collect()
         )
-        if not best or best[0]["gain"] == 0:
+        # count(*) over existing rows is always >= 1, so a fully-covered
+        # universe surfaces as an EMPTY aggregate, never a zero gain.
+        if not best:
             break
         picks.append((r, best[0]["id"], best[0]["gain"]))
         covered = remaining.filter(
@@ -76,5 +79,5 @@ def greedy_set_cover(
             remaining.join(F.broadcast(covered), "elem", "left_anti")
         )
     return spark.createDataFrame(
-        picks, schema="round long, id long, gain long"
+        picks, schema=f"round long, id {id_type}, gain long"
     )

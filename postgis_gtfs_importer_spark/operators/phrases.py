@@ -47,13 +47,21 @@ def phrase_match(
     terms' document frequency — at 100 TB exactly the
     postings-list-intersection cost a dedicated search engine pays.
     """
+    from .dedup import materialize
+
     if len(phrase) < 2:
         raise ValueError("phrase_match needs >= 2 tokens")
     toks = [t.lower() for t in phrase]
-    postings = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(_lower_tokens(text_col)).alias("pos", "tok"),
-    ).filter(F.col("tok").isin(toks))
+    # Materialize before the per-token legs: each leg is a copy of this
+    # subplan, and Spark re-executes the upstream pipeline per self-join
+    # side — without the cut, an n-token phrase explodes the WHOLE
+    # corpus n times instead of once (the dedup.materialize() trap).
+    postings = materialize(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_lower_tokens(text_col)).alias("pos", "tok"),
+        ).filter(F.col("tok").isin(toks))
+    )
     legs = None
     for i, t in enumerate(toks):
         leg = postings.filter(F.col("tok") == t).select(

@@ -8646,19 +8646,13 @@ def _sssp_oracle_sql(rounds: int, mod: int) -> str:
     )
 
 
-@register("sssp_trade", _sssp_oracle_sql(rounds=12, mod=5))
-def sssp_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source shortest paths (fifth iterative-graph family:
-    rank, score, label, peel — and now MEASURE) over the md5-sparsified
-    customer↔supplier trade graph, edge weight = the pair's minimum
-    traded quantity, source = the smallest node id (data-derived, both
-    engines compute it). Exact-integer min-plus relaxation
-    (operators/graph.py::sssp): min over BIGINTs is associative and
-    partition-order-free, so the DataFrame loop equals the oracle's
-    12-round unrolled replay bit-for-bit; the engine's fixpoint early
-    exit coincides with the full unroll because a fixpoint is stable."""
-    from ..operators.graph import sssp
-
+def sssp_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sssp_trade registry graph: md5-pair-sparsified (mod 5)
+    customer↔supplier edges weighted by the pair's minimum traded
+    quantity, mirrored both directions. Shared with
+    tests/test_r5_final_wave.py's Dijkstra-equality certificate so the
+    convergence evidence can never drift from the shipped query's
+    graph."""
     o = spread(_t(spark, sf_dir, "orders"))
     li = spread(_t(spark, sf_dir, "lineitem"))
     pairs = (
@@ -8688,12 +8682,27 @@ def sssp_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
     )
-    edges = pairs.select(
+    return pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
     )
-    return sssp(edges, max_rounds=12)
+
+
+@register("sssp_trade", _sssp_oracle_sql(rounds=12, mod=5))
+def sssp_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (fifth iterative-graph family:
+    rank, score, label, peel — and now MEASURE) over the md5-sparsified
+    customer↔supplier trade graph, edge weight = the pair's minimum
+    traded quantity, source = the smallest node id (data-derived, both
+    engines compute it). Exact-integer min-plus relaxation
+    (operators/graph.py::sssp): min over BIGINTs is associative and
+    partition-order-free, so the DataFrame loop equals the oracle's
+    12-round unrolled replay bit-for-bit; the engine's fixpoint early
+    exit coincides with the full unroll because a fixpoint is stable."""
+    from ..operators.graph import sssp
+
+    return sssp(sssp_trade_edges(spark, sf_dir), max_rounds=12)
 
 
 @register(
@@ -8727,7 +8736,7 @@ def sssp_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact contiguous-phrase search ('row column sort', a trigram the
     corpus actually contains at every SF) via the POSITIONAL inverted
-    index (operators/indexing.py::phrase_match): postings filtered to
+    index (operators/phrases.py::phrase_match): postings filtered to
     the phrase terms BEFORE the (doc, pos+offset) self-joins, so the
     join legs carry only those terms' postings lists — the
     postings-intersection cost a search engine pays, never a
@@ -8852,7 +8861,7 @@ def _setcover_oracle_sql(k: int) -> str:
 def greedy_set_cover_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage-maximizing corpus selection: the 5 documents a greedy
     max-coverage picks to cover the most distinct word-3-gram shingles
-    (operators/curation.py::greedy_set_cover) — the diversity-driven
+    (operators/coverage.py::greedy_set_cover) — the diversity-driven
     subset-selection primitive (facility-location objective) that
     complements score-ranked (quality_gate) and weight-proportional
     (priority_sample) selection. Each pick's trace row carries the

@@ -87,41 +87,13 @@ def test_sssp_registry_graph_converges_and_is_exact(spark):
     sf0.01 graph's TRUE shortest paths (exact Dijkstra on the collected
     edge list — 19k edges, trivially driver-sized for a test) equal the
     engine's 12-round result, which simultaneously certifies
-    convergence within the pinned bound and value correctness."""
-    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
-    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .agg(F.min("l_quantity").cast("long").alias("w"))
-        .filter(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("c").cast("string"),
-                            F.lit("_"),
-                            F.col("s").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 5
-            == 0
-        )
-    )
-    both = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
-    ).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
-    )
+    convergence within the pinned bound and value correctness. The
+    graph comes from the SAME builder the registry query uses
+    (queries.sssp_trade_edges), so this certificate cannot drift from
+    the shipped graph."""
+    from postgis_gtfs_importer_spark.plans.queries import sssp_trade_edges
+
+    both = sssp_trade_edges(spark, "/root/testdata/sf0.01")
     rows = [(r.src, r.dst, r.w) for r in both.collect()]
     source = min(min(s for s, _, _ in rows), min(d for _, d, _ in rows))
     want = _dijkstra(rows, source)
@@ -251,13 +223,14 @@ def test_ols_components_exact_fraction(spark):
     rows = e.select("event_type", "ts", "value").collect()
     groups: dict[str, list[tuple[int, int]]] = {}
     import calendar
+    import math
 
     for r in rows:
         ts = r.ts
         # session pins UTC, so naive timestamps are UTC wall-clock
         us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
         x = us // 86_400_000_000 - 19723
-        y = int((r.value * 100) + 0.5)  # floor for positive values
+        y = math.floor(r.value * 100 + 0.5)
         groups.setdefault(r.event_type, []).append((x, y))
     for et, pts in groups.items():
         n = len(pts)
@@ -270,9 +243,13 @@ def test_ols_components_exact_fraction(spark):
         assert got.slope_num == n * sxy - sx * sy
         assert got.slope_den == n * sxx - sx * sx
         assert got.intercept_num == sy * sxx - sx * sxy
-        slope = Fraction(got.slope_num, got.slope_den)
-        assert (
-            got.trend == "rising"
-            if slope > 0
-            else got.trend == ("flat" if slope == 0 else "falling")
-        )
+        if got.slope_den == 0:
+            # single-distinct-x group: num is 0 too -> declared flat
+            assert got.slope_num == 0 and got.trend == "flat"
+        else:
+            slope = Fraction(got.slope_num, got.slope_den)
+            assert (
+                got.trend == "rising"
+                if slope > 0
+                else got.trend == ("flat" if slope == 0 else "falling")
+            )
