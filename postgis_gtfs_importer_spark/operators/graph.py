@@ -378,8 +378,9 @@ def kcore(
     the shrinking edge list each round, the iterative-DataFrame
     discipline pagerank documents. ``max_rounds`` bounds the loop; the
     caller (and the registry oracle, which unrolls the same rounds)
-    must pick it >= the data's peel depth — the fixpoint probe makes an
-    insufficient bound visible as a non-converged result, not a hang.
+    must pick it >= the data's peel depth — an exhausted bound with
+    sub-k nodes still present raises RuntimeError rather than silently
+    returning a partially-peeled core.
     """
     from .dedup import materialize
 
@@ -389,6 +390,7 @@ def kcore(
         .union(e.select(F.col("b").alias("node")))
         .distinct()
     )
+    converged = False
     for _ in range(int(max_rounds)):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -398,6 +400,7 @@ def kcore(
         )
         any_drop = deg.filter(F.col("deg") < k).limit(1).collect()
         if not any_drop:
+            converged = True
             break
         keep = deg.filter(F.col("deg") >= k).select("node")
         e = materialize(
@@ -405,6 +408,23 @@ def kcore(
             .join(keep.withColumnRenamed("node", "b"), "b")
             .select("a", "b")
         )
+    if not converged:
+        # Exhausting the bound with sub-k nodes still present would
+        # silently return a partially-peeled (wrong) core; the docstring
+        # promises an insufficient bound is VISIBLE. One extra tiny
+        # aggregate, only on the exhaustion path.
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        if deg.filter(F.col("deg") < k).limit(1).collect():
+            raise RuntimeError(
+                f"kcore did not reach a fixpoint within max_rounds="
+                f"{max_rounds}; raise the bound (and the oracle's unroll"
+                f" depth) above the data's peel depth"
+            )
     core_deg = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))

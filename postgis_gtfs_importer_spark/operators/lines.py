@@ -51,18 +51,28 @@ def segment_lines(
     k = int(tokens_per_line)
     if k <= 0:
         raise ValueError("tokens_per_line must be positive")
-    toks = F.split(F.col(text_col), " ")
+    # Split ONCE into a fixed internal alias; the integral-div ceil expr
+    # then references only that alias, so a parser-hostile text_col name
+    # can't break or redirect it (profile_columns injection class), and
+    # the token array isn't computed a second time inside the expr.
+    base = df.select(
+        F.col(id_col).alias("_sl_id"),
+        F.split(F.col(text_col), " ").alias("_sl_toks"),
+    )
     # ceil(n / k) without float math: (n + k - 1) div k — `div` is
     # Spark's integral division, exact at any size (a float `/` then
     # cast is only exact while n + k - 1 <= 2^53).
-    nlines = F.expr(
-        f"(size(split(`{text_col}`, ' ')) + {k - 1}) div {k}"
-    ).cast("int")
+    nlines = F.expr(f"(size(_sl_toks) + {k - 1}) div {k}").cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), nlines - F.lit(1)),
-        lambda i: F.array_join(F.slice(toks, i * F.lit(k) + F.lit(1), k), " "),
+        lambda i: F.array_join(
+            F.slice(F.col("_sl_toks"), i * F.lit(k) + F.lit(1), k), " "
+        ),
     )
-    return df.select(F.col(id_col), F.posexplode(lines).alias("line_no", "line"))
+    return base.select(
+        F.col("_sl_id").alias(id_col),
+        F.posexplode(lines).alias("line_no", "line"),
+    )
 
 
 def line_dedup(

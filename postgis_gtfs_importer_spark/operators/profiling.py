@@ -95,6 +95,11 @@ def tvd_drift(
     densification is needed. Output: (group, n_ref, n_cur, tvd_ppm).
     """
     g, v, ts = F.col(group_col), F.col(value_col), F.col(ts_col)
+    # Drift is defined over rows with an OBSERVED (value, ts): a NULL
+    # value would otherwise ride floor(NULL)=NULL through F.least into
+    # the TOP bucket (least skips NULLs) — misattributed as a maximal
+    # observation instead of excluded.
+    df = df.filter(v.isNotNull() & ts.isNotNull())
     bounds = df.agg(
         F.min(v).alias("vmin"),
         F.max(v).alias("vmax"),
@@ -138,7 +143,14 @@ def tvd_drift(
             F.col("grp").alias(group_col),
             F.col("n_ref").cast("long").alias("n_ref"),
             F.col("n_cur").cast("long").alias("n_cur"),
-            F.expr("(num * 1000000) div (2 * n_ref * n_cur)")
+            # A group entirely inside one half has nothing to compare
+            # against: tvd is UNDEFINED (NULL), not a crash — the
+            # unguarded div raised DIVIDE_BY_ZERO under Spark 4's
+            # default ANSI mode and aborted the whole query.
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.expr("(num * 1000000) div (2 * n_ref * n_cur)"),
+            )
             .cast("long")
             .alias("tvd_ppm"),
         )

@@ -47,9 +47,22 @@ def global_rank(
 ) -> DataFrame:
     """Add ``rank_col`` = SQL rank() (ties share, gaps after) in
     ``order_cols`` order, with no data-sized single-task stage."""
+    from .dedup import materialize
+
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # MATERIALIZE the range-partitioned relation before deriving both
+    # the per-partition sizes and the probe side from it: the range
+    # exchange SAMPLES its boundaries nondeterministically, so two
+    # separately-executed instances of this subplan could disagree on
+    # which partition a row landed in — the offsets would then describe
+    # partitions the probe side never saw (silently wrong ranks).
+    # ReusedExchange happens to rescue the un-cut plan today, but the
+    # repo's own materialize() contract says aliased self-reads must
+    # not rely on that.
+    ranged = materialize(
+        df.repartitionByRange(parts, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     sizes = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
     w_off = Window.orderBy("_pid")

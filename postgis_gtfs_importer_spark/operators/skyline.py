@@ -53,6 +53,7 @@ def _local_front(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     schema = df.schema
 
     def part(batches):
+        import numpy as np
         import pandas as pd
 
         rows = [b for b in batches]
@@ -60,12 +61,20 @@ def _local_front(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             return
         p = pd.concat(rows, ignore_index=True)
         p = p.sort_values([x_col, y_col], ascending=[False, False])
-        ymax = p[y_col].cummax()
-        # keep a row iff it sets a new running y-max (first occurrence
-        # at each cummax step) OR shares x with the row that set it —
-        # equivalently: y == cummax(y) (keeps x-ties with equal y, and
-        # every candidate the exact pass could still keep)
-        yield p[p[y_col] >= ymax]
+        # Exact per-partition Pareto staircase. The earlier
+        # ``y >= cummax(y)`` keep condition retained every row TYING the
+        # running max — on y-tie-heavy inputs (constant y: each larger-x
+        # row dominates, front = max-x rows only) the prefilter kept
+        # ~100% and re-opened the single-task funnel it exists to close.
+        # Correct rule: keep a row iff y equals its x-group's max AND
+        # strictly exceeds the best y of every strictly-greater-x group.
+        gmax = p.groupby(x_col, sort=False)[y_col].transform("max")
+        new_group = p[x_col].ne(p[x_col].shift())
+        prior = pd.Series(np.nan, index=p.index, dtype="float64")
+        prior[new_group] = gmax[new_group].cummax().shift(1).values
+        prior = prior.ffill()
+        keep = (p[y_col] == gmax) & (prior.isna() | (p[y_col] > prior))
+        yield p[keep]
 
     return df.mapInPandas(part, schema=schema)
 

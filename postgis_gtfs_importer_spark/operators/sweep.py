@@ -48,8 +48,15 @@ def running_prefix_sum(
     (t, *extra_order) order, computed with NO global single-task pass
     over the data (see module docstring). ``t_col`` must be integral.
     """
-    b = F.expr(f"`{t_col}` div {int(bucket_width)}")
-    with_b = df.withColumn("_bkt", b)
+    # The integral-div expr references only the FIXED internal alias,
+    # never the caller's column name — a parser-hostile t_col (backtick,
+    # quote) cannot break or redirect the expression (the
+    # profile_columns identifier-injection class).
+    with_b = (
+        df.withColumn("_t_long", F.col(t_col).cast("long"))
+        .withColumn("_bkt", F.expr(f"_t_long div {int(bucket_width)}"))
+        .drop("_t_long")
+    )
     totals = with_b.groupBy("_bkt").agg(
         F.sum(delta_col).cast("long").alias("_tot")
     )
@@ -101,7 +108,10 @@ def max_concurrency(
             "m"
         )
     ).select(
-        F.col("m.running").cast("long").alias("peak"),
+        # Empty input: the max-struct aggregate yields one all-NULL row;
+        # the legitimate "no intervals" answer is peak 0 (peak_at stays
+        # NULL — there is no instant to name).
+        F.coalesce(F.col("m.running"), F.lit(0)).cast("long").alias("peak"),
         (-F.col("m.neg_t")).cast("long").alias("peak_at"),
     )
     return F.broadcast(n_row).crossJoin(peak).select(

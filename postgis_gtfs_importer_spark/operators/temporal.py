@@ -43,6 +43,13 @@ def asof_join(
     operator asserts nothing about which would win; dedup is the
     caller's statement of intent).
     """
+    clash = sorted(set(value_cols) & (set(left.columns) - set(on)))
+    if clash:
+        raise ValueError(
+            f"asof_join value_cols collide with left columns: {clash}"
+            f" — rename them on one side first (the window would fill"
+            f" from the left row itself)"
+        )
     l_tagged = left.withColumn("_side", F.lit(1))
     r_tagged = (
         right.select(*on, ts_col, *value_cols)
@@ -193,7 +200,18 @@ def asof_join_forward(
     first(ignorenulls)). Ties at equal ts match (<=): left rows sort
     BEFORE right rows at the same timestamp so the following-frame
     includes them. The "next scheduled event / next price revision"
-    lookup of a timeline pipeline."""
+    lookup of a timeline pipeline.
+
+    ``value_cols`` must not collide with left's columns: the
+    currentRow-anchored frame would fill a left-side column from the
+    left row ITSELF (while asof_ts still came from the next right row —
+    an inconsistent pair), so the collision is rejected up front."""
+    clash = sorted(set(value_cols) & (set(left.columns) - set(on)))
+    if clash:
+        raise ValueError(
+            f"asof_join_forward value_cols collide with left columns:"
+            f" {clash} — rename them on one side first"
+        )
     l_tagged = left.withColumn("_side", F.lit(0))
     r_tagged = (
         right.select(*on, ts_col, *value_cols)

@@ -67,7 +67,25 @@ _ALIAS_MODULES = {
     "SS": f"{_PKG}.operators.sessions",
 }
 
-_IMPORT_RE = re.compile(
+#: Any relative import (``from .x import`` / ``from ..x import`` / …)
+#: or absolute intra-package import. Dots are resolved against the
+#: IMPORTING module's package — ``from .dedup import`` inside
+#: operators/setjoin.py means operators.dedup. The original release of
+#: this module only matched TWO-dot forms, silently dropping sibling
+#: imports from the closure (operators modules importing each other via
+#: ``from .x import``) — defeating exactly the stale-entry detection
+#: this file exists for; see ``migrate`` below for how the recorded
+#: digests were re-keyed when the hole was closed.
+_REL_IMPORT_RE = re.compile(r"from\s+(\.+)([a-z_][a-z0-9_.]*)?\s+import")
+_ABS_IMPORT_RE = re.compile(
+    r"from\s+" + _PKG + r"\.([a-z_][a-z0-9_.]*)\s+import"
+)
+
+#: The pre-fix regex, kept ONLY so ``migrate`` can recompute the digests
+#: the ledger was recorded under and re-key them provably (stored ==
+#: legacy digest => the tracked sources are unchanged; anything else
+#: stays stale).
+_LEGACY_IMPORT_RE = re.compile(
     r"from\s+\.\.([a-z_]+(?:\.[a-z_]+)*)\s+import|"
     r"from\s+" + _PKG + r"\.([a-z_]+(?:\.[a-z_]+)*)\s+import"
 )
@@ -79,10 +97,28 @@ def _queries_module():
     return Q
 
 
+def _imports_of(mod_name: str, src: str) -> set[str]:
+    """Intra-package modules ``src`` imports, with relative dots resolved
+    against ``mod_name``'s package (1 dot = same package, 2 = parent)."""
+    parts = mod_name.split(".")
+    out: set[str] = set()
+    for m in _REL_IMPORT_RE.finditer(src):
+        dots, rel = m.group(1), m.group(2)
+        base = parts[: len(parts) - len(dots)]
+        child = ".".join(base + (rel.split(".") if rel else []))
+        if child.startswith(_PKG) and _module_path(child):
+            out.add(child)
+    for m in _ABS_IMPORT_RE.finditer(src):
+        child = f"{_PKG}.{m.group(1)}"
+        if _module_path(child):
+            out.add(child)
+    return out
+
+
 def _module_closure(mod_names: set[str]) -> set[str]:
     """Transitive closure over intra-package imports, computed from each
-    module's SOURCE (regex over ``from ..x import`` / absolute package
-    imports) so the closure doesn't depend on import-time side effects."""
+    module's SOURCE (regex over relative/absolute package imports) so
+    the closure doesn't depend on import-time side effects."""
     seen: set[str] = set()
     todo = list(mod_names)
     while todo:
@@ -90,11 +126,8 @@ def _module_closure(mod_names: set[str]) -> set[str]:
         if name in seen:
             continue
         seen.add(name)
-        src = _module_source(name)
-        for m in _IMPORT_RE.finditer(src):
-            rel = m.group(1) or m.group(2)
-            child = f"{_PKG}.{rel}"
-            if _module_path(child) and child not in seen:
+        for child in _imports_of(name, _module_source(name)):
+            if child not in seen:
                 todo.append(child)
     return seen
 
@@ -119,16 +152,13 @@ def _module_source(mod_name: str) -> str:
 
 def _entry_deps(fn_src: str) -> set[str]:
     """Intra-package modules an entry body references: alias-qualified
-    calls (DD./SIM./...) plus any local ``from ..x import`` lines."""
+    calls (DD./SIM./...) plus any local relative/absolute import lines
+    (resolved as if written in plans/queries.py, where entries live)."""
     mods: set[str] = set()
     for alias, mod in _ALIAS_MODULES.items():
         if re.search(rf"\b{alias}\.", fn_src):
             mods.add(mod)
-    for m in _IMPORT_RE.finditer(fn_src):
-        rel = m.group(1) or m.group(2)
-        full = f"{_PKG}.{rel}"
-        if _module_path(full):
-            mods.add(full)
+    mods |= _imports_of(f"{_PKG}.plans.queries", fn_src)
     # every entry loads tables through _t/spread -> sources.tables
     mods.add(f"{_PKG}.sources.tables")
     mods.add(f"{_PKG}.session")
@@ -156,21 +186,62 @@ def _helper_sources(fn_src: str) -> list[str]:
     return out
 
 
-def entry_digest(name: str) -> str:
-    """Content digest of everything the registry entry's RESULT can
-    depend on (see module docstring)."""
+def _digest_with(name: str, closure: set[str]) -> str:
     Q = _queries_module()
     fn, oracle = Q._REGISTRY[name]
     fn_src = inspect.getsource(fn)
     parts = [fn_src, oracle if oracle is not None else "\x00NO_ORACLE"]
     parts += _helper_sources(fn_src)
-    for mod in sorted(_module_closure(_entry_deps(fn_src))):
+    for mod in sorted(closure):
         parts.append(f"=== {mod} ===\n" + _module_source(mod))
     h = hashlib.sha256()
     for p in parts:
         h.update(p.encode("utf-8", "replace"))
         h.update(b"\x00")
     return h.hexdigest()
+
+
+def entry_digest(name: str) -> str:
+    """Content digest of everything the registry entry's RESULT can
+    depend on (see module docstring)."""
+    Q = _queries_module()
+    fn, _ = Q._REGISTRY[name]
+    fn_src = inspect.getsource(fn)
+    return _digest_with(name, _module_closure(_entry_deps(fn_src)))
+
+
+def _legacy_closure(name: str) -> set[str]:
+    """The closure as the PRE-FIX regex computed it (two-dot relative +
+    absolute imports only; single-dot sibling imports dropped). Used
+    only by ``migrate`` to prove a stored digest's sources unchanged."""
+    Q = _queries_module()
+    fn, _ = Q._REGISTRY[name]
+    fn_src = inspect.getsource(fn)
+    mods: set[str] = set()
+    for alias, mod in _ALIAS_MODULES.items():
+        if re.search(rf"\b{alias}\.", fn_src):
+            mods.add(mod)
+    for m in _LEGACY_IMPORT_RE.finditer(fn_src):
+        rel = m.group(1) or m.group(2)
+        full = f"{_PKG}.{rel}"
+        if _module_path(full):
+            mods.add(full)
+    mods.add(f"{_PKG}.sources.tables")
+    mods.add(f"{_PKG}.session")
+    seen: set[str] = set()
+    todo = list(mods)
+    while todo:
+        nm = todo.pop()
+        if nm in seen:
+            continue
+        seen.add(nm)
+        src = _module_source(nm)
+        for m in _LEGACY_IMPORT_RE.finditer(src):
+            rel = m.group(1) or m.group(2)
+            child = f"{_PKG}.{rel}"
+            if _module_path(child) and child not in seen:
+                todo.append(child)
+    return seen
 
 
 def load_ledger() -> dict[str, dict]:
@@ -242,10 +313,102 @@ def refresh(mark_stale: set[str] | None = None) -> dict[str, dict]:
     return ledger
 
 
+def _round_commit(rnd: int) -> str | None:
+    """Commit that ADDED CORRECTNESS_r{rnd}.json — the tree the driver
+    verified that round (the artifact lands with the round-close
+    commit)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "--",
+             f"CORRECTNESS_r{rnd:02d}.json"],
+            cwd=REPO_ROOT, capture_output=True, text=True, check=True,
+        ).stdout.strip().splitlines()
+        return out[0] if out else None
+    except Exception:
+        return None
+
+
+def _changed_since(commit: str, mod_names: set[str]) -> bool:
+    import subprocess
+
+    paths = [p for p in (_module_path(m) for m in mod_names) if p]
+    if not paths:
+        return False
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", commit, "HEAD", "--", *paths],
+            cwd=REPO_ROOT, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return bool(out)
+    except Exception:
+        return True  # cannot prove unchanged -> treat as changed
+
+
+def migrate(dry_run: bool = False) -> dict[str, str]:
+    """One-time re-key after the import-resolver fix (single-dot sibling
+    imports were missing from the closure, so legacy digests under-
+    covered). For each recorded row:
+
+    - stored == legacy digest: the legacy-tracked sources are unchanged
+      since recording. The closure DELTA (modules only the fixed
+      resolver sees) is then checked against git history since the
+      entry's green-round commit: unchanged -> re-key to the new
+      digest (pure re-hash, verified state preserved); changed -> the
+      legacy hole masked a real change, record STALE_SENTINEL so the
+      entry is forced back into the window.
+    - anything else: already stale; left untouched.
+
+    Returns name -> action for reporting."""
+    Q = _queries_module()
+    ledger = load_ledger()
+    actions: dict[str, str] = {}
+    commits: dict[int, str | None] = {}
+    for name, row in ledger.items():
+        if name not in Q._REGISTRY:
+            continue
+        if row["digest"] == STALE_SENTINEL:
+            actions[name] = "sentinel-kept"
+            continue
+        legacy = _digest_with(name, _legacy_closure(name))
+        if row["digest"] != legacy:
+            actions[name] = "stale-kept"
+            continue
+        fn, _ = Q._REGISTRY[name]
+        new_closure = _module_closure(_entry_deps(inspect.getsource(fn)))
+        delta = new_closure - _legacy_closure(name)
+        rnd = row["round"]
+        if rnd not in commits:
+            commits[rnd] = _round_commit(rnd)
+        commit = commits[rnd]
+        if delta and (commit is None or _changed_since(commit, delta)):
+            actions[name] = f"delta-changed-since-r{rnd} -> sentinel"
+            if not dry_run:
+                row["digest"] = STALE_SENTINEL
+        else:
+            actions[name] = "re-keyed"
+            if not dry_run:
+                row["digest"] = entry_digest(name)
+    if not dry_run:
+        with open(LEDGER_PATH, "w", encoding="utf-8") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+            f.write("\n")
+    return actions
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "refresh":
         led = refresh(mark_stale=set(sys.argv[2:]))
         print(f"ledger: {len(led)} entries recorded")
+    elif len(sys.argv) > 1 and sys.argv[1] == "migrate":
+        acts = migrate(dry_run="--dry-run" in sys.argv)
+        for n, a in sorted(acts.items()):
+            if a != "re-keyed":
+                print(f"{n}: {a}")
+        from collections import Counter
+
+        print(dict(Counter(acts.values())))
     else:
         st = stale_entries()
         for n, why in sorted(st.items()):

@@ -7235,17 +7235,20 @@ def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tvd_drift",
     """
-    WITH bounds AS (
+    WITH obs AS (
+      SELECT * FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    bounds AS (
       SELECT min(value) AS vmin, max(value) AS vmax,
              min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
-      FROM events
+      FROM obs
     ),
     b AS (
       SELECT event_type AS grp,
              CAST(least(floor((value - vmin) * 10.0 / (vmax - vmin)), 9)
                   AS BIGINT) AS bucket,
              (epoch_us(ts) < t0 + (t1 - t0) // 2) AS is_ref
-      FROM events, bounds
+      FROM obs, bounds
     ),
     pb AS (
       SELECT grp, bucket,
@@ -7259,9 +7262,11 @@ def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pb GROUP BY grp
     )
     SELECT pb.grp AS event_type, t.n_ref, t.n_cur,
-           CAST((CAST(sum(abs(pb.c_ref * t.n_cur - pb.c_cur * t.n_ref))
-                      AS BIGINT) * 1000000)
-                // (2 * t.n_ref * t.n_cur) AS BIGINT) AS tvd_ppm
+           CASE WHEN t.n_ref > 0 AND t.n_cur > 0 THEN
+             CAST((CAST(sum(abs(pb.c_ref * t.n_cur - pb.c_cur * t.n_ref))
+                        AS BIGINT) * 1000000)
+                  // (2 * t.n_ref * t.n_cur) AS BIGINT)
+           END AS tvd_ppm
     FROM pb JOIN t ON t.grp = pb.grp
     GROUP BY pb.grp, t.n_ref, t.n_cur
     """,
