@@ -80,10 +80,41 @@ _MUST_VERIFY: list[str] = [
     # whole-module flagging of its dependents
     "asof_join",
     "range_join",
+    *(_MIGRATION_BACKLOG := [
+        # r5 ledger migration (import-resolver fix): the legacy closure
+        # regex dropped single-dot sibling imports, so these entries'
+        # recorded digests never covered modules their code actually
+        # imports transitively — and git shows those modules changed
+        # after their green rounds. They carry prior green rows +
+        # current local oracle-parity green, so they queue BEHIND the
+        # never-verified entries: placed at the TAIL of _FRONT (outside
+        # the 50-prefix this round), they drain in round 6. The
+        # test_registry_ledger overflow invariant enforces exactly this
+        # ordering: overflow only when the window is full of stale
+        # entries, and only with changed-since (prior-green-row) class.
+        "balanced_mixture",
+        "bm25_topk",
+        "chunk_documents",
+        "classifier_scores",
+        "hash_split",
+        "inverted_index",
+        "nearest_stops",
+        "negative_samples",
+        "pack_sequences",
+        "pii_redaction",
+        "pmi_bigrams",
+        "priority_sample",
+        "repetition_profile",
+        "shape_lengths",
+        "source_cap",
+        "stops_radius_pairs",
+        "stratified_sample",
+        "tfidf_distinctive",
+    ]),
 ]
 
 _FRONT: list[str] = [
-    *_MUST_VERIFY,
+    *(n for n in _MUST_VERIFY if n not in _MIGRATION_BACKLOG),
     # r5 change with no prior green row (week-axis densification)
     "wow_change",
     # never driver-verified (r4 continuation block, past the old window)
@@ -146,6 +177,10 @@ _FRONT: list[str] = [
     # repetition_profile / sessionize / dedup_exact / rolling_fingerprint
     # released their freshness-rotation slots to the second/third-wave
     # additions (they are ledger-verified, impl unchanged)
+    # --- entries below this line sit OUTSIDE the 50-slot prefix: the
+    # migration backlog queues for round 6 behind the never-verified
+    # entries (see _MIGRATION_BACKLOG above) ---
+    *_MIGRATION_BACKLOG,
 ]
 
 
