@@ -92,6 +92,12 @@ def pagerank(
             .persist()
         )
         n = nodes.count()
+        if n == 0:
+            # empty graph: no nodes to rank (the uniform-start division
+            # below would be a driver-side ZeroDivisionError)
+            return nodes.select(
+                "node", F.lit(None).cast("long").alias("rank_s")
+            )
         base = (3 * SCALE) // (20 * n)
         r0 = SCALE // n
         ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank_s"))

@@ -1,0 +1,41 @@
+"""Degenerate-input tripwire: EVERY registry entry must execute against
+fully EMPTY tables without raising.
+
+The class this guards: tvd_drift shipped with an unguarded integer
+division that raised DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+the moment a group had no rows in one half of the span, and pagerank
+divided by a zero node count driver-side. Aggregates over nothing,
+divisions by zero-counts, max-of-empty structs, and min-of-no-nodes all
+concentrate on the empty relation, so one sweep covers the family. An
+entry may legitimately return zero rows here; it may not crash."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgis_gtfs_importer_spark.plans import queries as Q
+
+SRC = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+REGISTRY = Q.queries()
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """The full testdata schema with ZERO rows in every table."""
+    d = tmp_path_factory.mktemp("empty-sf")
+    for t in TABLES:
+        spark.read.parquet(f"{SRC}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_registry_entry_survives_empty_tables(spark, empty_sf_dir, name):
+    df = REGISTRY[name](spark, empty_sf_dir)
+    assert df.count() >= 0
