@@ -122,7 +122,7 @@ class LocalCatalog:
                 f"""SELECT db_name, imported_at, feed_digest
                     FROM {BOOKKEEPING_TABLE}
                     WHERE substr(db_name, 1, ?) = ?
-                    ORDER BY imported_at DESC""",
+                    ORDER BY imported_at DESC, db_name DESC""",
                 (len(prefix), prefix),
             ).fetchall()
         except sqlite3.OperationalError:
@@ -266,6 +266,14 @@ class LocalCatalog:
                 if os.path.isdir(out_dir):
                     shutil.rmtree(out_dir)
                 os.replace(tmp, out_dir)
+            # A hook may DROP or RENAME a table: in Postgres it is gone,
+            # so the parquet dir of any pre-existing table that no longer
+            # survives as a base table must go too — otherwise
+            # open_latest keeps serving the dropped table with its
+            # pre-hook contents (silent divergence from psql -1 parity).
+            for t in existing:
+                if t not in tables:
+                    shutil.rmtree(os.path.join(base, t), ignore_errors=True)
         finally:
             con.close()
 
@@ -395,7 +403,7 @@ class PostgresCatalog:
                     f"""SELECT db_name, imported_at, feed_digest
                         FROM {BOOKKEEPING_TABLE}
                         WHERE substring(db_name FOR %s) = %s
-                        ORDER BY imported_at DESC""",
+                        ORDER BY imported_at DESC, db_name DESC""",
                     (len(prefix), prefix),
                 )
                 return [ImportRecord(*r) for r in cur.fetchall()]

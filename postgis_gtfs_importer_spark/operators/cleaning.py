@@ -389,16 +389,30 @@ def fuzzy_stop_pairs(
         F.col("stop_lat").isNotNull() & F.col("stop_lon").isNotNull()
     )
     cell_deg = max(radius_m, 1.0) / 111_320.0  # ≈ meters per degree lat
+    # A degree of LONGITUDE is only 111320*cos(lat) meters, so an
+    # unscaled lon cell is radius*cos(lat) meters wide and a 3x3 probe
+    # MISSES in-radius pairs above ~34° latitude (radius spans >1.5
+    # cells — most of Europe/North America). Widen the lon cell by the
+    # feed's worst case, cos(max |lat|), via a broadcast 1-row scalar
+    # (no collect); clamped at 85° so polar feeds don't divide by ~0.
+    # Wider-than-needed cells near the equator of the feed only add
+    # candidates — the exact haversine verify keeps correctness.
+    ref = stops.agg(
+        F.least(F.max(F.abs(F.col("stop_lat"))), F.lit(85.0)).alias(
+            "_maxabslat"
+        )
+    )
+    lon_cell = F.lit(cell_deg) / F.cos(F.radians(F.col("_maxabslat")))
     toks = F.array_distinct(
         F.split(F.lower(F.trim(F.coalesce("stop_name", F.lit("")))), r"\s+")
     )
-    side = stops.select(
+    side = stops.crossJoin(F.broadcast(ref)).select(
         F.col("stop_id").alias("id"),
         F.col("stop_lat").alias("lat"),
         F.col("stop_lon").alias("lon"),
         toks.alias("toks"),
         F.floor(F.col("stop_lat") / cell_deg).alias("cx"),
-        F.floor(F.col("stop_lon") / cell_deg).alias("cy"),
+        F.floor(F.col("stop_lon") / lon_cell).alias("cy"),
     )
     offsets = F.array(
         *[
@@ -470,9 +484,8 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
     the loop is driver-side but each pass is one distributed plan.
     """
     out = dict(tables)
+    prev_counts: tuple[int, ...] | None = None
     for _ in range(max_iters):
-        changed = False
-
         if "trips" in out:
             t = out["trips"]
             if "routes" in out:
@@ -488,7 +501,7 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
                 for p in parts[1:]:
                     live_services = live_services.unionByName(p)
                 t = t.join(live_services.distinct(), "service_id", "left_semi")
-            out["trips"], changed = t, True
+            out["trips"] = t
 
         if "stop_times" in out and "trips" in out:
             out["stop_times"] = out["stop_times"].join(
@@ -504,6 +517,25 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
                 .select(F.col("parent_station").alias("stop_id"))
             )
             live = referenced.unionByName(parents).distinct()
+            # A live STATION's non-stop children (entrances 2, generic
+            # nodes 3, boarding areas 4) never appear in stop_times but
+            # are structural parts of the station's routing graph —
+            # dropping them would cascade into deleting every pathway
+            # that references them (valid, referenced data). Platforms
+            # (location_type 0/NULL) stay droppable: an unreferenced
+            # platform IS an orphan.
+            if "location_type" in out["stops"].columns:
+                struct_children = (
+                    out["stops"]
+                    .filter(F.col("location_type").isin(2, 3, 4))
+                    .join(
+                        live.withColumnRenamed("stop_id", "parent_station"),
+                        "parent_station",
+                        "left_semi",
+                    )
+                    .select("stop_id")
+                )
+                live = live.unionByName(struct_children).distinct()
             out["stops"] = out["stops"].join(live, "stop_id", "left_semi")
 
         if "shapes" in out and "trips" in out:
@@ -531,12 +563,22 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
                     .join(live_stops.withColumnRenamed("stop_id", "from_stop_id"), "from_stop_id", "left_semi")
                     .join(live_stops.withColumnRenamed("stop_id", "to_stop_id"), "to_stop_id", "left_semi")
                 )
-        if not changed:
-            break
         if materialize:
             # iterative algorithm — cut lineage per iteration or the plan
             # doubles every pass (the standard Spark iterative-job pattern)
             out = truncate_lineage(out)
+        # REAL fixpoint detection: the old `changed` flag was set
+        # unconditionally whenever trips existed, so the loop always ran
+        # all max_iters passes. Compare cascade-root cardinalities across
+        # passes instead — three small count actions per pass (cheap
+        # under materialize=True, the pipeline's setting; without it each
+        # count re-executes the pass chain, which max_iters bounds).
+        counts = tuple(
+            out[t].count() for t in ("trips", "stop_times", "stops") if t in out
+        )
+        if counts == prev_counts:
+            break
+        prev_counts = counts
     return out
 
 
@@ -627,6 +669,46 @@ def minimize_services(tables: Tables) -> Tables:
             )
         )
     )
+    # Services with ZERO materialized dates (every weekday inactive, or
+    # all dates cancelled by exception_type=2) never appear in `dates`
+    # and would silently vanish from the rebuilt tables — leaving trips
+    # that reference them with dangling service_id FKs (this runs AFTER
+    # the orphan pass, so nothing cleans them up). Re-encode each as an
+    # all-zero-weekday calendar row anchored at a date from its original
+    # definition: still exactly zero active dates (the round-trip
+    # property holds), but the FK survives.
+    orig_ids = []
+    anchor_parts = []
+    if "calendar" in tables:
+        orig_ids.append(tables["calendar"].select("service_id"))
+        anchor_parts.append(
+            tables["calendar"].select("service_id", F.col("start_date").alias("__d"))
+        )
+    if "calendar_dates" in tables:
+        orig_ids.append(tables["calendar_dates"].select("service_id"))
+        anchor_parts.append(
+            tables["calendar_dates"].select("service_id", F.col("date").alias("__d"))
+        )
+    if orig_ids:
+        all_ids = orig_ids[0]
+        for p in orig_ids[1:]:
+            all_ids = all_ids.unionByName(p)
+        anchors = anchor_parts[0]
+        for p in anchor_parts[1:]:
+            anchors = anchors.unionByName(p)
+        zero_date_rows = (
+            all_ids.distinct()
+            .join(dates.select("service_id").distinct(), "service_id", "left_anti")
+            .join(anchors.groupBy("service_id").agg(F.min("__d").alias("__d")),
+                  "service_id")
+            .select(
+                "service_id",
+                *[F.lit(0).alias(c) for c in _DOW_COLS],
+                F.col("__d").alias("start_date"),
+                F.col("__d").alias("end_date"),
+            )
+        )
+        out["calendar"] = out["calendar"].unionByName(zero_date_rows)
     return out
 
 
@@ -638,22 +720,24 @@ _DOW_COLS = ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
 # ---------------------------------------------------------------------------
 
 def minimize_stop_times(tables: Tables) -> Tables:
-    """B9 (--minimize-stoptimes, import.sh:77-79): canonicalize redundant
-    representations without changing the timetable — equal arrival/
-    departure collapse to the arrival value; default enum codes become
-    NULL-equivalent canonical 0s; shape_dist_traveled of exact duplicates
-    normalized. Timetable-preserving by construction (column-level only).
+    """B9 (--minimize-stoptimes, import.sh:77-79): canonicalize partial
+    times — a missing arrival fills from the departure and vice versa,
+    so every surviving row carries BOTH instants. Timetable-preserving
+    by construction (column-level only).
+
+    gtfsclean's other --minimize-stoptimes action — writing an empty
+    departure_time string when it equals arrival_time — is a CSV byte
+    trim with no meaning for typed columnar storage (NULLing the column
+    here would only push the re-fill to every consumer); it is
+    deliberately not replicated. (An earlier revision carried a
+    when(dep==arr, arr).otherwise(dep) expression that was a provable
+    no-op — removed rather than left implying parity it never provided.)
     """
     if "stop_times" not in tables:
         return tables
     out = dict(tables)
     st = out["stop_times"]
     st = st.withColumn(
-        "departure_time",
-        F.when(
-            F.col("departure_time") == F.col("arrival_time"), F.col("arrival_time")
-        ).otherwise(F.col("departure_time")),
-    ).withColumn(
         "arrival_time", F.coalesce("arrival_time", "departure_time")
     ).withColumn(
         "departure_time", F.coalesce("departure_time", "arrival_time")

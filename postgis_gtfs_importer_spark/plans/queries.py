@@ -80,7 +80,7 @@ _MUST_VERIFY: list[str] = [
     # whole-module flagging of its dependents
     "asof_join",
     "range_join",
-    *(_MIGRATION_BACKLOG := [
+    *(_OVERFLOW_QUEUE := [
         # r5 ledger migration (import-resolver fix): the legacy closure
         # regex dropped single-dot sibling imports, so these entries'
         # recorded digests never covered modules their code actually
@@ -110,11 +110,17 @@ _MUST_VERIFY: list[str] = [
         "stops_radius_pairs",
         "stratified_sample",
         "tfidf_distinctive",
+        # r5 GTFS-core review fixes touched derivations.py (single-agency
+        # timezone fill, degenerate-frequencies guard, empty-feed_info
+        # guard): these two r2-green dependents join the queue; the other
+        # derivations dependents were already inside the window
+        "departures_at_station",
+        "translations_feedwide",
     ]),
 ]
 
 _FRONT: list[str] = [
-    *(n for n in _MUST_VERIFY if n not in _MIGRATION_BACKLOG),
+    *(n for n in _MUST_VERIFY if n not in _OVERFLOW_QUEUE),
     # r5 change with no prior green row (week-axis densification)
     "wow_change",
     # never driver-verified (r4 continuation block, past the old window)
@@ -179,8 +185,8 @@ _FRONT: list[str] = [
     # additions (they are ledger-verified, impl unchanged)
     # --- entries below this line sit OUTSIDE the 50-slot prefix: the
     # migration backlog queues for round 6 behind the never-verified
-    # entries (see _MIGRATION_BACKLOG above) ---
-    *_MIGRATION_BACKLOG,
+    # entries (see _OVERFLOW_QUEUE above) ---
+    *_OVERFLOW_QUEUE,
 ]
 
 

@@ -32,7 +32,7 @@ def test_registry_entry_runs_on_real_testdata(spark, name):
 def test_front_window_covers_unproven_families():
     """The driver checks a prefix window of the registry (first 50).
     Every _FRONT entry must resolve and sit inside it — except the
-    declared _MIGRATION_BACKLOG overflow, which queues at the _FRONT
+    declared _OVERFLOW_QUEUE overflow, which queues at the _FRONT
     tail for the NEXT round (the test_registry_ledger overflow
     invariant governs when that tail may be non-empty)."""
     names = list(REGISTRY)
@@ -40,13 +40,13 @@ def test_front_window_covers_unproven_families():
     missing = [
         n
         for n in Q._FRONT
-        if n not in window and n not in Q._MIGRATION_BACKLOG
+        if n not in window and n not in Q._OVERFLOW_QUEUE
     ]
     assert not missing, f"front entries outside driver window: {missing}"
     # the backlog must be the CONTIGUOUS tail, nothing interleaved
     front = [n for n in Q._FRONT if n in REGISTRY]
-    assert front[: len(front) - len(Q._MIGRATION_BACKLOG)] == [
-        n for n in front if n not in Q._MIGRATION_BACKLOG
+    assert front[: len(front) - len(Q._OVERFLOW_QUEUE)] == [
+        n for n in front if n not in Q._OVERFLOW_QUEUE
     ]
 
 
@@ -64,6 +64,6 @@ def test_must_verify_entries_inside_driver_window():
     outside = [
         n
         for n in Q._MUST_VERIFY
-        if n not in window and n not in Q._MIGRATION_BACKLOG
+        if n not in window and n not in Q._OVERFLOW_QUEUE
     ]
     assert not outside, f"changed-impl entries outside driver window: {outside}"
