@@ -116,6 +116,17 @@ _MUST_VERIFY: list[str] = [
         # derivations dependents were already inside the window
         "departures_at_station",
         "translations_feedwide",
+        # r5 streaming/sources review fixes touched streaming/events.py
+        # (sessionize backward start extension, run_to_memory progress
+        # cap): its seven registry dependents join the queue — all
+        # r2-r4 green, re-verified oracle-parity green locally
+        "streaming_corpus_gate",
+        "streaming_dedup",
+        "streaming_enrich",
+        "streaming_interval_join",
+        "streaming_interval_join_outer",
+        "streaming_sessionize",
+        "streaming_windowed_stats",
     ]),
 ]
 

@@ -63,7 +63,13 @@ def copy_partition(
     """
     import psycopg2
 
-    con = psycopg2.connect(dsn)
+    # Pin the session timezone: COPY text carries NAIVE timestamps that
+    # this engine's contract defines as UTC instants; a timestamptz
+    # target column interprets them in the SESSION timezone, so an
+    # unpinned connection on a Europe/Berlin server would store every
+    # instant shifted by the server offset. The psql wire path pins the
+    # same way via PGTZ=UTC (sinks/psql_exec._env).
+    con = psycopg2.connect(dsn, options="-c timezone=UTC")
     written = 0
     try:
         with con, con.cursor() as cur:

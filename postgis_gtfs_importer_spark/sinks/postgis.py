@@ -23,22 +23,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 #: post-load DDL per table: geometry columns + GIST indexes (C6) and PKs.
-SPATIAL_DDL = {
+#: ``{schema}``-templated: every statement must target the SAME schema the
+#: bulk load wrote into — the PK/index statements below always did, and an
+#: unqualified form either failed with undefined_table under a
+#: non-default pg_schema or, worse, silently mutated an unrelated
+#: public.<name> table that happened to exist.
+SPATIAL_DDL_TEMPLATES = {
     "stops": [
         # geography(Point) + GIST — the --stops-location-index surface
-        "ALTER TABLE stops ADD COLUMN stop_loc geography(POINT, 4326)",
-        "UPDATE stops SET stop_loc = ST_SetSRID("
+        "ALTER TABLE {schema}.stops ADD COLUMN stop_loc geography(POINT, 4326)",
+        "UPDATE {schema}.stops SET stop_loc = ST_SetSRID("
         "ST_MakePoint(stop_lon, stop_lat), 4326)::geography "
         "WHERE stop_lon IS NOT NULL AND stop_lat IS NOT NULL",
-        "CREATE INDEX stops_stop_loc_idx ON stops USING GIST (stop_loc)",
+        "CREATE INDEX stops_stop_loc_idx ON {schema}.stops USING GIST (stop_loc)",
     ],
     "shapes_aggregated": [
         # the ST_MakeLine analog over the WKT column (C13 boundary form)
-        "ALTER TABLE shapes_aggregated ADD COLUMN shape geography(LINESTRING, 4326)",
-        "UPDATE shapes_aggregated SET shape = ST_GeogFromText(wkt)",
-        "CREATE INDEX shapes_aggregated_shape_idx ON shapes_aggregated USING GIST (shape)",
+        "ALTER TABLE {schema}.shapes_aggregated ADD COLUMN shape geography(LINESTRING, 4326)",
+        "UPDATE {schema}.shapes_aggregated SET shape = ST_GeogFromText(wkt)",
+        "CREATE INDEX shapes_aggregated_shape_idx ON {schema}.shapes_aggregated USING GIST (shape)",
     ],
 }
+
+
+def spatial_ddl(schema: str = "public") -> dict[str, list[str]]:
+    """C6 DDL bound to a target schema (see SPATIAL_DDL_TEMPLATES)."""
+    return {
+        name: [s.format(schema=schema) for s in stmts]
+        for name, stmts in SPATIAL_DDL_TEMPLATES.items()
+    }
+
+
+#: public-schema binding, kept for the golden-pin tests and default path
+SPATIAL_DDL = spatial_ddl("public")
 
 PRIMARY_KEYS = {
     "agency": "agency_id",
@@ -87,7 +104,7 @@ def post_load_ddl(
     pruning (a consumer date predicate walks the index instead of a
     seq-scan of the full expansion)."""
     stmts: list[str] = []
-    for name, ddl in SPATIAL_DDL.items():
+    for name, ddl in spatial_ddl(schema).items():
         if name in table_names:
             stmts.extend(ddl)
     for name, pk in PRIMARY_KEYS.items():

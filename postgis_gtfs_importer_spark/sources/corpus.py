@@ -72,6 +72,15 @@ def read_jsonl_corpus(
     of the source (both frames prune from the same cached read; callers
     at production scale write ``corrupt`` to a quarantine sink and
     alert on its count, reference: every serious crawl pipeline).
+
+    Cache lifecycle: the shared read is ``.cache()``d (required —
+    SPARK-21610), and its blocks live until BOTH returned frames are
+    garbage-collected (the ContextCleaner then reclaims them) — there
+    is no explicit handle. A loop reading MANY corpora should drop its
+    references between iterations (or call
+    ``spark.catalog.clearCache()``) rather than accumulate all of them
+    live; each cached corpus holds its full parsed size in
+    MEMORY_AND_DISK until released.
     """
     raw = (
         spark.read.schema(JSONL_DOC_SCHEMA)

@@ -89,11 +89,29 @@ def extract_feed(zip_path: str, extract_dir: str) -> list[str]:
     os.makedirs(extract_dir)
     with zipfile.ZipFile(zip_path) as z:
         z.extractall(extract_dir)
-    return sorted(
+    names = sorted(
         os.path.splitext(f)[0]
         for f in os.listdir(extract_dir)
         if f.endswith(".txt")
     )
+    if not names:
+        # Real feeds routinely zip the files under a subdirectory
+        # ('gtfs/stops.txt'); without this hoist the extraction would
+        # silently yield an EMPTY feed and the pipeline would publish an
+        # empty snapshot with no error. Hoist from the subdirectory that
+        # contains the most .txt members (ties: lexicographic).
+        best_dir, best_files = None, []
+        for root, _dirs, files in os.walk(extract_dir):
+            txt = sorted(f for f in files if f.endswith(".txt"))
+            if len(txt) > len(best_files):
+                best_dir, best_files = root, txt
+        if best_dir and best_dir != extract_dir:
+            for f in best_files:
+                os.replace(
+                    os.path.join(best_dir, f), os.path.join(extract_dir, f)
+                )
+            names = sorted(os.path.splitext(f)[0] for f in best_files)
+    return names
 
 
 def _read_header(path: str) -> list[str]:
@@ -108,7 +126,14 @@ def _read_header(path: str) -> list[str]:
     import csv
 
     with open(path, encoding="utf-8-sig", newline="") as f:
-        return [c.strip() for c in next(csv.reader(f))]
+        try:
+            return [c.strip() for c in next(csv.reader(f))]
+        except StopIteration:
+            # zero-byte file (real feeds ship empty optional files):
+            # report no columns; read_feed treats it as absent rather
+            # than crashing the tolerant-parse front-line with a bare
+            # StopIteration
+            return []
 
 
 def read_raw(spark: SparkSession, feed_dir: str, name: str) -> DataFrame:
@@ -186,7 +211,9 @@ def read_feed(
     out: dict[str, DataFrame] = {}
     for name in schemas.GTFS_FILES:
         path = os.path.join(feed_dir, f"{name}.txt")
-        if os.path.exists(path):
+        if os.path.exists(path) and _read_header(path):
+            # zero-byte optional files are skipped like absent ones
+            # (gtfsclean tolerates them; a headerless scan cannot exist)
             out[name] = cast_typed(
                 read_raw(spark, feed_dir, name), name, keep_additional_fields
             )

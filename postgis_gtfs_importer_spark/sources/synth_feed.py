@@ -98,7 +98,14 @@ def synth_feed_files(scale: float = 1.0) -> dict[str, str]:
             shapes.append(f"SH{sh},{lat:.6f},{lon:.6f},{p + 1},{p * 0.1:.1f}")
 
     freqs = ["trip_id,start_time,end_time,headway_secs,exact_times"]
-    for t in range(0, min(n_trips, 100 * max(1, int(scale))), max(1, n_trips // 100)):
+    # exactly min(100, n_trips) rows spread evenly over the trip range —
+    # an earlier form conflated the row-count cap with the range STOP
+    # (range(0, min(n_trips, 100*scale), n_trips//100)), emitting 2 rows
+    # at scale=1.0 and MORE rows at smaller scales than larger ones,
+    # invalidating the documented feed anatomy
+    step = max(1, n_trips // 100)
+    for i in range(min(100, n_trips)):
+        t = i * step
         freqs.append(f"T{t},06:00:00,09:00:00,{600 + (t % 4) * 300},0")
 
     feed_info = [

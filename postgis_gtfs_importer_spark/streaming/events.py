@@ -130,21 +130,44 @@ def sessionize_stream(
                 closed.append((s, e, n))
                 state.remove()
         else:
-            cur = state.get if state.exists else None
             rows = pd.concat(list(pdfs))
-            # event-time order within the batch; cross-batch order is
-            # guaranteed by the watermark (older-than-watermark is dropped)
             epochs = sorted(
                 int(t.value // 1_000_000_000) for t in rows["ts"]
             )
+            # Sessionize this batch's events, then merge the resulting
+            # intervals with the open-session interval as a PEER —
+            # interval arithmetic, not append-only: a within-watermark
+            # event EARLIER than the open session's start must extend
+            # the start backwards (min), exactly as the batch twin's
+            # min(ts) does, and may even bridge two intervals into one.
+            # (The open session's interior is continuously active — it
+            # was built by chaining events <= gap apart — so
+            # within-gap-of-interval merging is exact, not a heuristic.
+            # The earlier append-only form kept cur's start frozen and
+            # diverged from batch sessionize on out-of-order batches.)
+            batch_sessions: list[tuple[int, int, int]] = []
             for ep in epochs:
-                if cur is None:
-                    cur = (ep, ep, 1)
-                elif ep - cur[1] > gap_sec:
-                    closed.append(cur)
-                    cur = (ep, ep, 1)
+                if not batch_sessions or ep - batch_sessions[-1][1] > gap_sec:
+                    batch_sessions.append((ep, ep, 1))
                 else:
-                    cur = (cur[0], max(cur[1], ep), cur[2] + 1)
+                    s, e, n = batch_sessions[-1]
+                    batch_sessions[-1] = (s, max(e, ep), n + 1)
+            intervals = batch_sessions + (
+                [state.get] if state.exists else []
+            )
+            intervals.sort()
+            merged: list[tuple[int, int, int]] = []
+            for s, e, n in intervals:
+                if merged and s - merged[-1][1] <= gap_sec:
+                    ms, me, mn = merged[-1]
+                    merged[-1] = (ms, max(me, e), mn + n)
+                else:
+                    merged.append((s, e, n))
+            # only the LAST interval can still grow; earlier ones are
+            # separated from it by > gap and new events are never older
+            # than the watermark, which already passed them
+            closed.extend(merged[:-1])
+            cur = merged[-1] if merged else None
             if cur is not None:
                 state.update(cur)
                 # close the open session once the watermark passes its
@@ -248,8 +271,15 @@ def run_to_memory(
     """
     spark = stream.sparkSession
     provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    progress_conf = "spark.sql.streaming.numRecentProgressUpdates"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     old_provider = spark.conf.get(provider_conf, None)
+    old_progress = spark.conf.get(progress_conf, None)
+    # recentProgress is a ring buffer (default 100 entries): a drain with
+    # more micro-batches than that would silently UNDERCOUNT the summed
+    # metrics below. Bounded drains are test/bench sized, so a generous
+    # cap keeps every batch's progress.
+    spark.conf.set(progress_conf, "100000")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     if state_store is not None:
@@ -271,6 +301,10 @@ def run_to_memory(
                 spark.conf.unset(provider_conf)
             else:
                 spark.conf.set(provider_conf, old_provider)
+        if old_progress is None:
+            spark.conf.unset(progress_conf)
+        else:
+            spark.conf.set(progress_conf, old_progress)
     LAST_RUN_METRICS.clear()
     LAST_RUN_METRICS.update(
         {

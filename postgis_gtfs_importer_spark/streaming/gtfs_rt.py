@@ -41,11 +41,20 @@ TRIP_UPDATE_SCHEMA = StructType(
 def stream_trip_updates(
     spark: SparkSession, path: str, watermark_delay: str = "10 minutes"
 ) -> DataFrame:
-    """File-source TripUpdate stream, deduped to the latest update per
-    (trip, stop) within the watermark (feeds repeat updates)."""
+    """File-source TripUpdate stream with EXACT-RESEND suppression:
+    feeds re-send identical updates every poll, so duplicates are keyed
+    on the full update content (trip, stop, delay, ts). REVISED updates
+    (a new delay estimate, or the same estimate re-stamped) flow
+    through — ``dropDuplicatesWithinWatermark`` keeps the FIRST row per
+    key, so keying on (trip, stop) alone would freeze the first
+    estimate for the whole watermark horizon, the opposite of what a
+    delay board needs. Latest-wins resolution belongs to the SERVING
+    layer: the foreachBatch MERGE sink (streaming/merge_sink) with
+    winner-per-pk = max(ts, update_id), where it also covers revisions
+    that arrive in different micro-batches."""
     raw = spark.readStream.schema(TRIP_UPDATE_SCHEMA).parquet(path)
     return raw.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
-        ["trip_id", "stop_sequence"]
+        ["trip_id", "stop_sequence", "delay_sec", "ts"]
     )
 
 
@@ -57,9 +66,15 @@ def realtime_departures(
     The static side is the C11 arrivals_departures relation (from the
     published snapshot); each micro-batch joins the incoming updates
     against it — broadcast or shuffled per Catalyst's choice, no
-    streaming state involved. Missing delay fields fall back to 0
-    (on-time) via the left join + coalesce, mirroring C16's
-    translated-or-original pattern.
+    streaming state involved. Emits one row per UPDATE enriched with
+    its schedule (inner join: an update for an unknown trip/stop has no
+    schedule to enrich). An update whose optional delay field is absent
+    coalesces to 0 — GTFS-RT's "on time unless stated". The full
+    departures BOARD (every scheduled row, updated or not) is a serving
+    view: static LEFT JOIN the merged update state, built in
+    foreachBatch/the MERGE sink where both sides are batch relations —
+    a stream-left outer join cannot emit static rows that never had a
+    stream match.
     """
     static_side = arrivals_departures.select(
         "trip_id",

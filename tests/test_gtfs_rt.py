@@ -25,9 +25,14 @@ def static_ad(spark, tmp_path_factory):
 def test_realtime_departures_stream_static_join(spark, static_ad, tmp_path):
     base = dt.datetime(2024, 1, 1, 8, 0, 0)
     updates = [
-        # T1 stop_sequence 20 delayed 120s; duplicate update superseded by dedup
+        # T1 stop_sequence 20 delayed 120s; EXACT resend (same content
+        # incl. ts) suppressed by the content-keyed dedup
         ("T1", 20, 120, base, 1),
-        ("T1", 20, 120, base + dt.timedelta(seconds=30), 2),
+        ("T1", 20, 120, base, 2),
+        # REVISION 5 min later: must flow through (first-wins keyed on
+        # (trip, stop) would freeze the stale 120s for the whole
+        # watermark horizon)
+        ("T1", 20, 600, base + dt.timedelta(minutes=5), 4),
         # unknown trip: dropped by the inner join
         ("GHOST", 1, 999, base, 3),
     ]
@@ -42,9 +47,19 @@ def test_realtime_departures_stream_static_join(spark, static_ad, tmp_path):
     assert rows, "no realtime departures emitted"
     assert {r.trip_id for r in rows} == {"T1"}  # GHOST dropped
     for r in rows:
-        assert r.delay_sec == 120
-        assert (r.t_departure_rt - r.t_departure).total_seconds() == 120.0
-    # one service date per scheduled day the trip runs; dedup kept ONE
-    # update per (trip, stop_sequence)
-    keys = [(r.trip_id, r.stop_sequence, r.date) for r in rows]
-    assert len(keys) == len(set(keys))
+        assert r.delay_sec in (120, 600)
+        assert (r.t_departure_rt - r.t_departure).total_seconds() == r.delay_sec
+    # exact resend deduped: per (trip, stop, date) exactly the original
+    # + the revision survive
+    from collections import Counter
+
+    per_key = Counter((r.trip_id, r.stop_sequence, r.date) for r in rows)
+    assert set(per_key.values()) == {2}
+    # latest-wins is the SERVING policy: winner per key by (ts) must be
+    # the 600s revision for every service date
+    latest = {}
+    for r in rows:
+        k = (r.trip_id, r.stop_sequence, r.date)
+        if k not in latest or r.ts > latest[k].ts:
+            latest[k] = r
+    assert all(r.delay_sec == 600 for r in latest.values())

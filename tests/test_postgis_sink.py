@@ -83,17 +83,26 @@ def test_spatial_ddl_golden():
     SRID, column or index name breaks consumers of published snapshots
     and must show up as a diff in THIS test, not in production DDL."""
     assert SPATIAL_DDL["stops"] == [
-        "ALTER TABLE stops ADD COLUMN stop_loc geography(POINT, 4326)",
-        "UPDATE stops SET stop_loc = ST_SetSRID("
+        "ALTER TABLE public.stops ADD COLUMN stop_loc geography(POINT, 4326)",
+        "UPDATE public.stops SET stop_loc = ST_SetSRID("
         "ST_MakePoint(stop_lon, stop_lat), 4326)::geography "
         "WHERE stop_lon IS NOT NULL AND stop_lat IS NOT NULL",
-        "CREATE INDEX stops_stop_loc_idx ON stops USING GIST (stop_loc)",
+        "CREATE INDEX stops_stop_loc_idx ON public.stops USING GIST (stop_loc)",
     ]
     assert SPATIAL_DDL["shapes_aggregated"] == [
-        "ALTER TABLE shapes_aggregated ADD COLUMN shape geography(LINESTRING, 4326)",
-        "UPDATE shapes_aggregated SET shape = ST_GeogFromText(wkt)",
-        "CREATE INDEX shapes_aggregated_shape_idx ON shapes_aggregated USING GIST (shape)",
+        "ALTER TABLE public.shapes_aggregated ADD COLUMN shape geography(LINESTRING, 4326)",
+        "UPDATE public.shapes_aggregated SET shape = ST_GeogFromText(wkt)",
+        "CREATE INDEX shapes_aggregated_shape_idx ON public.shapes_aggregated"
+        " USING GIST (shape)",
     ]
+    # every spatial statement is schema-qualified for a custom schema too
+    from postgis_gtfs_importer_spark.sinks.postgis import spatial_ddl
+
+    for stmts in spatial_ddl("gtfs").values():
+        for stmt in stmts:
+            assert "gtfs." in stmt and " stops " not in f" {stmt} ".replace(
+                "gtfs.stops", ""
+            )
     # and the live path emits them ordered: spatial first, then PKs, then
     # partition indexes (SURVEY §4: index creation strictly post-load)
     stmts = post_load_ddl(
