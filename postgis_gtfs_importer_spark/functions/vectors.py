@@ -40,7 +40,15 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 def hyperplane_sketch(a: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot(a, plane_i) packed
     into a long. Same-bucket vectors are cosine-similar candidates; used by
-    the IVF/LSH ANN scale path (operators.similarity.lsh_topk)."""
+    the IVF/LSH ANN scale path (operators.similarity.lsh_topk).
+
+    The vector length must equal the planes' dimension and is ENFORCED
+    per row: ``zip_with`` otherwise NULL-pads the shorter side, every
+    dot goes NULL, every sign bit falls to 0 — and all vectors silently
+    land in bucket 0, collapsing the LSH blocking into a full O(n²)
+    cross product. A dim mismatch is a caller bug that must fail
+    loudly, not degrade quietly."""
+    dim = len(planes[0]) if planes else 0
     bits = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -53,4 +61,16 @@ def hyperplane_sketch(a: Column | str, planes: list[list[float]]) -> Column:
     out = F.lit(0)
     for b in bits:
         out = out + b
-    return out.cast("long")
+    return (
+        F.when(F.size(_d(a)) == F.lit(dim), out)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"hyperplane_sketch: vector length %s != planes dim"
+                    f" {dim}",
+                    F.size(_d(a)),
+                )
+            ).cast("int")
+        )
+        .cast("long")
+    )

@@ -193,9 +193,15 @@ def repetition_stats(
     corpus size, so it scales to any corpus. Docs shorter than n words
     report zeros.
     """
+    # NULL text must take the empty branch too: length(trim(NULL)) is
+    # NULL (falsy), so without the coalesce a NULL doc slid into the
+    # otherwise-branch and came out as ONE phantom empty n-gram
+    # (n_ngrams=1) instead of the documented zeros — corrupting
+    # downstream quality thresholds.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        F.length(F.trim(txt)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(txt), r"\s+"))
     n_positions = F.size(toks) - (n - 1)
     # sequence(1, 0) is DESCENDING in Spark — short docs must take the
     # empty-array branch, not the sequence.

@@ -222,6 +222,7 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     num_hashes: int = 32, seed: int = 42,
+    *, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sz, sig array<long>): MinHash signature per document.
 
@@ -229,10 +230,16 @@ def minhash_signatures(
     3-integer-op universal-hash mix aggregated with min() — partial
     (map-side) aggregation makes the shuffle per-document, not
     per-shingle. sz = |distinct shingles| rides along for Jaccard math.
+
+    ``shingles`` lets a caller that ALSO needs the shingle relation
+    (e.g. minhash_lsh_pairs' exact-Jaccard verify) pass one shared,
+    materialized (id, shingle) input so the corpus tokenize+shingle
+    stage — the dominant scan cost — runs once, not twice.
     """
-    sh = shingle_rows(df, id_col, text_col, n).withColumn(
-        "h", hash31(F.col("shingle"))
-    )
+    sh = (
+        shingles if shingles is not None
+        else shingle_rows(df, id_col, text_col, n)
+    ).withColumn("h", hash31(F.col("shingle")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"s{j}")
         for j, (a, b) in enumerate(minhash_params(num_hashes, seed))
@@ -271,7 +278,12 @@ def minhash_lsh_pairs(
     distinct candidates -> exact-Jaccard verification via a shared-shingle
     count join (relational set-similarity, see ngram_jaccard_pairs).
     """
-    sigs = materialize(minhash_signatures(df, id_col, text_col, n, num_hashes, seed))
+    sh = materialize(shingle_rows(df, id_col, text_col, n))
+    sigs = materialize(
+        minhash_signatures(
+            df, id_col, text_col, n, num_hashes, seed, shingles=sh
+        )
+    )
     banded = sigs.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), num_hashes, bands)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -288,7 +300,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = materialize(shingle_rows(df, id_col, text_col, n))
+    # sh is the SAME materialized relation the signatures were built
+    # from — one corpus tokenize+shingle scan feeds both stages
     sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
@@ -340,6 +353,7 @@ def connected_components(
             "component", F.col("id")
         )
     )
+    changed = -1
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
@@ -364,6 +378,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # exhausting the bound mid-propagation would return labels that
+        # are NOT the component minima (nodes beyond max_iters hops from
+        # it still carry interim labels) — a silently wrong clustering.
+        # Deep chains are exactly what algorithm="star" exists for.
+        raise RuntimeError(
+            f"connected_components(propagate) did not converge within "
+            f"max_iters={max_iters} (diameter exceeds the bound); raise "
+            f"it or use algorithm='star' (geometric contraction)"
+        )
     return labels
 
 
@@ -430,6 +454,17 @@ def _cc_star(pairs: DataFrame, max_iters: int = 12) -> DataFrame:
         if new_fp == fp:
             break
         fp = new_fp
+    else:
+        # the loop exhausted max_iters without two consecutive equal
+        # fingerprints: the edge set is still contracting and the final
+        # min-by-src read-off below would emit labels that are not the
+        # component minima — fail loudly rather than return a silently
+        # wrong clustering (geometric contraction makes this bound
+        # generous: 12 rounds handle ~2^12-deep structures)
+        raise RuntimeError(
+            f"connected_components(star) did not converge within "
+            f"max_iters={max_iters}; raise the bound"
+        )
     # converged: every edge points child → component root (the minimum)
     labels = edges.groupBy(F.col("src").alias("id")).agg(
         F.min("dst").alias("component")
@@ -785,7 +820,59 @@ def neardup_incremental(
         .filter(F.col("est_jaccard_e6") >= int(threshold * 1e6))
         .select("batch_id", "index_id", "est_jaccard_e6")
     )
-    survivors = sigs.join(
-        matches.select(F.col("batch_id").alias("id")).distinct(), "id", "left_anti"
+    no_index_match = materialize(
+        sigs.join(
+            matches.select(F.col("batch_id").alias("id")).distinct(),
+            "id",
+            "left_anti",
+        )
     )
+    # INTRA-BATCH election: two novel-vs-index docs that are near-dups
+    # OF EACH OTHER would both pass the index anti-join; without this
+    # step both signatures entered the index and the near-duplicate
+    # content accumulated permanently (the exact twin dedup_incremental
+    # always elected a per-fingerprint canonical). Same LSH band
+    # self-join + signature-agreement verify as the batch-vs-index path,
+    # resolved to one canonical per cluster (component minimum) —
+    # batch-sized work throughout.
+    intra_cand = (
+        banded(no_index_match)
+        .alias("a")
+        .join(
+            banded(no_index_match).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    intra_pairs = (
+        intra_cand.join(
+            no_index_match.select(
+                F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            no_index_match.select(
+                F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+            ),
+            "id_b",
+        )
+        .withColumn("n_agree", agree)
+        .filter(
+            F.floor(
+                F.col("n_agree").cast("double")
+                * F.lit(1e6)
+                / F.lit(float(num_hashes))
+                + F.lit(0.5)
+            )
+            >= int(threshold * 1e6)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(intra_pairs)
+    dup_ids = comp.filter(F.col("id") != F.col("component")).select("id")
+    survivors = no_index_match.join(dup_ids, "id", "left_anti")
     return matches, survivors

@@ -92,7 +92,11 @@ def brute_force_topk_matmul(
     q_rows = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
     ).collect()
-    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    # ids keep their source dtype (object array): forcing int64 crashed
+    # on the string ids the GTFS side of the codebase uses, while the
+    # fold variant handled them fine — "same contract" must include the
+    # id type
+    q_ids = np.array([r.q_id for r in q_rows], dtype=object)
     Q = np.array([r.q_emb for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
@@ -119,12 +123,13 @@ def brute_force_topk_matmul(
         StructType,
     )
 
+    id_type = corpus.schema[id_col].dataType
     scored = c.mapInPandas(
         score,
         StructType(
             [
-                StructField("vec_id", LongType()),
-                StructField("q_id", LongType()),
+                StructField("vec_id", id_type),
+                StructField("q_id", id_type),
                 StructField("score", DoubleType()),
             ]
         ),
@@ -236,10 +241,17 @@ def _centroid_table(
     vec_col: str,
     centroids: DataFrame | None,
 ) -> DataFrame:
-    """Deterministic sampled quantizer unless a trained one is passed."""
+    """Deterministic sampled quantizer unless a trained one is passed:
+    the ``n_centroids`` smallest-id corpus vectors (TakeOrderedAndProject
+    — a distributed top-k, one-time build cost). An earlier
+    ``id < n_centroids`` filter assumed DENSE INTEGER ids from 0: a
+    corpus whose ids start at 10_000 (or string ids, which implicit-cast
+    the comparison to NULL) yielded an EMPTY centroid table and every
+    downstream operator silently returned zero rows. For dense 0-based
+    ids the two forms select identical centroids."""
     if centroids is not None:
         return centroids
-    return corpus.filter(F.col(id_col) < n_centroids).select(
+    return corpus.orderBy(F.col(id_col)).limit(n_centroids).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cemb"),
         V.l2_norm(F.col(vec_col)).alias("cnrm"),
@@ -326,16 +338,18 @@ def ivf_topk(
         )
     )
     assigned = _assign(side, cent)
-    # probe ranking is per-query-independent: restrict to the query set
-    # BEFORE scoring centroids (the full-corpus formulation does 3 orders
-    # of magnitude more probe work for the same result)
+    # Probes use the QUERIES' OWN embeddings — an earlier form looked
+    # the query vectors up in the corpus by id, which silently returned
+    # EMPTY results for external query sets (ids absent from the corpus)
+    # and, worse, scored with the corpus's embedding whenever an
+    # external id collided with a corpus id. For the common
+    # queries-drawn-from-corpus case the two are identical.
     probes = (
-        side.join(
-            queries.select(F.col(id_col).alias("vec_id")).distinct(), "vec_id"
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_emb"),
+            V.l2_norm(F.col(vec_col)).alias("q_nrm"),
         )
-        .withColumnRenamed("vec_id", "q_id")
-        .withColumnRenamed("emb", "q_emb")
-        .withColumnRenamed("nrm", "q_nrm")
         .join(cent, F.lit(True))
         .withColumn(
             "csim",
@@ -643,17 +657,26 @@ def int8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k nearest neighbors over the int8-quantized index by EXACT
-    INTEGER dot product — output (q_id, vec_id, qdot, rn).
+    """Top-k nearest neighbors over the int8-quantized index by the
+    EXACT INTEGER dot of the per-vector max-normalized codes — output
+    (q_id, vec_id, qdot, rn).
 
-    Why integer scores matter at 100 TB: the ranking key is an exact
-    BIGINT, so reducer accumulation order, SIMD regrouping, cluster
-    topology — none of it can reorder results between runs (a float
-    cosine's last-ulp ties can and do). Quantized recall vs the float
-    baseline is measured in tests/test_approx.py. Same plan shape as
-    brute_force_topk: the (tiny) quantized query set broadcasts against
-    the quantized corpus — zero shuffles except the per-query top-k;
-    at scale the same quantized relation feeds the IVF/LSH variants.
+    Metric, stated precisely: quantization divides each vector by its
+    own max|x|, so qdot ≈ 127² · dot(x_q/‖x_q‖∞, x_c/‖x_c‖∞) — the dot
+    of L∞-NORMALIZED vectors, a scale-invariant ranking (per-corpus-
+    vector magnitude cancels) that tracks cosine, NOT the raw
+    unnormalized dot (a corpus vector's maxabs rescales its score; two
+    vectors with equal direction-codes tie regardless of magnitude).
+    That is the deliberate trade for keeping the ranking key an exact
+    BIGINT end to end — no float enters, so reducer accumulation order,
+    SIMD regrouping, cluster topology can never reorder results between
+    runs (a float cosine's last-ulp ties can and do). How faithfully
+    the metric recovers the float-cosine neighborhood is MEASURED, not
+    assumed: tests/test_approx.py (recall@10) and the ann_recall_at_k
+    registry entry. Same plan shape as brute_force_topk: the (tiny)
+    quantized query set broadcasts against the quantized corpus — zero
+    shuffles except the per-query top-k; at scale the same quantized
+    relation feeds the IVF/LSH blockers.
     """
     qz = int8_quantize(queries, id_col, vec_col).select(
         F.col("id").alias("q_id"), F.col("qvec").alias("q_q")

@@ -127,6 +127,38 @@ _MUST_VERIFY: list[str] = [
         "streaming_interval_join_outer",
         "streaming_sessionize",
         "streaming_windowed_stats",
+        # r5 LLM-core review fixes touched dedup.py / similarity.py /
+        # curation.py / functions/vectors.py (ivf external queries,
+        # generic centroid sampling, sketch dim guard, CC convergence
+        # raise, neardup intra-batch election, shared shingle relation,
+        # repetition NULL guard): their 24 registry dependents join the
+        # queue — all with prior green rows, all re-verified
+        # oracle-parity green locally. At 101 stale entries the drain
+        # takes rounds 6-7 (50 per round); additions stay frozen.
+        "ann_int8_topk",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "bigram_lm_scores",
+        "cms_token_counts",
+        "decontaminate",
+        "dedup_clusters",
+        "dedup_incremental",
+        "embedding_cosine_pairs",
+        "embedding_topk",
+        "entity_resolution",
+        "lexical_rarity",
+        "mad_outliers",
+        "minhash_lsh_pairs",
+        "neardup_incremental",
+        "ngram_jaccard_capped",
+        "ngram_jaccard_pairs",
+        "quality_gate",
+        "rolling_fingerprint",
+        "score_quantile_norm",
+        "semantic_dedup",
+        "simhash_pairs",
+        "temperature_sample",
+        "token_topk",
     ]),
 ]
 
