@@ -41,6 +41,23 @@ def ws_tokens(col: Column | str) -> Column:
     )
 
 
+def lower_ws_tokens_nonempty(col: Column | str) -> Column:
+    """Lowercased whitespace tokens with empty strings filtered — THE
+    shared tokenizer of the BPE trainer/encoder, the bigram-LM
+    featurizer, and every oracle twin that replays
+    ``list_filter(list_transform(regexp_split_to_array(trim(x), '\\s+'),
+    t -> lower(t)), t -> t <> '')``. One definition: a tokenization
+    tweak applied here reaches all of them in lock-step (the
+    copy-pasted expression blocks this replaces could silently
+    diverge). NOTE: distinct from :func:`ws_tokens` (no lowercase, no
+    empty-filter) — the two serve different oracle contracts.
+    """
+    return F.filter(
+        F.transform(F.split(F.trim(_c(col)), r"\s+"), lambda x: F.lower(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(ws_tokens(col))
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
+
 #: end-of-word marker (classic BPE: lets merges learn suffixes without
 #: crossing word boundaries; also makes every word's symbol sequence
 #: unique w.r.t. its string form).
@@ -43,12 +45,7 @@ def word_freqs(
     """The ONE corpus-sized pass: whitespace+lowercase tokenize (the
     engine's shared tokenizer) aggregated to (word, freq). Everything
     downstream of this is vocabulary-sized."""
-    toks = F.filter(
-        F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
-        ),
-        lambda x: x != F.lit(""),
-    )
+    toks = TX.lower_ws_tokens_nonempty(F.col(text_col))
     return (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -240,12 +237,7 @@ def bpe_encode(
 
     Returns (doc_id, n_words, n_symbols_char, n_tokens_bpe).
     """
-    words = F.filter(
-        F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
-        ),
-        lambda x: x != F.lit(""),
-    )
+    words = TX.lower_ws_tokens_nonempty(F.col(text_col))
     word_syms_sql = (
         "concat(filter(split(w, ''), c -> c <> ''), array('" + EOW + "'))"
     )

@@ -97,7 +97,16 @@ def funnel_oracle_sql(
     steps: list[str], window_sec: int = 3600, table: str = "events"
 ) -> str:
     """DuckDB twin of funnel_steps — generated for any step list so both
-    engines share one definition of the funnel."""
+    engines share one definition of the funnel. Step/table names are
+    embedded in SQL literals, so single quotes are doubled — a step
+    like "o'clock" previously produced a syntax error (or, crafted, a
+    wrong predicate), while funnel_steps handled it fine via Column
+    literals."""
+
+    def _q(name: str) -> str:
+        return name.replace("'", "''")
+
+    steps = [_q(st) for st in steps]
     ctes = [
         f"s0 AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,"
         f" CAST(floor(epoch(min(ts))) AS BIGINT) AS tp"

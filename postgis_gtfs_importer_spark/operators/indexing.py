@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
+
 
 def _lower_tokens(text_col: Column | str) -> Column:
     """Lowercase whitespace tokens; empty/blank text -> empty array.
@@ -228,12 +230,7 @@ def pmi_bigrams(
 
     Returns (bigram, c_ab, ratio_e6), at most k rows.
     """
-    toks_arr = F.filter(
-        F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
-        ),
-        lambda x: x != F.lit(""),
-    )
+    toks_arr = TX.lower_ws_tokens_nonempty(F.col(text_col))
     pairs = F.expr(
         "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
         " (x, i) -> struct(x AS tok, _t[i + 1] AS tok2))"
@@ -469,12 +466,7 @@ def bigram_lm_scores(
     Returns (doc_id, n_bigrams, mean_cond_e6) — one row per document
     that has at least one bigram.
     """
-    toks_arr = F.filter(
-        F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.lower(x)
-        ),
-        lambda x: x != F.lit(""),
-    )
+    toks_arr = TX.lower_ws_tokens_nonempty(F.col(text_col))
     pairs = F.expr(
         "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
         " (x, i) -> struct(x AS tok, _t[i + 1] AS tok2))"

@@ -139,7 +139,9 @@ def hilbert_index(x: Column, y: Column, bits: int = 8) -> Column:
     return d
 
 
-def hilbert_index_sql(x_sql: str, y_sql: str, bits: int = 8) -> str:
+def hilbert_index_sql(
+    x_sql: str, y_sql: str, bits: int = 8
+) -> tuple[str, str]:
     """DuckDB twin of hilbert_index: the same unrolled recurrence as a
     chain of CTE steps. Returns ``(cte_chain, final_cte_name)``; the
     chain reads from a CTE named ``__base`` that must expose the

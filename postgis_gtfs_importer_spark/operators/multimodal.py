@@ -157,11 +157,20 @@ def image_features(df: DataFrame, id_col: str = "doc_id",
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [kernel(bytes(b)) for b in pdf[pay]]
+            # NULL payload rows (e.g. NULL source text) must yield NULL
+            # features, not a TypeError from bytes(None) that kills the
+            # whole job
+            feats = [
+                kernel(bytes(b)) if b is not None else (None, None, None)
+                for b in pdf[pay]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_c].astype("int64"),
-                    "byte_len": [len(b) for b in pdf[pay]],
+                    "byte_len": pd.Series(
+                        [len(b) if b is not None else None for b in pdf[pay]],
+                        dtype="object",
+                    ),
                     # object dtype: Arrow maps None -> NULL int32/str
                     "width": pd.Series([f[0] for f in feats], dtype="object"),
                     "height": pd.Series([f[1] for f in feats], dtype="object"),
@@ -186,7 +195,8 @@ def resize_images(df: DataFrame, max_side: int,
         for pdf in batches:
             out = pdf.copy()
             out[pay] = [
-                b[: max(1, min(len(b), max_side))] for b in pdf[pay]
+                b[: max(1, min(len(b), max_side))] if b is not None else None
+                for b in pdf[pay]
             ]
             yield out
 
@@ -216,6 +226,8 @@ def sample_frames(
             # zip over columns, not iterrows (iterrows materializes a
             # Series per row — ~10× slower on wide batches)
             for doc, buf in zip(pdf[id_c].to_numpy(), pdf[pay]):
+                if buf is None:
+                    continue  # no payload -> no frames (not a crash)
                 n_frames = min(max_frames, max(1, len(buf) // every_n_bytes))
                 ids.extend([doc] * n_frames)
                 idxs.extend(range(n_frames))
@@ -279,7 +291,10 @@ def decode_audio_header(
                 data_bytes = clen
             # chunks are word-aligned: odd sizes carry a pad byte
             i += 8 + clen + (clen & 1)
-        if ch and sr and bits and data_bytes is not None:
+        # sub-byte sample formats (e.g. 4-bit IMA-ADPCM) make
+        # bits // 8 == 0: duration is undefined under this PCM-style
+        # frame math, NOT a ZeroDivisionError (the all-NULL contract)
+        if ch and sr and bits and bits >= 8 and data_bytes is not None:
             n_samples = data_bytes // (ch * (bits // 8))
             return (ch, sr, bits, n_samples * 1000 // sr, "wav")
         return (ch, sr, bits, None, "wav")
@@ -344,7 +359,7 @@ def audio_features(
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 bufs = [
-                    synth_wav(int(i), int(n))
+                    synth_wav(int(i), int(n)) if n is not None else None
                     for i, n in zip(pdf[id_c], pdf[chars_col])
                 ]
                 yield _audio_frame(pdf[id_c], bufs)
@@ -354,18 +369,28 @@ def audio_features(
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                bufs = [bytes(b) for b in pdf[payload_col]]
+                bufs = [
+                    bytes(b) if b is not None else None
+                    for b in pdf[payload_col]
+                ]
                 yield _audio_frame(pdf[id_c], bufs)
 
     return df.select(*cols).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def _audio_frame(ids, bufs: list[bytes]) -> pd.DataFrame:
-    feats = [decode_audio_header(b) for b in bufs]
+    # None payloads yield all-NULL features (never a bytes(None) crash)
+    feats = [
+        decode_audio_header(b) if b is not None else (None,) * 5
+        for b in bufs
+    ]
     return pd.DataFrame(
         {
             "doc_id": ids.astype("int64"),
-            "byte_len": [len(b) for b in bufs],
+            "byte_len": pd.Series(
+                [len(b) if b is not None else None for b in bufs],
+                dtype="object",
+            ),
             "channels": pd.Series([f[0] for f in feats], dtype="object"),
             "sample_rate": pd.Series([f[1] for f in feats], dtype="object"),
             "bits_per_sample": pd.Series(
@@ -436,9 +461,19 @@ def decode_video_header(
         for ityp, is_, ie in boxes(buf, s, e):
             if ityp == b"mvhd" and ie - is_ >= 20:
                 version = buf[is_]
-                if version == 1 and ie - is_ >= 28:
-                    (timescale,) = struct.unpack(">I", buf[is_ + 20 : is_ + 24])
-                    (dur,) = struct.unpack(">Q", buf[is_ + 24 : is_ + 32])
+                timescale = dur = None
+                if version == 1:
+                    # v1 reads through body offset 32 (64-bit duration);
+                    # the earlier >= 28 guard let a truncated box raise
+                    # struct.error past the all-NULL contract (or unpack
+                    # the NEXT box's bytes as the duration) — and a
+                    # truncated v1 must NOT fall through to the v0
+                    # layout, whose offsets would mis-parse it silently
+                    if ie - is_ >= 32:
+                        (timescale,) = struct.unpack(
+                            ">I", buf[is_ + 20 : is_ + 24]
+                        )
+                        (dur,) = struct.unpack(">Q", buf[is_ + 24 : is_ + 32])
                 else:
                     (timescale,) = struct.unpack(">I", buf[is_ + 12 : is_ + 16])
                     (dur,) = struct.unpack(">I", buf[is_ + 16 : is_ + 20])
@@ -504,7 +539,7 @@ def video_features(
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 bufs = [
-                    synth_mp4(int(i), int(n))
+                    synth_mp4(int(i), int(n)) if n is not None else None
                     for i, n in zip(pdf[id_c], pdf[chars_col])
                 ]
                 yield _video_frame(pdf[id_c], bufs)
@@ -514,18 +549,27 @@ def video_features(
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                bufs = [bytes(b) for b in pdf[payload_col]]
+                bufs = [
+                    bytes(b) if b is not None else None
+                    for b in pdf[payload_col]
+                ]
                 yield _video_frame(pdf[id_c], bufs)
 
     return df.select(*cols).mapInPandas(run, VIDEO_FEATURE_SCHEMA)
 
 
 def _video_frame(ids, bufs: list[bytes]) -> pd.DataFrame:
-    feats = [decode_video_header(b) for b in bufs]
+    feats = [
+        decode_video_header(b) if b is not None else (None,) * 4
+        for b in bufs
+    ]
     return pd.DataFrame(
         {
             "doc_id": ids.astype("int64"),
-            "byte_len": [len(b) for b in bufs],
+            "byte_len": pd.Series(
+                [len(b) if b is not None else None for b in bufs],
+                dtype="object",
+            ),
             "width": pd.Series([f[0] for f in feats], dtype="object"),
             "height": pd.Series([f[1] for f in feats], dtype="object"),
             "duration_ms": pd.Series([f[2] for f in feats], dtype="object"),

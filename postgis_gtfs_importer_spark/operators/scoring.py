@@ -185,11 +185,37 @@ def quantile_normalize(
     stratum) receive the same normalized value by construction (rank(),
     not row_number()). Single-row strata normalize to 0.
 
-    One window shuffle on the stratum key; no joins, no floats.
+    One window shuffle on the stratum key. The UNSTRATIFIED path
+    (stratum_col=None) routes through operators/ranking.py::global_rank:
+    a no-key Window.partitionBy() funnels the whole table through ONE
+    task — exactly the trap global_rank (range partition + offset
+    cascade) exists to avoid; its green driver row proves the two-phase
+    rank equals the single-task definition. The per-stratum path keeps
+    the plain window (strata are the parallelism).
     """
-    parts = [stratum_col] if stratum_col else []
-    w = Window.partitionBy(*parts).orderBy(F.col(score_col))
-    w_all = Window.partitionBy(*parts)
+    if stratum_col is None:
+        from .ranking import global_rank
+
+        from pyspark.sql import functions as _F
+
+        ranked = global_rank(df, [F.col(score_col)], rank_col="_rk")
+        n_row = _F.broadcast(
+            df.agg(F.count("*").cast("long").alias("_n"))
+        )
+        return (
+            ranked.crossJoin(n_row)
+            .withColumn(
+                out_col,
+                F.expr(
+                    "case when _n > 1"
+                    " then ((_rk - 1) * 1000000) div (_n - 1)"
+                    " else 0 end"
+                ).cast("long"),
+            )
+            .drop("_rk", "_n")
+        )
+    w = Window.partitionBy(stratum_col).orderBy(F.col(score_col))
+    w_all = Window.partitionBy(stratum_col)
     return (
         df.withColumn("_rk", F.rank().over(w).cast("long"))
         .withColumn("_n", F.count("*").over(w_all).cast("long"))

@@ -84,6 +84,24 @@ def _check_cell(cell_deg: float, radius_m: float, max_abs_lat: float) -> None:
         )
 
 
+def _lon_cells(cell_deg: float) -> tuple[int, int]:
+    """(xmin, n_cells) covering lon [-180, 180) — the wrap ring."""
+    xmin = math.floor(-180.0 / cell_deg)
+    xmax_excl = math.ceil(180.0 / cell_deg)
+    return xmin, xmax_excl - xmin
+
+
+def _wrap_x(col, cell_deg: float):
+    """Normalize a longitude cell index onto the wrap ring (antimeridian
+    adjacency: the cell at lon +179.9 and the cell at lon -179.9 are
+    NEIGHBORS; without the wrap, a 3x3 probe never crosses ±180 and
+    in-radius pairs straddling it were silently missing — despite the
+    documented exactness contract). Double-mod form because Spark's %
+    follows the dividend's sign."""
+    xmin, n = _lon_cells(cell_deg)
+    return ((col - F.lit(xmin)) % n + n) % n + F.lit(xmin)
+
+
 def with_cell(
     df: DataFrame,
     lat_col: str = "lat",
@@ -93,17 +111,23 @@ def with_cell(
     """Add grid cell coordinates (cell_x, cell_y) — the blocking key.
 
     ``floor(coord / cell_deg)`` — one exact-rounded IEEE division per
-    axis, identical on every engine.
+    axis, identical on every engine. cell_x is normalized onto the
+    longitude wrap ring (see _wrap_x) so lon == +180.0 shares the seam
+    cell with -180.0.
     """
     return df.withColumn(
-        "cell_x", F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("long")
+        "cell_x",
+        _wrap_x(
+            F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("long"), cell_deg
+        ).cast("long"),
     ).withColumn(
         "cell_y", F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("long")
     )
 
 
-def _probe_cells(df: DataFrame) -> DataFrame:
-    """Explode each row into its 3x3 cell neighborhood (px, py).
+def _probe_cells(df: DataFrame, cell_deg: float) -> DataFrame:
+    """Explode each row into its 3x3 cell neighborhood (px, py), with
+    the longitude axis wrapped at the antimeridian (see _wrap_x).
 
     9x expansion of (id, coords, cells) — tens of bytes per row, never
     the payload; the price of turning a distance predicate into an
@@ -113,7 +137,9 @@ def _probe_cells(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("_dx", F.explode(offsets))
         .withColumn("_dy", F.explode(offsets))
-        .withColumn("px", F.col("cell_x") + F.col("_dx"))
+        .withColumn(
+            "px", _wrap_x(F.col("cell_x") + F.col("_dx"), cell_deg).cast("long")
+        )
         .withColumn("py", F.col("cell_y") + F.col("_dy"))
         .drop("_dx", "_dy")
     )
@@ -159,7 +185,7 @@ def radius_pairs(
             cell_deg,
         )
     )
-    a = _probe_cells(cells).select(
+    a = _probe_cells(cells, cell_deg).select(
         F.col("_id").alias("id_a"),
         F.col("_lat").alias("lat_a"),
         F.col("_lon").alias("lon_a"),
@@ -224,7 +250,8 @@ def knn_join(
             "q_lat",
             "q_lon",
             cell_deg,
-        )
+        ),
+        cell_deg,
     ).select("q_id", "q_lat", "q_lon", "px", "py")
     c = with_cell(
         corpus.select(

@@ -120,9 +120,13 @@ def curate_corpus(
         clean = near
     report["decontaminated"] = clean.count()
 
-    # 4. quality + language gate (pure column predicates)
-    q = F.floor(TX.quality_score(F.col(c.text_col)) * 1e6 + 0.5)
-    gated = clean.filter(q >= c.min_quality_e6)
+    # 4. quality + language gate (pure column predicates). The score is
+    # CARRIED as a column so the 4c percentile gate can reuse it —
+    # quality_score expands to several regexp full-text scans per row,
+    # and recomputing it over the survivors paid that pass twice.
+    gated = clean.withColumn(
+        "_q", F.floor(TX.quality_score(F.col(c.text_col)) * 1e6 + 0.5)
+    ).filter(F.col("_q") >= c.min_quality_e6)
     if c.allowed_langs:
         gated = gated.filter(
             TX.lang_id(F.col(c.text_col)).isin(list(c.allowed_langs))
@@ -135,12 +139,23 @@ def curate_corpus(
     if c.min_fluency_e6 is not None:
         from ..operators.indexing import bigram_lm_scores
 
-        fluent_ids = (
-            bigram_lm_scores(gated, id_col=c.id_col, text_col=c.text_col)
-            .filter(F.col("mean_cond_e6") >= c.min_fluency_e6)
-            .select(c.id_col)
+        # LEFT join + pass-when-unscored: bigram_lm_scores emits a row
+        # only for docs with >= 1 bigram, so a semi-join silently
+        # dropped every 0/1-token doc REGARDLESS of the threshold (and
+        # the report blamed "fluency"). A doc too short to score has
+        # no evidence against it — it passes this gate and faces the
+        # others.
+        scores = bigram_lm_scores(
+            gated, id_col=c.id_col, text_col=c.text_col
+        ).select(c.id_col, "mean_cond_e6")
+        gated = (
+            gated.join(scores, c.id_col, "left")
+            .filter(
+                F.col("mean_cond_e6").isNull()
+                | (F.col("mean_cond_e6") >= c.min_fluency_e6)
+            )
+            .drop("mean_cond_e6")
         )
-        gated = gated.join(fluent_ids, c.id_col, "left_semi")
         report["fluency_gated"] = gated.count()
 
     # 4b2. compression-ratio floor (repetitiveness: boilerplate DEFLATEs
@@ -162,14 +177,13 @@ def curate_corpus(
         from ..operators.curation import percentile_gate
 
         num, den = c.percentile_keep
-        scored = gated.withColumn(
-            "_q", F.floor(TX.quality_score(F.col(c.text_col)) * 1e6 + 0.5)
-        )
         gated = percentile_gate(
-            scored, score_col="_q", stratum_col=c.stratum_col,
+            gated, score_col="_q", stratum_col=c.stratum_col,
             id_col=c.id_col, keep_num=num, keep_den=den,
-        ).drop("_q", "rank", "stratum_size")
+        ).drop("rank", "stratum_size")
         report["percentile_gated"] = gated.count()
+
+    gated = gated.drop("_q")  # internal carry column, not an output
 
     # 5. balanced mixture over the stratum
     if c.balance_mixture:

@@ -159,6 +159,22 @@ _MUST_VERIFY: list[str] = [
         "simhash_pairs",
         "temperature_sample",
         "token_topk",
+        # r5 final review wave (multimodal NULL/bounds guards, spatial
+        # antimeridian wrap, corpus gate fixes, scoring global_rank
+        # path, shared tokenizer helper in functions/text.py): their 11
+        # registry dependents join the queue — prior green rows, all
+        # oracle-parity green locally
+        "audio_features",
+        "corpus_curation",
+        "dedup_exact",
+        "doc_fingerprint",
+        "frame_sample_stats",
+        "hilbert_hist",
+        "lang_id",
+        "multimodal_features",
+        "text_quality",
+        "video_features",
+        "zorder_hist",
     ]),
 ]
 
