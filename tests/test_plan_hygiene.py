@@ -51,6 +51,9 @@ BNLJ_OK = {
                              # joined into the single output row
     "association_rules",     # 1-row total-order-count scalar x rules
     "peak_concurrency",      # 1-row interval-count scalar x 1-row peak
+    "departures_at_station", # 1-row single-agency (count, name, tz)
+                             # aggregate x fact — the omitted-agency_id
+                             # timezone fill (arrivals_departures)
 }
 
 STREAMING = {
