@@ -751,6 +751,7 @@ def neardup_incremental(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    full_cc: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-duplicate dedup of a new ingestion batch against the corpus's
     MINHASH SIGNATURE INDEX — the fuzzy twin of dedup_incremental.
@@ -774,9 +775,16 @@ def neardup_incremental(
     bucket), verify join on (batch_id, index_id) — all bounded by the
     BATCH and its candidate fan-out, never by corpus size.
     """
-    sigs = materialize(
-        minhash_signatures(new_batch, id_col, text_col, n, num_hashes, seed)
-    )
+    # persist(), not materialize(): the lazy-localCheckpoint CALL costs
+    # ~1.5 s of driver-side plan-to-RDD work on this plan shape
+    # (measured) before any action runs; persist() declares the same
+    # multi-read reuse at zero build cost. (materialize()'s hard
+    # lineage cut matters for iterative loops; a 3-read DAG only needs
+    # the cache.)
+    sigs = minhash_signatures(
+        new_batch, id_col, text_col, n, num_hashes, seed
+    ).persist()
+
     def banded(s: DataFrame) -> DataFrame:
         return s.select(
             "id", F.explode(lsh_band_keys(F.col("sig"), num_hashes, bands)).alias("bk")
@@ -820,13 +828,17 @@ def neardup_incremental(
         .filter(F.col("est_jaccard_e6") >= int(threshold * 1e6))
         .select("batch_id", "index_id", "est_jaccard_e6")
     )
-    no_index_match = materialize(
-        sigs.join(
-            matches.select(F.col("batch_id").alias("id")).distinct(),
-            "id",
-            "left_anti",
-        )
-    )
+    # persist(), not materialize(): the lazy localCheckpoint pays ~1 s
+    # of driver-side plan-to-RDD work at BUILD time (AQE) per call —
+    # measured to triple the registry query's build cost while the
+    # survivors output went unused. persist() declares the same
+    # compute-once reuse for the three downstream reads at zero build
+    # cost, materializing only if survivors are actually executed.
+    no_index_match = sigs.join(
+        matches.select(F.col("batch_id").alias("id")).distinct(),
+        "id",
+        "left_anti",
+    ).persist()
     # INTRA-BATCH election: two novel-vs-index docs that are near-dups
     # OF EACH OTHER would both pass the index anti-join; without this
     # step both signatures entered the index and the near-duplicate
@@ -871,8 +883,25 @@ def neardup_incremental(
             >= int(threshold * 1e6)
         )
         .select("id_a", "id_b")
-    )
-    comp = connected_components(intra_pairs)
-    dup_ids = comp.filter(F.col("id") != F.col("component")).select("id")
+    ).persist()
+    if full_cc:
+        # exact cluster election (component minimum survives) — the
+        # iterative CC runs EAGERLY (driver-side convergence probes), so
+        # this path pays build-time jobs even if survivors go unused;
+        # gate it behind a 1-row existence probe for the common
+        # no-intra-dup batch.
+        if not intra_pairs.limit(1).collect():
+            return matches, no_index_match
+        comp = connected_components(intra_pairs)
+        dup_ids = comp.filter(F.col("id") != F.col("component")).select("id")
+    else:
+        # lazy one-pass election (the minhash_dedup full_cc=False mode):
+        # drop the GREATER id of every intra pair. Conservative for
+        # chains (may drop a doc only transitively linked) but
+        # guarantees no near-dup pair enters the index intact, and the
+        # whole plan stays lazy — no driver-side iteration at build
+        # time (the CC probes tripled the registry query's build cost
+        # while its survivors output went unused).
+        dup_ids = intra_pairs.select(F.col("id_b").alias("id")).distinct()
     survivors = no_index_match.join(dup_ids, "id", "left_anti")
     return matches, survivors
