@@ -390,6 +390,56 @@ def main() -> None:
         print(f"# scale_smoke_sf1: FAILED {type(e).__name__}: {e}", flush=True)
         detail["scale_smoke_sf1"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # graph-family scale smoke: the iterative/combinatorial graph
+    # operators on a 100k-node hub+path graph — maximal degree skew
+    # (one hub owns half the edge endpoints, the celebrity-node shape)
+    # with ANALYTIC invariants: exactly n-2 triangles (the fans
+    # (0,i,i+1)) and every node at distance 1 through the hub. The
+    # linearity bound itself is pinned by
+    # tests/test_scale_smoke.py::test_graph_family_skew_and_linearity;
+    # this block records the above-sf0.1 wall-clock per round.
+    try:
+        from pyspark.sql import functions as SF
+
+        from postgis_gtfs_importer_spark.operators.graph import (
+            sssp,
+            triangle_count,
+        )
+
+        n = 100_000
+        gsmoke: dict = {"n_nodes": n}
+        hub = spark.range(1, n).select(
+            SF.lit(0).cast("long").alias("a"), SF.col("id").alias("b")
+        )
+        path = spark.range(1, n - 1).select(
+            SF.col("id").alias("a"), (SF.col("id") + 1).alias("b")
+        )
+        g = hub.unionByName(path)
+        t0 = time.monotonic()
+        tri = triangle_count(g).collect()[0]
+        gsmoke["triangle_sec"] = round(time.monotonic() - t0, 3)
+        assert tri.n_triangles == n - 2, tri
+        gsmoke["triangles"] = tri.n_triangles
+        und = g.select(
+            SF.col("a").alias("src"),
+            SF.col("b").alias("dst"),
+            SF.when(SF.col("a") == 0, SF.lit(1)).otherwise(SF.lit(10)).alias("w"),
+        )
+        directed = und.unionByName(
+            und.select(SF.col("dst").alias("src"), SF.col("src").alias("dst"), "w")
+        )
+        t0 = time.monotonic()
+        sp = sssp(directed, max_rounds=6).agg(
+            SF.count("*").alias("nodes"), SF.sum("dist").alias("total")
+        ).collect()[0]
+        gsmoke["sssp_sec"] = round(time.monotonic() - t0, 3)
+        assert (sp.nodes, sp.total) == (n, n - 1), sp
+        detail["scale_smoke_graph"] = gsmoke
+        print(f"# scale_smoke_graph: {gsmoke}", flush=True)
+    except Exception as e:
+        print(f"# scale_smoke_graph: FAILED {type(e).__name__}: {e}", flush=True)
+        detail["scale_smoke_graph"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Cross-round comparability (VERDICT r4 item 7): read the PREVIOUS
     # run's detail file BEFORE overwriting it and record per-query warm
     # deltas, so cold-vs-warm artifacts (e.g. r4's staged-fact

@@ -314,3 +314,92 @@ def test_neardup_family_skew_and_linearity(spark):
     assert ("skew=true" in plan4) or ("BroadcastHashJoin" in plan4), plan4[:3000]
     # complexity: 4x data must NOT cost quadratic (16x); loose 10x bound
     assert t4 < 10 * max(t1, 0.5), f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+
+
+def _hub_path_graph(spark, n: int):
+    """Deterministic skew-extreme graph: hub 0 — i for every i, plus the
+    path i — (i+1). Hub degree = n-1 (the celebrity-node shape that
+    breaks unoriented triangle enumeration); analytic invariants:
+    n_nodes = n, n_edges = 2n-3, triangles = n-2 (exactly the fans
+    (0, i, i+1)). Edges are (a, b) with a < b, distinct, no RNG."""
+    hub = spark.range(1, n).select(
+        F.lit(0).cast("long").alias("a"), F.col("id").alias("b")
+    )
+    path = spark.range(1, n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    return hub.unionByName(path)
+
+
+def test_graph_family_skew_and_linearity(spark):
+    """sf1-class behavior of the iterative/combinatorial graph family
+    under maximal degree skew (one hub owning half the edge endpoints):
+
+    1. triangle_count: the degree orientation must absorb the hub (its
+       edges all orient AWAY from it into the path nodes' O(1)
+       out-lists... or rather into bounded adjacency) and the count is
+       asserted EXACTLY against the analytic fan count n-2.
+    2. sssp: hub weight 1 vs path weight 10 — every node settles at
+       dist 1 through the hub, asserted exactly; the delta frontier
+       must converge (early-exit) instead of running the bound out.
+    3. ~linear growth for both: 4x nodes must stay far under the
+       quadratic 16x (loose <10x bound so only complexity regressions
+       fail, not timing noise).
+
+    Wall-clock at the 100k-node size is recorded by bench.py under
+    'scale_smoke_graph' in BENCH_DETAIL.json.
+    """
+    import time
+
+    from postgis_gtfs_importer_spark.operators.graph import (
+        sssp,
+        triangle_count,
+    )
+
+    def run(n):
+        g = _hub_path_graph(spark, n)
+        t0 = time.monotonic()
+        tri = triangle_count(g).collect()[0]
+        t_tri = time.monotonic() - t0
+        # undirected -> mirrored directed edges; hub edges cheap (1),
+        # path edges expensive (10): the true distance is 1 for every
+        # non-hub node, settled in one relaxation wave + one quiet round
+        und = g.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.when(F.col("a") == 0, F.lit(1)).otherwise(F.lit(10)).alias("w"),
+        )
+        directed = und.unionByName(
+            und.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        t0 = time.monotonic()
+        d = sssp(directed, max_rounds=6)
+        got = d.agg(
+            F.count("*").alias("nodes"),
+            F.sum("dist").alias("total"),
+            F.min(F.col("reached").cast("int")).alias("all_reached"),
+        ).collect()[0]
+        t_sssp = time.monotonic() - t0
+        return tri, t_tri, got, t_sssp
+
+    run(2_000)  # warm codegen/shuffle paths
+    tri1, t_tri1, sp1, t_sp1 = run(25_000)
+    tri4, t_tri4, sp4, t_sp4 = run(100_000)
+
+    for n, tri in ((25_000, tri1), (100_000, tri4)):
+        assert (tri.n_nodes, tri.n_edges, tri.n_triangles) == (
+            n,
+            2 * n - 3,
+            n - 2,
+        ), (n, tri)
+    for n, sp in ((25_000, sp1), (100_000, sp4)):
+        # dist: hub 0, every other node exactly 1
+        assert (sp.nodes, sp.total, sp.all_reached) == (n, n - 1, 1), (n, sp)
+    assert t_tri4 < 10 * max(t_tri1, 0.5), (
+        f"triangle superlinear: {t_tri1:.2f}s -> {t_tri4:.2f}s"
+    )
+    assert t_sp4 < 10 * max(t_sp1, 0.5), (
+        f"sssp superlinear: {t_sp1:.2f}s -> {t_sp4:.2f}s"
+    )
