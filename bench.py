@@ -440,6 +440,58 @@ def main() -> None:
         print(f"# scale_smoke_graph: FAILED {type(e).__name__}: {e}", flush=True)
         detail["scale_smoke_graph"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # ANN-family scale smoke: IVF top-10 on a 160k-vector
+    # planted-cluster corpus (deterministic one-hot cluster directions,
+    # tests/test_scale_smoke.py::_clustered_embeddings) with recall
+    # measured against exact brute-force ground truth — the third
+    # heavy-family wall-clock record next to near-dup and graph. The
+    # recall/balance/linearity bounds themselves are pinned by
+    # test_ann_family_recall_and_linearity.
+    try:
+        from pyspark.sql import functions as SF
+
+        from postgis_gtfs_importer_spark.operators.similarity import (
+            brute_force_topk_matmul,
+            ivf_topk,
+        )
+
+        n_vec, dim, n_cl = 160_000, 16, 16
+        asmoke: dict = {"n_vectors": n_vec}
+        jseq = SF.sequence(SF.lit(0), SF.lit(dim - 1))
+        corpus = spark.range(n_vec).select(
+            SF.col("id").alias("vec_id"),
+            SF.transform(
+                jseq,
+                lambda jj: SF.when(
+                    jj.cast("bigint") == SF.col("id") % n_cl, SF.lit(1.0)
+                ).otherwise(SF.lit(0.0))
+                + ((SF.col("id") * 7 + jj) % 11 - 5).cast("double") / 500.0,
+            ).alias("embedding"),
+        )
+        aqueries = corpus.filter(
+            (SF.col("vec_id") >= 1000) & (SF.col("vec_id") < 1020)
+        )
+        t0 = time.monotonic()
+        ivf = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk(
+                corpus, aqueries, k=10, n_centroids=n_cl, nprobe=4
+            ).collect()
+        }
+        asmoke["ivf_sec"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        truth = {
+            (r.q_id, r.vec_id)
+            for r in brute_force_topk_matmul(corpus, aqueries, k=10).collect()
+        }
+        asmoke["brute_sec"] = round(time.monotonic() - t0, 3)
+        asmoke["recall_at_10"] = round(len(ivf & truth) / len(truth), 4)
+        detail["scale_smoke_ann"] = asmoke
+        print(f"# scale_smoke_ann: {asmoke}", flush=True)
+    except Exception as e:
+        print(f"# scale_smoke_ann: FAILED {type(e).__name__}: {e}", flush=True)
+        detail["scale_smoke_ann"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Cross-round comparability (VERDICT r4 item 7): read the PREVIOUS
     # run's detail file BEFORE overwriting it and record per-query warm
     # deltas, so cold-vs-warm artifacts (e.g. r4's staged-fact

@@ -403,3 +403,84 @@ def test_graph_family_skew_and_linearity(spark):
     assert t_sp4 < 10 * max(t_sp1, 0.5), (
         f"sssp superlinear: {t_sp1:.2f}s -> {t_sp4:.2f}s"
     )
+
+
+def _clustered_embeddings(spark, n: int, dim: int = 16, n_clusters: int = 16):
+    """Deterministic planted-cluster embeddings: cluster c = id mod 16
+    owns the one-hot direction e_c, every member adds a small
+    id-derived perturbation (±0.01/dim scale). Within-cluster cosine
+    ~0.999 vs cross-cluster ~0.02, so the true top-k of every vector is
+    entirely within-cluster — ground truth is structural, no RNG.
+    The first n_clusters ids are one per cluster, so the IVF sampled
+    quantizer's centroids ARE the cluster centers."""
+    j = F.sequence(F.lit(0), F.lit(dim - 1))
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            j,
+            lambda jj: F.when(
+                jj.cast("bigint") == F.col("id") % n_clusters, F.lit(1.0)
+            ).otherwise(F.lit(0.0))
+            + ((F.col("id") * 7 + jj) % 11 - 5).cast("double") / 500.0,
+        ).alias("embedding"),
+    )
+
+
+def test_ann_family_recall_and_linearity(spark):
+    """sf1-class behavior of the ANN family (the third heavy-family
+    smoke next to near-dup and graph):
+
+    1. recall: IVF top-10 vs exact brute-force ground truth on a
+       160k-vector planted-cluster corpus must stay >= 0.9 (the probes
+       cover the query's own cluster, so structurally ~1.0);
+    2. inverted-list balance: no list exceeds 2x the mean (probe cost
+       bounded — the property that makes nprobe/n_centroids the scan
+       fraction at 100 TB);
+    3. ~linear growth: 4x corpus (40k -> 160k) under 10x wall-clock.
+
+    Wall-clock at the 160k size is recorded by bench.py under
+    'scale_smoke_ann' in BENCH_DETAIL.json.
+    """
+    import time
+
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        assign_to_centroids,
+        brute_force_topk_matmul,
+        ivf_topk,
+    )
+
+    def run(n):
+        corpus = _clustered_embeddings(spark, n)
+        queries = corpus.filter(
+            (F.col("vec_id") >= 1000) & (F.col("vec_id") < 1020)
+        )
+        t0 = time.monotonic()
+        ivf = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk(
+                corpus, queries, k=10, n_centroids=16, nprobe=4
+            ).collect()
+        }
+        t_ivf = time.monotonic() - t0
+        truth = {
+            (r.q_id, r.vec_id)
+            for r in brute_force_topk_matmul(corpus, queries, k=10).collect()
+        }
+        recall = len(ivf & truth) / len(truth)
+        return t_ivf, recall, corpus
+
+    run(5_000)  # warm codegen/shuffle paths
+    t1, recall1, _ = run(40_000)
+    t4, recall4, corpus4 = run(160_000)
+
+    assert recall1 >= 0.9, recall1
+    assert recall4 >= 0.9, recall4
+    sizes = (
+        assign_to_centroids(corpus4, n_centroids=16)
+        .groupBy("cid")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+    assert sizes.mx <= 2 * sizes.mean, sizes
+    assert t4 < 10 * max(t1, 0.5), f"superlinear: {t1:.2f}s -> {t4:.2f}s"
