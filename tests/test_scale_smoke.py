@@ -484,3 +484,66 @@ def test_ann_family_recall_and_linearity(spark):
     )
     assert sizes.mx <= 2 * sizes.mean, sizes
     assert t4 < 10 * max(t1, 0.5), f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+
+
+def test_corpus_pipeline_volume(spark):
+    """The COMPOSED curation pipeline (plans/corpus.py — exact dedup ->
+    MinHash near-dup -> decontaminate -> quality gate -> mixture ->
+    split -> pack) end-to-end at volume, with every stage count
+    arithmetically pinned against the synthetic corpus's construction:
+
+    * twin-pair corpus with no boilerplate: no exact dupes, and the
+      36-token shared phrase alone stays under the 0.5 near-dup
+      threshold (24 unique filler tokens per doc), so dedup keeps all;
+    * benchmark = every 97th doc: decontamination must drop EXACTLY the
+      docs sharing a phrase-pair with a benchmark doc (the benchmark
+      member and its twin), nothing else;
+    * mixture balances the 1:2 en/de strata to ~2x the smaller one.
+
+    Also a loose complexity bound: 10x the docs under 10x the time
+    (the pipeline is all hash-keyed/banded stages — nothing quadratic).
+    """
+    import time
+
+    from postgis_gtfs_importer_spark.plans.corpus import (
+        CorpusConfig,
+        curate_corpus,
+    )
+    from postgis_gtfs_importer_spark.sources.synth import synth_skewed_corpus
+
+    def run(n):
+        docs = synth_skewed_corpus(
+            spark, n, hot_repeats=0, filler_tokens=24, phrase_tokens=36
+        ).withColumn(
+            "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+        )
+        benchmark = docs.filter(F.col("doc_id") % 97 == 0).select(
+            "doc_id", "text"
+        )
+        t0 = time.monotonic()
+        res = curate_corpus(docs, benchmark=benchmark, cfg=CorpusConfig())
+        packed = res.packed.count()
+        return time.monotonic() - t0, res.report, packed
+
+    t1, rep1, _ = run(2_000)
+    t10, rep10, packed10 = run(20_000)
+
+    for n, rep in ((2_000, rep1), (20_000, rep10)):
+        assert rep["input"] == n
+        assert rep["exact_dedup"] == n, rep  # no byte-identical docs
+        assert rep["near_dedup"] == n, rep  # twins stay under 0.5
+        # decontamination drops the benchmark member AND its pair twin
+        # (they share the 36-token phrase): benchmark ids are 0, 97,
+        # 194, ... — count the affected pair-partners precisely
+        bench_ids = set(range(0, n, 97))
+        dropped = {
+            (b ^ 1) for b in bench_ids  # the twin (2k <-> 2k+1)
+        } | bench_ids
+        dropped = {d for d in dropped if d < n}
+        assert rep["decontaminated"] == n - len(dropped), (
+            rep,
+            len(dropped),
+        )
+        assert rep["quality_gated"] == rep["decontaminated"], rep
+    assert packed10 == rep10["packed_docs"]
+    assert t10 < 10 * max(t1, 1.0), f"superlinear: {t1:.2f}s -> {t10:.2f}s"
