@@ -547,3 +547,66 @@ def test_corpus_pipeline_volume(spark):
         assert rep["quality_gated"] == rep["decontaminated"], rep
     assert packed10 == rep10["packed_docs"]
     assert t10 < 10 * max(t1, 1.0), f"superlinear: {t1:.2f}s -> {t10:.2f}s"
+
+
+def test_streaming_state_bounded_by_users_not_volume(spark, tmp_path):
+    """THE streaming scale property at volume: stateful sessionization's
+    state is bounded by ACTIVE KEYS (open sessions), not input volume.
+    400 users emit a continuous 60s-cadence event stream (one open
+    session each, never a gap); quadrupling the events per user must
+    leave the state-store row count EXACTLY 400 while input rows
+    quadruple — at 100 TB/day this is the difference between state that
+    fits the cluster forever and state that grows with throughput.
+    Drained as a REAL multi-micro-batch run (4 files, 1 per trigger)."""
+    import os
+    import time
+
+    from postgis_gtfs_importer_spark.streaming import events as SE
+
+    n_users = 400
+
+    def drain(events_per_user, name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        total = n_users * events_per_user
+        rows = spark.range(total).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % n_users).alias("user_id"),
+            F.lit("t").alias("event_type"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(
+                    secs=(F.col("id") / n_users).cast("int") * 60
+                )
+            ).alias("ts"),
+            F.lit("1.0").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        q = events_per_user // 4
+        for i in range(4):
+            lo, hi = i * q, (i + 1) * q if i < 3 else events_per_user
+            rows.filter(
+                ((F.col("event_id") / n_users).cast("int") >= lo)
+                & ((F.col("event_id") / n_users).cast("int") < hi)
+            ).coalesce(1).write.mode("append").parquet(d)
+            time.sleep(1.1)  # distinct mtimes: file source batches by them
+        stream = SE.stream_events(spark, d, max_files_per_trigger=1)
+        SE.run_to_memory(
+            SE.sessionize_stream(
+                stream, gap_sec=1800, watermark_delay="30 minutes"
+            ),
+            name,
+            state_partitions=8,
+        )
+        return dict(SE.LAST_RUN_METRICS)
+
+    m1 = drain(24, "state_vol_1x")
+    m4 = drain(96, "state_vol_4x")
+
+    assert m1["inputRows"] == n_users * 24
+    assert m4["inputRows"] == n_users * 96
+    # state = one open session per user, INDEPENDENT of volume
+    assert m1["stateRows"] == n_users, m1
+    assert m4["stateRows"] == n_users, m4
+    assert m1["numRowsDroppedByWatermark"] == 0
+    assert m4["numRowsDroppedByWatermark"] == 0
