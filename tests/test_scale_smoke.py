@@ -610,3 +610,72 @@ def test_streaming_state_bounded_by_users_not_volume(spark, tmp_path):
     assert m4["stateRows"] == n_users, m4
     assert m1["numRowsDroppedByWatermark"] == 0
     assert m4["numRowsDroppedByWatermark"] == 0
+
+
+def test_multimodal_decode_volume_linearity(spark):
+    """The mapInPandas media-decode path at volume: 160k binary payloads
+    (24-byte real PNG headers, width/height derived from the row id)
+    through image_features' Arrow-batched kernel, with the decoded
+    metadata asserted EXACTLY via closed-form aggregate arithmetic —
+    plus the ~linear 4x bound. Payload bytes never shuffle (the plan is
+    a single MapInPandas over the generator, pinned elsewhere); this
+    pins that the batch plumbing holds its throughput at volume, the
+    property the stubbed-decoder design banks on for real media."""
+    import struct
+    import time
+
+    import pandas as pd
+
+    from postgis_gtfs_importer_spark.operators.multimodal import (
+        image_features,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        sig
+                        + struct.pack(">II", (i % 512) + 1, (i % 256) + 1)
+                        for i in ids
+                    ],
+                }
+            )
+
+    def run(n):
+        docs = spark.range(n).select(F.col("id").alias("doc_id"))
+        payloads = docs.mapInPandas(
+            build, "doc_id long, payload binary"
+        )
+        t0 = time.monotonic()
+        got = (
+            image_features(payloads, decoder="header")
+            .agg(
+                F.count(F.when(F.col("format") == "png", 1)).alias("pngs"),
+                F.sum("width").alias("w_sum"),
+                F.sum("height").alias("h_sum"),
+                F.min("byte_len").alias("bl_min"),
+                F.max("byte_len").alias("bl_max"),
+            )
+            .collect()[0]
+        )
+        return time.monotonic() - t0, got
+
+    def mod_sum(n, m):
+        full, rem = divmod(n, m)
+        return full * (m * (m + 1) // 2) + rem * (rem + 1) // 2
+
+    run(5_000)  # warm the Arrow/codegen paths
+    t1, g1 = run(40_000)
+    t4, g4 = run(160_000)
+
+    for n, g in ((40_000, g1), (160_000, g4)):
+        assert g.pngs == n, g
+        assert g.w_sum == mod_sum(n, 512), g
+        assert g.h_sum == mod_sum(n, 256), g
+        assert (g.bl_min, g.bl_max) == (24, 24), g
+    assert t4 < 10 * max(t1, 0.5), f"superlinear: {t1:.2f}s -> {t4:.2f}s"
