@@ -679,3 +679,49 @@ def test_multimodal_decode_volume_linearity(spark):
         assert g.h_sum == mod_sum(n, 256), g
         assert (g.bl_min, g.bl_max) == (24, 24), g
     assert t4 < 10 * max(t1, 0.5), f"superlinear: {t1:.2f}s -> {t4:.2f}s"
+
+
+def test_distributed_rank_and_prefix_sum_at_1m_rows(spark):
+    """The two no-single-task-window primitives (the trap class
+    ranking.py / sweep.py exist for) at 1M rows with CLOSED-FORM exact
+    expectations — at this size the naive `rank() over (order by ...)`
+    funnels everything through one task, which is exactly what these
+    two-phase forms avoid; their sf0.01 oracles prove equality with the
+    naive window, this pins exactness at a volume the naive form
+    couldn't sensibly serve.
+
+    * global_rank over 1000-row tie groups: every row with key k ranks
+      k*1000 + 1 (ties share, gaps after) — asserted via the exact
+      distinct (key, rank) set size and the closed-form rank sum;
+    * running_prefix_sum over a unit delta stream: running(i) = i + 1,
+      asserted via the exact closed-form sum and max.
+    """
+    from postgis_gtfs_importer_spark.operators.ranking import global_rank
+    from postgis_gtfs_importer_spark.operators.sweep import (
+        running_prefix_sum,
+    )
+
+    n, groups = 1_000_000, 1_000
+    per = n // groups
+    df = spark.range(n).select((F.col("id") % groups).alias("key"))
+    ranked = global_rank(df, ["key"])
+    got = ranked.agg(
+        F.count("*").alias("rows"),
+        F.sum("rnk").alias("rnk_sum"),
+        F.countDistinct("key", "rnk").alias("pairs"),
+    ).collect()[0]
+    assert got.rows == n
+    assert got.pairs == groups  # one shared rank per tie group
+    # sum over k of per * (k*per + 1)
+    expect = per * (per * (groups * (groups - 1) // 2) + groups)
+    assert got.rnk_sum == expect, (got.rnk_sum, expect)
+
+    ev = spark.range(n).select(
+        F.col("id").alias("t"), F.lit(1).alias("delta")
+    )
+    run = running_prefix_sum(ev, "t", "delta", bucket_width=1_000)
+    got = run.agg(
+        F.sum("running").alias("s"), F.max("running").alias("mx")
+    ).collect()[0]
+    assert got.mx == n
+    assert got.s == n * (n + 1) // 2, got.s
