@@ -725,3 +725,79 @@ def test_distributed_rank_and_prefix_sum_at_1m_rows(spark):
     ).collect()[0]
     assert got.mx == n
     assert got.s == n * (n + 1) // 2, got.s
+
+
+def test_asof_join_volume_closed_form(spark):
+    """Backward as-of join at 1M left rows x 100 keys with a closed-form
+    expectation: per key the right side quotes at every multiple of 100
+    with value = its ts, so every left row's as-of value is
+    floor(t/100)*100 — asserted via the exact total. Pins the
+    union-then-window single-shuffle form at volume (the sf0.01 oracle
+    proves equality with DuckDB ASOF; this proves it serves fact-sized
+    inputs)."""
+    from postgis_gtfs_importer_spark.operators.temporal import asof_join
+
+    keys, per = 100, 10_000
+    left = spark.range(keys * per).select(
+        (F.col("id") % keys).alias("k"),
+        (F.col("id") / keys).cast("long").alias("ts"),
+    )
+    right = spark.range(keys * (per // 100)).select(
+        (F.col("id") % keys).alias("k"),
+        ((F.col("id") / keys).cast("long") * 100).alias("ts"),
+    ).withColumn("val", F.col("ts"))
+    j = asof_join(left, right, on=["k"], ts_col="ts", value_cols=["val"])
+    got = j.agg(
+        F.count("*").alias("rows"),
+        F.sum("val").alias("v_sum"),
+        F.count(F.when(F.col("val").isNull(), 1)).alias("nulls"),
+    ).collect()[0]
+    assert got.rows == keys * per
+    assert got.nulls == 0  # ts=0 quote exists for every key
+    # per key: sum over t of floor(t/100)*100 = 100 * 100 * sum(0..99)
+    expect = keys * (100 * 100 * (99 * 100 // 2))
+    assert got.v_sum == expect, (got.v_sum, expect)
+
+
+def test_sketch_family_bounds_at_1m_rows(spark):
+    """The mergeable-sketch family at 1M rows — the regime sketches
+    exist for — with their DEFINING properties asserted:
+
+    * CMS: est >= true for EVERY probe (the never-undercount guarantee
+      is exact, not probabilistic), and >=90% of probes within the
+      2N/width Markov overcount bound per the standard analysis;
+    * KMV (k=1024): distinct estimate within 10% of the true 1M
+      (~3 sigma at 1/sqrt(k));
+    * raw HLL (p=6, m=64 registers): within 40% (1.04/sqrt(64) ~ 13%
+      per sigma — the loose bound only catches estimator breakage).
+    """
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        cms_estimate,
+        hll_distinct,
+        kmv_distinct,
+    )
+
+    n, vals = 1_000_000, 1_000
+    df = spark.range(n).select(
+        (F.col("id") % vals).cast("string").alias("v"),
+        F.col("id").cast("string").alias("u"),
+    )
+    probe = spark.range(vals).select(F.col("id").cast("string").alias("pv"))
+    width = 1024
+    est = cms_estimate(df, probe, "v", "pv", depth=4, width=width)
+    true_count = n // vals
+    bound = true_count + 2 * n // width
+    got = est.agg(
+        F.count("*").alias("probes"),
+        F.count(F.when(F.col("est_count") < true_count, 1)).alias("under"),
+        F.count(F.when(F.col("est_count") <= bound, 1)).alias("within"),
+    ).collect()[0]
+    assert got.probes == vals
+    assert got.under == 0, "CMS undercounted — the exact guarantee broke"
+    assert got.within >= int(0.9 * vals), got
+
+    kmv = kmv_distinct(df, [], "u", k=1024).collect()[0]
+    assert abs(kmv.est_distinct - n) <= n // 10, kmv
+
+    hll = hll_distinct(df, [], "u", p=6).collect()[0]
+    assert abs(hll.hll_est - n) <= int(n * 0.4), hll
