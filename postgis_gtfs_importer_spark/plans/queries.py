@@ -172,6 +172,15 @@ _MUST_VERIFY: list[str] = [
         "hilbert_hist",
         "lang_id",
         "multimodal_features",
+        # r5 oracle precision fix: the gaps-and-islands oracle compared
+        # SECOND-floored epochs while Spark's native session_window
+        # merges on full-precision timestamps — an sf0.1 boundary pair
+        # (true diff 1799.34s, floored diff exactly 1800) split in the
+        # oracle but merged in the engine. Oracle now compares
+        # epoch_us; re-verified value-green at sf0.01 AND sf0.1.
+        # (streaming_session_window shares the fix and is already in
+        # the window at this round's front.)
+        "session_window_native",
         "text_quality",
         "video_features",
         "zorder_hist",
@@ -6362,8 +6371,17 @@ def mad_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+             -- MICROSECOND comparison, STRICTLY greater: Spark's
+             -- session_window merges on full-precision timestamps and
+             -- an event at EXACTLY gap distance still merges (verified
+             -- empirically, pinned in tests/test_review_fixes.py). The
+             -- earlier floor(epoch()) >= form split a pair whose true
+             -- diff was 1799.34s but whose second-floored diff was
+             -- exactly 1800 (first seen at sf0.1; no such boundary
+             -- pair exists in the sf0.01 data).
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                       > 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
@@ -6391,10 +6409,12 @@ def session_window_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands definition by the oracle: window start = first
     event, window end = last event + gap, one row per (user, session).
     Two differences from operators/sessions.py::sessionize are
-    intentional: the gap comparison is >= (session_window closes at
-    exactly gap distance) and the output carries the engine's window
-    bounds, epoch-canonicalized so the struct never reaches the driver
-    hash. The ts column is TIMESTAMP_NTZ under the UTC session pin
+    intentional: the gap comparison runs at MICROSECOND precision (the
+    engine merges on full-precision timestamps; an event at exactly gap
+    distance still merges — end-inclusive, pinned empirically in
+    tests/test_review_fixes.py) and the output carries the engine's
+    window bounds, epoch-canonicalized so the struct never reaches the
+    driver hash. The ts column is TIMESTAMP_NTZ under the UTC session pin
     (sources.tables.load_table), so epoch arithmetic is engine-neutral.
     """
     e = _t(spark, sf_dir, "events")
@@ -7027,8 +7047,17 @@ def wow_change_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+             -- MICROSECOND comparison, STRICTLY greater: Spark's
+             -- session_window merges on full-precision timestamps and
+             -- an event at EXACTLY gap distance still merges (verified
+             -- empirically, pinned in tests/test_review_fixes.py). The
+             -- earlier floor(epoch()) >= form split a pair whose true
+             -- diff was 1799.34s but whose second-floored diff was
+             -- exactly 1800 (first seen at sf0.1; no such boundary
+             -- pair exists in the sf0.01 data).
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                       > 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)

@@ -138,3 +138,63 @@ def test_running_prefix_sum_hostile_column_name(spark):
     df = df.withColumnRenamed("id", "t col")
     out = running_prefix_sum(df, "t col", "d", bucket_width=2)
     assert [r.running for r in out.orderBy("t col").collect()] == [1, 2, 1]
+
+
+def test_session_window_oracle_boundary_is_microsecond_precise(spark):
+    """sf0.1 sweep finding: the session_window_native oracle compared
+    SECOND-floored epochs while Spark's native session_window merges on
+    full-precision timestamps — a pair with true diff 1799.34s but
+    floored diff exactly 1800 split in the oracle, merged in the
+    engine. Pin the class on a crafted fixture: floored diff == 1800
+    with true diff just under the gap must be ONE session; true diff
+    exactly at the gap must be TWO ([start, end) end-exclusive)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        # user 1: 10.9 -> 1810.1: true diff 1799.2s (< 1800, merge);
+        # floor diff 1810 - 10 = 1800 (the buggy oracle split here)
+        (1, 1, pd.Timestamp("2024-01-01 00:00:10.900000")),
+        (2, 1, pd.Timestamp("2024-01-01 00:30:10.100000")),
+        # user 2: exactly 1800.0s apart: still merges (end-INCLUSIVE)
+        (3, 2, pd.Timestamp("2024-01-01 00:00:10.500000")),
+        (4, 2, pd.Timestamp("2024-01-01 00:30:10.500000")),
+        # user 3: 1 microsecond past the gap: splits
+        (5, 3, pd.Timestamp("2024-01-01 00:00:10.500000")),
+        (6, 3, pd.Timestamp("2024-01-01 00:30:10.500001")),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.user_id, r.n): r["cnt"]
+        for r in df.groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), "user_id"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert got == {(1, 1): 2, (2, 1): 2, (3, 2): 2}, got
+
+    # the FIXED oracle arithmetic agrees on both users
+    con = duckdb.connect()
+    con.register("events", pdf)
+    sessions = con.execute(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                           - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        )
+        SELECT user_id, 1 + sum(is_new) AS n_sessions
+        FROM flagged GROUP BY user_id
+        """
+    ).df()
+    oracle = {int(r.user_id): int(r.n_sessions) for _, r in sessions.iterrows()}
+    assert oracle == {1: 1, 2: 1, 3: 2}, oracle
