@@ -550,7 +550,12 @@ def main() -> None:
             "value": round(total, 2),
             "unit": "sec",
             "queries": timings,
-            "n_queries": len(detail),
+            # timed queries only — the smoke/import blocks share the
+            # detail dict but are not suite queries
+            "n_queries": sum(
+                1 for v in detail.values()
+                if isinstance(v, dict) and "warm" in v
+            ),
             "total_warm": round(total_warm, 2),
             "import_e2e": import_e2e,
             "delta_vs_prev": delta_vs_prev,
