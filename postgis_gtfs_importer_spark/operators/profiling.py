@@ -109,14 +109,23 @@ def tvd_drift(
     mid = F.expr("t0 + (t1 - t0) div 2")
     with_b = df.crossJoin(F.broadcast(bounds)).select(
         g.alias("grp"),
-        F.least(
-            F.floor(
-                (v - F.col("vmin"))
-                * F.lit(float(n_buckets))
-                / (F.col("vmax") - F.col("vmin"))
+        # Degenerate span (vmax == vmin — a constant value column, or a
+        # single observed row) puts everything in bucket 0: the guarded
+        # division otherwise raises DIVIDE_BY_ZERO under ANSI mode
+        # (found by the 1-row input sweep; the empty-input sweep cannot
+        # see it because no row ever evaluates the expression there).
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.least(
+                F.floor(
+                    (v - F.col("vmin"))
+                    * F.lit(float(n_buckets))
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+                F.lit(n_buckets - 1),
             ),
-            F.lit(n_buckets - 1),
         )
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("bucket"),
         (F.unix_micros(ts.cast("timestamp")) < mid).alias("is_ref"),

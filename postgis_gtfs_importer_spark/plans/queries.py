@@ -7374,8 +7374,12 @@ def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT event_type AS grp,
-             CAST(least(floor((value - vmin) * 10.0 / (vmax - vmin)), 9)
-                  AS BIGINT) AS bucket,
+             -- degenerate span (constant column / single row): bucket 0,
+             -- mirroring the engine's guarded division
+             CAST(CASE WHEN vmax > vmin
+                       THEN least(floor((value - vmin) * 10.0
+                                        / (vmax - vmin)), 9)
+                       ELSE 0 END AS BIGINT) AS bucket,
              (epoch_us(ts) < t0 + (t1 - t0) // 2) AS is_ref
       FROM obs, bounds
     ),

@@ -39,3 +39,24 @@ def empty_sf_dir(spark, tmp_path_factory):
 def test_registry_entry_survives_empty_tables(spark, empty_sf_dir, name):
     df = REGISTRY[name](spark, empty_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(spark, tmp_path_factory):
+    """The full testdata schema with exactly ONE row per table — the
+    other degenerate concentration point: single-element percentiles
+    and medians, lag()/lead() windows with no second row, stddev/
+    variance of one observation, self-joins with no partner, rank
+    denominators of (n-1) = 0."""
+    d = tmp_path_factory.mktemp("one-row-sf")
+    for t in TABLES:
+        spark.read.parquet(f"{SRC}/{t}.parquet").limit(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_registry_entry_survives_one_row_tables(spark, one_row_sf_dir, name):
+    df = REGISTRY[name](spark, one_row_sf_dir)
+    assert df.count() >= 0
