@@ -62,7 +62,13 @@ def hyperplane_sketch(a: Column | str, planes: list[list[float]]) -> Column:
     for b in bits:
         out = out + b
     return (
-        F.when(F.size(_d(a)) == F.lit(dim), out)
+        # A NULL vector is an ABSENT observation (failed upstream
+        # encode), not a caller bug: it gets a NULL bucket, which drops
+        # out of every bucket equi-join downstream — visible, excluded,
+        # job intact (found by the nulled-payload input sweep). A
+        # present vector of the WRONG length is still a loud failure.
+        F.when(_d(a).isNull(), F.lit(None).cast("int"))
+        .when(F.size(_d(a)) == F.lit(dim), out)
         .otherwise(
             F.raise_error(
                 F.format_string(

@@ -60,3 +60,37 @@ def one_row_sf_dir(spark, tmp_path_factory):
 def test_registry_entry_survives_one_row_tables(spark, one_row_sf_dir, name):
     df = REGISTRY[name](spark, one_row_sf_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def nulled_sf_dir(spark, tmp_path_factory):
+    """The full testdata schema with every OPTIONAL payload column
+    nulled — the realistic failed-upstream shape (extraction produced
+    no text, the encoder returned no embedding, an event carried no
+    value/props). Keys, timestamps, and the relational TPC-H columns
+    (NOT NULL by spec) stay. Entries may return empty; they may not
+    crash — the class this catches is bytes(None)/len(None) kernels
+    and NULL-group aggregations, previously found one family at a
+    time."""
+    from pyspark.sql import functions as F
+
+    null_cols = {
+        "documents": ["text", "lang", "source"],
+        "embeddings": ["embedding"],
+        "events": ["value", "props"],
+    }
+    d = tmp_path_factory.mktemp("nulled-sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        for c in null_cols.get(t, []):
+            df = df.withColumn(
+                c, F.lit(None).cast(dict(df.dtypes)[c])
+            )
+        df.write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_registry_entry_survives_nulled_payloads(spark, nulled_sf_dir, name):
+    df = REGISTRY[name](spark, nulled_sf_dir)
+    assert df.count() >= 0
