@@ -1,12 +1,21 @@
-"""Oracle parity under an ADVERSARIAL engine config — 5 shuffle
-partitions (different reduce-side accumulation order and scan split)
-and AQE off (different physical plans than every other run). The
-exact-integer / partition-invariance discipline every entry claims
-means results must be config-invariant; this is the permanent guard
-for the sweep class that validated it (the cross-SF variant of the
-same sweep caught the session_window oracle boundary bug at sf0.1 —
-see tests/test_review_fixes.py; run it per round via the recipe in
-.claude/skills/verify/SKILL.md)."""
+"""Oracle parity under ONE maximally-adversarial engine config — every
+axis that changes physical plans or data paths without changing
+semantics, combined so a single 169-query sweep buys all the diversity:
+
+  * 5 shuffle partitions   — different reduce-side accumulation order
+  * AQE off                — different physical plans than every other run
+  * broadcast joins off    — every dimension join becomes sort-merge
+    (the broadcast()/plain-join equivalence claimed per entry)
+  * non-vectorized parquet — the row-based decode path (the NTZ class)
+  * 256 KB max split size  — many tiny scan partitions
+
+The exact-integer / partition-invariance discipline every entry claims
+means results must be config-invariant; this is the permanent guard for
+the sweep class that validated it (the cross-SF variant caught the
+session_window oracle boundary bug at sf0.1 — tests/test_review_fixes).
+One-off axes run per round via the verify-skill recipe: whole-stage
+codegen off (interpreted eval), ANSI off, shifted system TZ — all
+169/169 green in round 5."""
 
 from __future__ import annotations
 
@@ -24,6 +33,10 @@ NAMES = sorted(ORACLES)
 _ADVERSARIAL = {
     "spark.sql.shuffle.partitions": "5",
     "spark.sql.adaptive.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.parquet.enableVectorizedReader": "false",
+    "spark.sql.files.maxPartitionBytes": "262144",
 }
 
 
