@@ -8,6 +8,13 @@ semantics, combined so a single 169-query sweep buys all the diversity:
     (the broadcast()/plain-join equivalence claimed per entry)
   * non-vectorized parquet — the row-based decode path (the NTZ class)
   * 256 KB max split size  — many tiny scan partitions
+  * 7-record Arrow batches — every mapInPandas partition arrives as
+    MANY tiny pandas batches, so any operator that silently assumed
+    one-batch-per-partition (per-batch state, cross-batch dedup,
+    header rows) diverges; applyInPandas groups stay whole by
+    contract, so this isolates the mapInPandas boundary class
+    (probed separately at batch=1 over the 10 pandas-UDF-backed
+    entries in round 5 — all green)
 
 The exact-integer / partition-invariance discipline every entry claims
 means results must be config-invariant; this is the permanent guard for
@@ -37,6 +44,7 @@ _ADVERSARIAL = {
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     "spark.sql.parquet.enableVectorizedReader": "false",
     "spark.sql.files.maxPartitionBytes": "262144",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "7",
 }
 
 
