@@ -15,6 +15,18 @@ semantics, combined so a single 169-query sweep buys all the diversity:
     contract, so this isolates the mapInPandas boundary class
     (probed separately at batch=1 over the 10 pandas-UDF-backed
     entries in round 5 — all green)
+  * forced buffer spills    — window / sort-merge-join / session-window /
+    cartesian row buffers spill to disk after 32 in-memory rows, so the
+    UnsafeExternalSorter spill-write/merge-read path carries real data
+    through every window frame and SMJ (with broadcast off, that is
+    EVERY join). The axis provably bites: a probe run with an invalid
+    spill-reader buffer size errored in exactly 21 of the 169 queries —
+    those are the ones whose buffers actually spilled — and the valid
+    run is 169/169 green. Thresholds are moderate (32/64, not 2/8)
+    because an UnboundedFollowing window frame re-opens one ~1 MB
+    spill reader PER FILE PER ROW; at 8-row spills that is an
+    allocation storm that OOMs the driver — an artifact of the config,
+    not an operator defect (root-caused in round 5)
 
 The exact-integer / partition-invariance discipline every entry claims
 means results must be config-invariant; this is the permanent guard for
@@ -45,6 +57,14 @@ _ADVERSARIAL = {
     "spark.sql.parquet.enableVectorizedReader": "false",
     "spark.sql.files.maxPartitionBytes": "262144",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "7",
+    "spark.sql.windowExec.buffer.spill.threshold": "64",
+    "spark.sql.windowExec.buffer.in.memory.threshold": "32",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "64",
+    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold": "32",
+    "spark.sql.sessionWindow.buffer.spill.threshold": "64",
+    "spark.sql.sessionWindow.buffer.in.memory.threshold": "32",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold": "64",
+    "spark.sql.cartesianProductExec.buffer.in.memory.threshold": "32",
 }
 
 
