@@ -498,3 +498,131 @@ def test_transform_with_state_running_totals_or_probe(spark, tmp_path):
     )
     want = {r.user_id: (r.n, r.s) for r in batch.collect()}
     assert got == want
+
+
+def test_sessionize_restart_from_checkpoint_carries_state(spark, tmp_path):
+    """Checkpoint-recovery contract (the production restart path the
+    single-run tests cannot exercise): a stateful sessionization query
+    is stopped after half its input and RESTARTED against the same
+    checkpoint + file sink. One session deliberately SPANS the restart
+    boundary — its first 3 events arrive before the stop, its last 2
+    after — so the final output is only correct if BOTH recoveries
+    work: source offsets (run 2 must not reprocess run 1's files; its
+    numInputRows is pinned) and the state store (the open session must
+    merge across the restart instead of splitting in two). The parquet
+    sink's _spark_metadata commit log makes the union of both runs
+    exactly-once; the final read must equal the batch sessionize twin."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from postgis_gtfs_importer_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 6, 1, 8, 0, 0)
+
+    def ev(eid, uid, t):
+        return (eid, uid, f"type{eid % 3}", t, "1.0", "{}")
+
+    eid = 0
+    file_rows: dict[str, list] = {"a": [], "b": [], "c": [], "d": [], "e": []}
+    # file a (run 1): users 0-3, one closed session each (4 events, 5 min)
+    for u in range(4):
+        for i in range(4):
+            file_rows["a"].append(
+                ev(eid, u, base + dt.timedelta(minutes=u + 5 * i))
+            )
+            eid += 1
+    # file b (run 1): user 9's session OPENS — 3 events ending base+100min
+    for m in (90, 95, 100):
+        file_rows["b"].append(ev(eid, 9, base + dt.timedelta(minutes=m)))
+        eid += 1
+    # file c (run 2): user 9 CONTINUES (15-min gap < 30-min session gap),
+    # plus a second closed session per user 0-3 five hours later
+    for m in (115, 120):
+        file_rows["c"].append(ev(eid, 9, base + dt.timedelta(minutes=m)))
+        eid += 1
+    for u in range(4):
+        for i in range(4):
+            file_rows["c"].append(
+                ev(eid, u, base + dt.timedelta(hours=5, minutes=u + 5 * i))
+            )
+            eid += 1
+    # files d, e (run 2): watermark flushes — two far-future events so the
+    # final micro-batch runs with the watermark already past every real
+    # session's end + gap, firing the event-time timeouts
+    file_rows["d"].append(ev(eid, 99, base + dt.timedelta(days=2)))
+    eid += 1
+    file_rows["e"].append(ev(eid, 99, base + dt.timedelta(days=2, hours=1)))
+    eid += 1
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+
+    def publish(tag):
+        out = str(tmp_path / f"restart_tmp_{tag}")
+        spark.createDataFrame(file_rows[tag], SE.EVENT_SCHEMA).coalesce(
+            1
+        ).write.parquet(out)
+        part = _glob.glob(out + "/part-*.parquet")[0]
+        _shutil.copy(part, str(src / f"{tag}.parquet"))
+
+    out_dir = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run_once():
+        stream = SE.stream_events(spark, str(src), max_files_per_trigger=1)
+        q = (
+            SE.sessionize_stream(stream, gap_sec=1800,
+                                 watermark_delay="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    # state-partition count is pinned into the checkpoint at first start
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for tag in ("a", "b"):
+            publish(tag)
+        n_run1 = run_once()
+        assert n_run1 == len(file_rows["a"]) + len(file_rows["b"])
+        # user 9's session is OPEN in state — it must NOT be in the sink
+        emitted_run1 = spark.read.parquet(out_dir)
+        assert emitted_run1.filter(F.col("user_id") == 9).count() == 0
+
+        for tag in ("c", "d", "e"):
+            publish(tag)
+        n_run2 = run_once()
+        # offset recovery: ONLY the new files were read after the restart
+        assert n_run2 == sum(len(file_rows[t]) for t in ("c", "d", "e"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    got = {
+        (r.user_id, r.session_start_epoch, r.session_end_epoch, r.n_events)
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("user_id") < 50)
+        .collect()
+    }
+    real = [r for t in ("a", "b", "c") for r in file_rows[t]]
+    batch = sessionize(
+        spark.createDataFrame(real, SE.EVENT_SCHEMA), gap_sec=1800
+    )
+    want = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            r.n_events,
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    # the boundary-spanning session really merged: ONE 5-event session
+    u9 = [g for g in got if g[0] == 9]
+    assert len(u9) == 1 and u9[0][3] == 5
