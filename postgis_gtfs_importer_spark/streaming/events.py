@@ -341,6 +341,36 @@ TESTDATA_EVENT_SCHEMA = StructType(
 )
 
 
+def _stream_table(spark: SparkSession, sf_dir: str, table: str, schema):
+    """File-source readStream over ``{sf_dir}/{table}.parquet`` in EITHER
+    physical shape the name can take:
+
+    - a single parquet FILE (the driver's testdata fixture shape) — the
+      file stream source rejects a plain file path, so stream ``sf_dir``
+      with a ``pathGlobFilter`` selecting just that name;
+    - a DIRECTORY of part files (the shape every Spark/Hive/Iceberg
+      writer produces — i.e. the 100 TB production shape) — stream the
+      directory itself. The glob-filter form is WRONG here:
+      ``pathGlobFilter`` matches leaf file names, ``part-*.parquet``
+      never equals ``events.parquet``, and the source returns a
+      SILENTLY EMPTY stream (caught by the round-5 directory-shape
+      differential sweep).
+
+    The shape probe goes through the Hadoop FileSystem API, so it works
+    for any scheme the source can read (local, HDFS, s3a), and an absent
+    table raises loudly instead of inheriting the empty-glob silence.
+    """
+    path = f"{sf_dir}/{table}.parquet"
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"stream source not found: {path}")
+    reader = spark.readStream.schema(schema)
+    if fs.getFileStatus(jpath).isDirectory():
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def stream_testdata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the driver's events.parquet.
 
@@ -354,13 +384,7 @@ def stream_testdata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of the caller session's zone.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # The file stream source requires a directory: stream the sf_dir with
-    # a glob filter selecting only the events table.
-    raw = (
-        spark.readStream.schema(TESTDATA_EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_table(spark, sf_dir, "events", TESTDATA_EVENT_SCHEMA)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -430,12 +454,9 @@ TESTDATA_DOC_SCHEMA = StructType(
 def stream_testdata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the driver's documents.parquet — the live half of
     the batch==stream corpus-curation contract (see
-    plans/queries.py::streaming_corpus_gate_query)."""
-    return (
-        spark.readStream.schema(TESTDATA_DOC_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    plans/queries.py::streaming_corpus_gate_query). Shape-agnostic via
+    ``_stream_table``: single-file fixture or part-file directory."""
+    return _stream_table(spark, sf_dir, "documents", TESTDATA_DOC_SCHEMA)
 
 
 def drain_hll_dashboard(

@@ -626,3 +626,42 @@ def test_sessionize_restart_from_checkpoint_carries_state(spark, tmp_path):
     # the boundary-spanning session really merged: ONE 5-event session
     u9 = [g for g in got if g[0] == 9]
     assert len(u9) == 1 and u9[0][3] == 5
+
+
+def test_stream_testdata_tables_directory_shape(spark, tmp_path):
+    """Physical-shape invariance of the testdata stream loaders: the
+    driver fixture ships each table as a single parquet FILE, but every
+    Spark/Hive writer produces a DIRECTORY of part files — the shape a
+    production sf_dir has. The glob-filter loader this replaces matched
+    only the file shape and returned a SILENTLY EMPTY stream on the
+    directory shape (pathGlobFilter matches leaf names; part-*.parquet
+    never equals events.parquet). Both shapes must stream identical
+    rows, and an absent table must raise instead of streaming nothing."""
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "dir-shape"
+    d.mkdir()
+    for t in ("events", "documents"):
+        spark.read.parquet(f"{sf}/{t}.parquet").repartition(3).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+
+    for loader, key in (
+        (SE.stream_testdata_events, "event_id"),
+        (SE.stream_testdata_documents, "doc_id"),
+    ):
+        got = {}
+        for tag, src in (("file", sf), ("dir", str(d))):
+            name = f"shape_{key}_{tag}"
+            q = (
+                loader(spark, src)
+                .writeStream.format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got[tag] = {r[key] for r in spark.table(name).select(key).collect()}
+        assert got["file"] == got["dir"] and got["file"], loader.__name__
+
+    with pytest.raises(ValueError, match="stream source not found"):
+        SE.stream_testdata_events(spark, str(tmp_path / "nowhere"))
