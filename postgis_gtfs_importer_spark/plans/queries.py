@@ -184,6 +184,16 @@ _MUST_VERIFY: list[str] = [
         "text_quality",
         "video_features",
         "zorder_hist",
+        # r5 summation-order hardening: the hive-layout differential
+        # flipped revenue_by_nation's cent (double sums are
+        # summation-order-dependent); these three entries moved to
+        # per-row integer quantization + BIGINT sums on BOTH engine
+        # sides. Prior green rows; re-verified oracle-parity green
+        # locally at sf0.001/sf0.01 and under the hive/directory
+        # layouts; they queue behind the never-verified entries.
+        "pricing_summary",
+        "revenue_by_nation",
+        "stats_by_type_day",
     ]),
 ]
 
@@ -301,13 +311,13 @@ def fixed_point(col, digits: int):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)   AS sum_charge,
-           CAST(floor(round(sum(l_quantity), 2) / count(*) * 1e4 + 0.5) AS BIGINT)      AS avg_qty_e4,
-           CAST(floor(round(sum(l_extendedprice), 2) / count(*) * 1e4 + 0.5) AS BIGINT) AS avg_price_e4,
-           CAST(floor(round(sum(l_discount), 4) / count(*) * 1e6 + 0.5) AS BIGINT)      AS avg_disc_e6,
+           round(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_qty,
+           round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
+           round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4, 2) AS sum_disc_price,
+           round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6, 2) AS sum_charge,
+           CAST(floor(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*) * 1e4 + 0.5) AS BIGINT)      AS avg_qty_e4,
+           CAST(floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*) * 1e4 + 0.5) AS BIGINT) AS avg_price_e4,
+           CAST(floor(CAST(sum(CAST(floor(l_discount * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 / count(*) * 1e6 + 0.5) AS BIGINT)      AS avg_disc_e6,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -320,23 +330,38 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The canonical stats-view shape of gtfs-via-postgres' stats_by_route_date
     (generated by /root/reference/import.sh:124). Catalyst pushes the
     shipdate filter into the parquet scan and plans a two-phase hash agg.
+
+    Money/measure sums go through PER-ROW integer quantization (the
+    fixed_point idiom: cents/e4/e6 units as BIGINT) and integer addition,
+    because a double sum is summation-order-dependent at the ulp level —
+    engines and physical layouts sum in different orders, and the round-5
+    hive-layout differential caught a cent flip from exactly that. The
+    source columns carry <= 2 decimals, so quantization is lossless; the
+    integer sum is associative, i.e. partition- and layout-free. (At
+    extreme row counts the e6 units would need a DECIMAL(38,0) sum
+    instead of BIGINT — overflow headroom is ~9e18 units.)
     """
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_e2 = F.sum(fixed_point(F.col("l_quantity"), 2))
+    price_e2 = F.sum(fixed_point(F.col("l_extendedprice"), 2))
+    disc_e4 = F.sum(fixed_point(F.col("l_discount"), 4))
+    dp_e4 = F.sum(fixed_point(disc_price, 4))
+    charge_e6 = F.sum(fixed_point(disc_price * (1 + F.col("l_tax")), 6))
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            # avg derived from the quantized sum: engines sum doubles in
-            # different orders (ulp-level drift), so round(sum) first —
-            # identical doubles both sides — then divide deterministically.
-            fixed_point(F.round(F.sum("l_quantity"), 2) / F.count("*"), 4).alias("avg_qty_e4"),
-            fixed_point(F.round(F.sum("l_extendedprice"), 2) / F.count("*"), 4).alias("avg_price_e4"),
-            fixed_point(F.round(F.sum("l_discount"), 4) / F.count("*"), 6).alias("avg_disc_e6"),
+            F.round(qty_e2.cast("double") / 100, 2).alias("sum_qty"),
+            F.round(price_e2.cast("double") / 100, 2).alias("sum_base_price"),
+            F.round(dp_e4.cast("double") / 1e4, 2).alias("sum_disc_price"),
+            F.round(charge_e6.cast("double") / 1e6, 2).alias("sum_charge"),
+            # avgs mirror the oracle's operation order exactly: exact
+            # integer sum -> double -> /unit -> /count -> *1e4 -> floor.
+            F.floor(qty_e2.cast("double") / 100 / n * 1e4 + 0.5).cast("long").alias("avg_qty_e4"),
+            F.floor(price_e2.cast("double") / 100 / n * 1e4 + 0.5).cast("long").alias("avg_price_e4"),
+            F.floor(disc_e4.cast("double") / 1e4 / n * 1e6 + 0.5).cast("long").alias("avg_disc_e6"),
             F.count("*").alias("count_order"),
         )
     )
@@ -346,7 +371,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4, 2) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -366,6 +391,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact=lineitem with four dimension hops. Dimensions are broadcast
     (under the autoBroadcastJoinThreshold) so the fact table never
     shuffles — the plan that survives a 100× scale-up.
+
+    Revenue sums per-row e4-quantized BIGINTs (pricing_summary's
+    rationale: double sums are summation-order-dependent; the hive-layout
+    differential flipped this entry's cent at sf0.001), then converts the
+    exact integer to the 2-decimal display double.
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
@@ -383,7 +413,13 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    fixed_point(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    )
+                ).cast("double")
+                / 1e4,
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
@@ -569,8 +605,8 @@ def frequencies_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS total_value,
-           CAST(floor(round(sum(value), 2) / count(*) * 1e4 + 0.5) AS BIGINT) AS avg_value_e4
+           round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value,
+           CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*) * 1e4 + 0.5) AS BIGINT) AS avg_value_e4
     FROM events
     GROUP BY event_type, day
     """,
@@ -580,9 +616,11 @@ def stats_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The stats_by_route_date family (gtfs-via-postgres optional views,
     /root/reference/import.sh:124). countDistinct adds the expand+two-phase
-    distinct-agg plan.
+    distinct-agg plan. value sums as per-row cents (BIGINT) for
+    summation-order independence — see pricing_summary's rationale.
     """
     e = _t(spark, sf_dir, "events")
+    v_e2 = F.sum(fixed_point(F.col("value"), 2))
     return (
         e.groupBy(
             "event_type",
@@ -591,8 +629,10 @@ def stats_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            fixed_point(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value_e4"),
+            F.round(v_e2.cast("double") / 100, 2).alias("total_value"),
+            F.floor(v_e2.cast("double") / 100 / F.count("*") * 1e4 + 0.5)
+            .cast("long")
+            .alias("avg_value_e4"),
         )
     )
 
