@@ -68,3 +68,53 @@ def test_query_invariant_under_directory_shape(spark, dir_sf, duck, name):
     oracle_df = duck.execute(ORACLES[name]).df()
     problems = compare(spark_df, oracle_df)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+#: Hive partition column per table (string-typed so DuckDB's
+#: hive_partitioning=1 re-derives the identical values Spark does).
+_HIVE_PART = {
+    "events": "event_type",
+    "documents": "lang",
+    "orders": "o_orderpriority",
+}
+
+
+@pytest.fixture(scope="module")
+def hive_sf(spark, tmp_path_factory):
+    """sf0.001 with three tables rewritten hive-partitioned
+    (``partitionBy``) — the layout production writers actually produce:
+    the partition column lives in DIRECTORY NAMES, not in the files, so
+    this exercises partition discovery/reconstruction on the Spark side
+    and ``hive_partitioning=1`` on the oracle side. This sweep caught
+    the double-sum summation-order flip in revenue_by_nation (a
+    different scan order moved the rounded cent) that motivated the
+    per-row integer-quantization hardening of the money sums."""
+    d = tmp_path_factory.mktemp("hive-shape-sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        w = df.write
+        if t in _HIVE_PART:
+            w = w.partitionBy(_HIVE_PART[t])
+        w.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hive_duck(hive_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{hive_sf}/{t}.parquet/**/*.parquet', "
+            f"hive_partitioning=1)"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_invariant_under_hive_partitioning(spark, hive_sf, hive_duck, name):
+    spark_df = Q.queries()[name](spark, hive_sf)
+    oracle_df = hive_duck.execute(ORACLES[name]).df()
+    problems = compare(spark_df, oracle_df)
+    assert not problems, f"{name}: " + "; ".join(problems)
