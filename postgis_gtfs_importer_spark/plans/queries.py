@@ -194,6 +194,14 @@ _MUST_VERIFY: list[str] = [
         "pricing_summary",
         "revenue_by_nation",
         "stats_by_type_day",
+        # same hardening, second sweep of the class (floor(sum(double))
+        # in group/window aggregates): per-row cents/e4 units now sum
+        # as BIGINTs. pareto_customers sits in the window already;
+        # these four join the backlog with prior green rows.
+        "small_quantity_revenue",
+        "market_share",
+        "top_returners",
+        "rolling_user_activity",
     ]),
 ]
 
@@ -710,10 +718,10 @@ def stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
-           CAST(floor(sum(value) OVER (
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) * 100 + 0.5) AS BIGINT) AS value_last_hour_e2
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS value_last_hour_e2
     FROM events
     """,
 )
@@ -732,9 +740,10 @@ def rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.count("*").over(w).alias("n_last_hour"),
-        F.floor(F.sum("value").over(w) * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("value_last_hour_e2"),
+        # per-row cents under the window sum: Spark's sliding-frame
+        # accumulation and DuckDB's segment tree add doubles in
+        # different orders; integer units make the frame sum exact.
+        F.sum(fixed_point(F.col("value"), 2)).over(w).alias("value_last_hour_e2"),
     )
 
 
@@ -2787,7 +2796,7 @@ def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.l_partkey,
            count(*) AS n_small,
-           CAST(floor(sum(l.l_extendedprice) * 100 + 0.5) AS BIGINT)
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS small_revenue_e2
     FROM lineitem l
     WHERE l.l_quantity < (
@@ -4330,11 +4339,11 @@ def hist_quantiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MARKET_SHARE_SQL = """
     SELECT o_year,
-           CAST(floor(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                      / sum(volume) * 1e6 + 0.5) AS BIGINT) AS mkt_share_e6
+           CAST(floor(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_e4 ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(volume_e4) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS mkt_share_e6
     FROM (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT) AS volume_e4,
              n2.n_name AS nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -4371,8 +4380,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_RETURNERS_SQL = """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
-                AS BIGINT) AS revenue_e2
+           CAST(floor(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 100 + 0.5) AS BIGINT) AS revenue_e2
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -6073,7 +6082,7 @@ def pagerank_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT o_custkey AS c_custkey,
              count(*) AS orders_cnt,
-             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS spend_cents
       FROM orders
       GROUP BY o_custkey
@@ -6101,9 +6110,9 @@ def pareto_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spread(_t(spark, sf_dir, "orders"))
     m = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.count("*").alias("orders_cnt"),
-        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("spend_cents"),
+        # per-row cents, BIGINT sum: summation-order-free (see
+        # pricing_summary's rationale — double sums drift by layout)
+        F.sum(fixed_point(F.col("o_totalprice"), 2)).alias("spend_cents"),
     )
     return skyline_2d(m, "orders_cnt", "spend_cents")
 
