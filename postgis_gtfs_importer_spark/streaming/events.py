@@ -361,14 +361,40 @@ def _stream_table(spark: SparkSession, sf_dir: str, table: str, schema):
     table raises loudly instead of inheriting the empty-glob silence.
     """
     path = f"{sf_dir}/{table}.parquet"
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        raise ValueError(f"stream source not found: {path}")
     reader = spark.readStream.schema(schema)
-    if fs.getFileStatus(jpath).isDirectory():
+    if _is_directory(spark, path):
         return reader.parquet(path)
     return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
+def _is_directory(spark: SparkSession, path: str) -> bool:
+    """Shape probe behind ``_stream_table``; raises on an absent path.
+
+    Primary: the Hadoop FileSystem API via the py4j gateway — works for
+    any scheme the source can read. Spark Connect sessions have no
+    ``_jvm`` gateway, so local paths fall back to ``os.path``; remote
+    schemes under Connect default to the directory form (the production
+    layout — a single remote file is the fixture-only shape), where an
+    absent path still fails loudly at stream start.
+    """
+    try:
+        jvm, jsc = spark._jvm, spark._jsc
+    except Exception:
+        jvm = None
+    if jvm is not None:
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            raise ValueError(f"stream source not found: {path}")
+        return fs.getFileStatus(jpath).isDirectory()
+    import os
+
+    local = path[7:] if path.startswith("file://") else path
+    if "://" not in local:
+        if not os.path.exists(local):
+            raise ValueError(f"stream source not found: {path}")
+        return os.path.isdir(local)
+    return True
 
 
 def stream_testdata_events(spark: SparkSession, sf_dir: str) -> DataFrame:
