@@ -665,3 +665,29 @@ def test_stream_testdata_tables_directory_shape(spark, tmp_path):
 
     with pytest.raises(ValueError, match="stream source not found"):
         SE.stream_testdata_events(spark, str(tmp_path / "nowhere"))
+
+
+def test_stream_shape_probe_without_gateway(tmp_path):
+    """_is_directory's Spark-Connect fallback (no py4j gateway): local
+    paths probe via os.path, remote schemes default to the directory
+    form, absent paths raise the loud contract."""
+    from postgis_gtfs_importer_spark.streaming.events import _is_directory
+
+    class _NoGateway:
+        @property
+        def _jvm(self):
+            raise RuntimeError("connect session: no gateway")
+
+        @property
+        def _jsc(self):
+            raise RuntimeError("connect session: no gateway")
+
+    s = _NoGateway()
+    f = tmp_path / "x.parquet"
+    f.write_text("x")
+    assert _is_directory(s, str(tmp_path)) is True
+    assert _is_directory(s, str(f)) is False
+    assert _is_directory(s, f"file://{f}") is False
+    assert _is_directory(s, "s3a://bucket/table.parquet") is True
+    with pytest.raises(ValueError, match="stream source not found"):
+        _is_directory(s, str(tmp_path / "missing"))
