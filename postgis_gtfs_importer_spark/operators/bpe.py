@@ -236,8 +236,15 @@ def bpe_encode(
     encoder is pinned in tests/test_bpe.py.
 
     Returns (doc_id, n_words, n_symbols_char, n_tokens_bpe).
+
+    NULL text is in-domain (nulled-payload ingestion class) and must
+    report exact ZEROS, matching the oracle's LEFT JOIN + coalesce:
+    without the coalesce, split(trim(NULL)) propagates NULL through
+    size/aggregate and the counts come back NULL.
     """
-    words = TX.lower_ws_tokens_nonempty(F.col(text_col))
+    words = TX.lower_ws_tokens_nonempty(
+        F.coalesce(F.col(text_col), F.lit(""))
+    )
     word_syms_sql = (
         "concat(filter(split(w, ''), c -> c <> ''), array('" + EOW + "'))"
     )

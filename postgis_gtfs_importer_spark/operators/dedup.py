@@ -774,6 +774,17 @@ def neardup_incremental(
     Shuffles: signature build (batch-sized), band join (batch bands x
     bucket), verify join on (batch_id, index_id) — all bounded by the
     BATCH and its candidate fan-out, never by corpus size.
+
+    Cache lifecycle (same contract as sources.corpus.read_jsonl_corpus):
+    three BATCH-SIZED intermediates (signatures, index-miss survivors,
+    intra-batch pairs) are ``persist()``ed because each feeds 2-3
+    downstream reads of the returned frames; their blocks live until
+    both returned frames are garbage-collected (the ContextCleaner then
+    reclaims them) — there is no explicit handle. An ingestion loop
+    calling this per batch should drop its references to the PREVIOUS
+    batch's frames between iterations (or ``spark.catalog.clearCache()``)
+    rather than keep them live; each batch holds O(batch) signature
+    rows — never corpus-sized — in MEMORY_AND_DISK until released.
     """
     # persist(), not materialize(): the lazy-localCheckpoint CALL costs
     # ~1.5 s of driver-side plan-to-RDD work on this plan shape

@@ -21,6 +21,7 @@ Scale shape:
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -105,6 +106,15 @@ def funnel_oracle_sql(
 
     def _q(name: str) -> str:
         return name.replace("'", "''")
+
+    # The step fix above closed the literal-injection class; the table
+    # name is interpolated as an IDENTIFIER and gets the matching
+    # treatment: a strict allowlist (same class of fix as
+    # profile_columns / segment_lines). Dotted schema qualification is
+    # fine; quoting games are not.
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*",
+                        table):
+        raise ValueError(f"invalid table identifier: {table!r}")
 
     steps = [_q(st) for st in steps]
     ctes = [

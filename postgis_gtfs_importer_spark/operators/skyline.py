@@ -53,7 +53,6 @@ def _local_front(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     schema = df.schema
 
     def part(batches):
-        import numpy as np
         import pandas as pd
 
         rows = [b for b in batches]
@@ -70,10 +69,24 @@ def _local_front(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         # strictly exceeds the best y of every strictly-greater-x group.
         gmax = p.groupby(x_col, sort=False)[y_col].transform("max")
         new_group = p[x_col].ne(p[x_col].shift())
-        prior = pd.Series(np.nan, index=p.index, dtype="float64")
-        prior[new_group] = gmax[new_group].cummax().shift(1).values
-        prior = prior.ffill()
-        keep = (p[y_col] == gmax) & (prior.isna() | (p[y_col] > prior))
+        # Running max of PRIOR x-groups. For integer metrics this must
+        # stay in integer arithmetic: a float64 NaN-sentinel series
+        # (the original form) silently rounds above 2^53, so a genuine
+        # front row with y one past a 2^53-scale prior could compare
+        # equal and be dropped — the prefilter is supposed to be
+        # lossless. pandas nullable Int64 keeps exact int64 compare
+        # with pd.NA as the no-prior-group sentinel.
+        gmax_first = gmax[new_group]
+        if pd.api.types.is_integer_dtype(p[y_col].dtype):
+            prior_per_group = gmax_first.astype("Int64").cummax().shift(1)
+        else:
+            prior_per_group = gmax_first.astype("float64").cummax().shift(1)
+        grp_pos = new_group.cumsum().to_numpy() - 1
+        prior = prior_per_group.reset_index(drop=True).iloc[grp_pos]
+        prior.index = p.index
+        keep = (p[y_col] == gmax) & (
+            prior.isna() | (p[y_col] > prior).fillna(False)
+        )
         yield p[keep]
 
     return df.mapInPandas(part, schema=schema)

@@ -60,220 +60,114 @@ def register(name: str, oracle: str | None):
 #: Human-readable subset of the ledger's stale set: entries with a PRIOR
 #: green driver row whose implementation changed afterwards. Enforced
 #: against the ledger by tests/test_registry_ledger.py (both directions).
-_MUST_VERIFY: list[str] = [
-    # e33fced (r4) rewired the C11/C15 family onto the _synthetic_ad
-    # staged fact after their r2 rows — the drift VERDICT r4 flagged
-    "arrivals_departures_abs",
-    "stats_agency_route_stop_hour",
-    "active_trips_by_hour",
-    "stats_route_date",
-    # r5 changes: skyline local-front prefilter; segment_lines integer
-    # ceil; BPE training oracle replacing the rows-only row
-    "pareto_customers",
-    "line_dedup",
-    "bpe_merges",
-    # r5: triangle_count/part_cooccurrence_edges landed in operators/
-    # graph.py — whole-module digest granularity flags every graph.py
-    # dependent (the ledger's conservative-by-design behavior)
-    "pagerank_trade",
-    # r5: asof_join_forward landed in operators/temporal.py — same
-    # whole-module flagging of its dependents
-    "asof_join",
-    "range_join",
-    *(_OVERFLOW_QUEUE := [
-        # r5 ledger migration (import-resolver fix): the legacy closure
-        # regex dropped single-dot sibling imports, so these entries'
-        # recorded digests never covered modules their code actually
-        # imports transitively — and git shows those modules changed
-        # after their green rounds. They carry prior green rows +
-        # current local oracle-parity green, so they queue BEHIND the
-        # never-verified entries: placed at the TAIL of _FRONT (outside
-        # the 50-prefix this round), they drain in round 6. The
-        # test_registry_ledger overflow invariant enforces exactly this
-        # ordering: overflow only when the window is full of stale
-        # entries, and only with changed-since (prior-green-row) class.
-        "balanced_mixture",
-        "bm25_topk",
-        "chunk_documents",
-        "classifier_scores",
-        "hash_split",
-        "inverted_index",
-        "nearest_stops",
-        "negative_samples",
-        "pack_sequences",
-        "pii_redaction",
-        "pmi_bigrams",
-        "priority_sample",
-        "repetition_profile",
-        "shape_lengths",
-        "source_cap",
-        "stops_radius_pairs",
-        "stratified_sample",
-        "tfidf_distinctive",
-        # r5 GTFS-core review fixes touched derivations.py (single-agency
-        # timezone fill, degenerate-frequencies guard, empty-feed_info
-        # guard): these two r2-green dependents join the queue; the other
-        # derivations dependents were already inside the window
-        "departures_at_station",
-        "translations_feedwide",
-        # r5 streaming/sources review fixes touched streaming/events.py
-        # (sessionize backward start extension, run_to_memory progress
-        # cap): its seven registry dependents join the queue — all
-        # r2-r4 green, re-verified oracle-parity green locally
-        "streaming_corpus_gate",
-        "streaming_dedup",
-        "streaming_enrich",
-        "streaming_interval_join",
-        "streaming_interval_join_outer",
-        "streaming_sessionize",
-        "streaming_windowed_stats",
-        # r5 LLM-core review fixes touched dedup.py / similarity.py /
-        # curation.py / functions/vectors.py (ivf external queries,
-        # generic centroid sampling, sketch dim guard, CC convergence
-        # raise, neardup intra-batch election, shared shingle relation,
-        # repetition NULL guard): their 24 registry dependents join the
-        # queue — all with prior green rows, all re-verified
-        # oracle-parity green locally. At 101 stale entries the drain
-        # takes rounds 6-7 (50 per round); additions stay frozen.
-        "ann_int8_topk",
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "bigram_lm_scores",
-        "cms_token_counts",
-        "decontaminate",
-        "dedup_clusters",
-        "dedup_incremental",
-        "embedding_cosine_pairs",
-        "embedding_topk",
-        "entity_resolution",
-        "lexical_rarity",
-        "mad_outliers",
-        "minhash_lsh_pairs",
-        "neardup_incremental",
-        "ngram_jaccard_capped",
-        "ngram_jaccard_pairs",
-        "quality_gate",
-        "rolling_fingerprint",
-        "score_quantile_norm",
-        "semantic_dedup",
-        "simhash_pairs",
-        "temperature_sample",
-        "token_topk",
-        # r5 final review wave (multimodal NULL/bounds guards, spatial
-        # antimeridian wrap, corpus gate fixes, scoring global_rank
-        # path, shared tokenizer helper in functions/text.py): their 11
-        # registry dependents join the queue — prior green rows, all
-        # oracle-parity green locally
-        "audio_features",
-        "corpus_curation",
-        "dedup_exact",
-        "doc_fingerprint",
-        "frame_sample_stats",
-        "hilbert_hist",
-        "lang_id",
-        "multimodal_features",
-        # r5 oracle precision fix: the gaps-and-islands oracle compared
-        # SECOND-floored epochs while Spark's native session_window
-        # merges on full-precision timestamps — an sf0.1 boundary pair
-        # (true diff 1799.34s, floored diff exactly 1800) split in the
-        # oracle but merged in the engine. Oracle now compares
-        # epoch_us; re-verified value-green at sf0.01 AND sf0.1.
-        # (streaming_session_window shares the fix and is already in
-        # the window at this round's front.)
-        "session_window_native",
-        "text_quality",
-        "video_features",
-        "zorder_hist",
-        # r5 summation-order hardening: the hive-layout differential
-        # flipped revenue_by_nation's cent (double sums are
-        # summation-order-dependent); these three entries moved to
-        # per-row integer quantization + BIGINT sums on BOTH engine
-        # sides. Prior green rows; re-verified oracle-parity green
-        # locally at sf0.001/sf0.01 and under the hive/directory
-        # layouts; they queue behind the never-verified entries.
-        "pricing_summary",
-        "revenue_by_nation",
-        "stats_by_type_day",
-        # same hardening, second sweep of the class (floor(sum(double))
-        # in group/window aggregates): per-row cents/e4 units now sum
-        # as BIGINTs. pareto_customers sits in the window already;
-        # these four join the backlog with prior green rows.
-        "small_quantity_revenue",
-        "market_share",
-        "top_returners",
-        "rolling_user_activity",
-    ]),
+#: Round-6 drain (VERDICT r5 items 1/4): the entire stale set IS the
+#: r5 migration/review backlog — 70 entries with prior green driver
+#: rows whose implementation (or its newly-visible transitive closure,
+#: post import-resolver fix) changed after those rows. All 70 are
+#: oracle-parity green locally at sf0.01 (tests/test_oracle_parity.py).
+#: The window takes the 50 OLDEST queue entries verbatim; the remaining
+#: 20 — plus anything this round's fixes re-stale — drain in round 7.
+#: Registry ADDITIONS stay frozen until the queue is empty.
+_WINDOW_R6: list[str] = [
+    "balanced_mixture",
+    "bm25_topk",
+    "chunk_documents",
+    "classifier_scores",
+    "hash_split",
+    "inverted_index",
+    "nearest_stops",
+    "negative_samples",
+    "pack_sequences",
+    "pii_redaction",
+    "pmi_bigrams",
+    "priority_sample",
+    "repetition_profile",
+    "shape_lengths",
+    "source_cap",
+    "stops_radius_pairs",
+    "stratified_sample",
+    "tfidf_distinctive",
+    "departures_at_station",
+    "translations_feedwide",
+    "streaming_corpus_gate",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_sessionize",
+    "streaming_windowed_stats",
+    "ann_int8_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "bigram_lm_scores",
+    "cms_token_counts",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_incremental",
+    "embedding_cosine_pairs",
+    "embedding_topk",
+    "entity_resolution",
+    "lexical_rarity",
+    "mad_outliers",
+    "minhash_lsh_pairs",
+    "neardup_incremental",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "quality_gate",
+    "rolling_fingerprint",
+    "score_quantile_norm",
+    "semantic_dedup",
+    "simhash_pairs",
+    "temperature_sample",
 ]
 
-_FRONT: list[str] = [
-    *(n for n in _MUST_VERIFY if n not in _OVERFLOW_QUEUE),
-    # r5 change with no prior green row (week-axis densification)
-    "wow_change",
-    # never driver-verified (r4 continuation block, past the old window)
-    "table_profile",
-    "locf_resample",
-    "revenue_pivot",
-    "eigenvector_centrality",
-    "split_leakage_audit",
-    "benford_audit",
-    "streaming_session_window",
-    "unpivot_roundtrip",
-    "streaming_hll_dashboard",
-    "robust_scale",
-    # round-5 additions — no driver row yet
+#: Queued for round 7, tail of _FRONT (test_registry_ledger overflow
+#: invariant: overflow only while the window is fully stale, and only
+#: for changed-since entries — each of these has a prior green row).
+#: Entries re-staled by round-6 fixes are APPENDED here as they land.
+_OVERFLOW_QUEUE: list[str] = [
+    "token_topk",
+    "audio_features",
+    "corpus_curation",
+    "dedup_exact",
+    "doc_fingerprint",
+    "frame_sample_stats",
+    "hilbert_hist",
+    "lang_id",
+    "multimodal_features",
+    "session_window_native",
+    "text_quality",
+    "video_features",
+    "zorder_hist",
+    "pricing_summary",
+    "revenue_by_nation",
+    "stats_by_type_day",
+    "small_quantity_revenue",
+    "market_share",
+    "top_returners",
+    "rolling_user_activity",
+    # round-6 ADVICE fixes (each staled by a reviewed defect's fix, all
+    # locally oracle-parity green post-fix + pinned in
+    # tests/test_r6_advice_fixes.py): bpe_encode NULL-text zeros;
+    # pareto_customers exact-int prefilter prior; peak_concurrency /
+    # weekday_seasonality explicit-floor day buckets on both engines
     "bpe_encode",
-    "prefix_filter_jaccard",
-    "triangle_count",
-    "tvd_drift",
-    "revenue_cube",
-    "knn_label_vote",
-    "ann_recall_at_k",
-    "skew_salted_join",
-    "topk_parts_per_nation",
-    "zorder_pruning_stats",
-    # round-5 second wave — no driver row yet
-    "asof_join_forward",
-    "ntile_buckets",
-    "equidepth_hist",
-    "time_rollup",
-    "corr_components",
-    "first_touch_attribution",
-    "variant_extract_stats",
-    "item_similarity",
-    "association_rules",
+    "pareto_customers",
     "peak_concurrency",
     "weekday_seasonality",
-    "kcore_membership",
-    "grouping_sets_mix",
-    "percent_rank_native",
-    "global_rank_distributed",
-    # freshness rotation: the entries with the OLDEST green rows
-    # (r1/r2, impl unchanged per the ledger) — at 141+ entries and a
-    # 50-slot window each entry is re-verified at best every ~3 rounds,
-    # so the spare slots go to the longest-unverified tail
-    # ann_ivf_topk / embedding_topk / semantic_dedup /
-    # departures_at_station released their freshness slots to the
-    # fourth-wave additions (ledger-verified, impl unchanged; the ANN
-    # family keeps fresh rows via ann_int8_topk / ann_recall_at_k /
-    # knn_label_vote this round)
-    # corpus_curation released its slot to kcore_membership
-    # reconcile_imports / gc_candidates / digest_mint / composite_digest
-    # released their freshness slots to the round-5 final wave below
-    # (ledger-verified, impl unchanged since their r2 rows)
-    "sssp_trade",
-    "phrase_search",
-    "ols_trend",
-    "greedy_set_cover",
-    # retention_topk released its slot to global_rank_distributed
-    # doc_fingerprint / text_quality / lang_id / hash_split / stratified_sample /
-    # repetition_profile / sessionize / dedup_exact / rolling_fingerprint
-    # released their freshness-rotation slots to the second/third-wave
-    # additions (they are ledger-verified, impl unchanged)
-    # --- entries below this line sit OUTSIDE the 50-slot prefix: the
-    # migration backlog queues for round 6 behind the never-verified
-    # entries (see _OVERFLOW_QUEUE above) ---
-    *_OVERFLOW_QUEUE,
+    # surfaced by the v2 ledger migration closing the FN-alias hole:
+    # funnel_conversion's v1 digest never covered operators/funnels.py,
+    # and funnels.py changed after its r4 green row (r5 step-literal
+    # escaping + this round's table-identifier allowlist)
+    "funnel_conversion",
 ]
+
+#: Human-readable subset of the ledger's stale set: entries with a PRIOR
+#: green driver row whose implementation changed afterwards. Enforced
+#: against the ledger by tests/test_registry_ledger.py (both directions).
+_MUST_VERIFY: list[str] = [*_WINDOW_R6, *_OVERFLOW_QUEUE]
+
+_FRONT: list[str] = [*_WINDOW_R6, *_OVERFLOW_QUEUE]
 
 
 def _ordered() -> list[str]:
@@ -8424,7 +8318,8 @@ def association_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH spans AS (
       SELECT user_id,
-             (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+             CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0)
+                  AS BIGINT) AS day,
              min(CAST(floor(epoch(ts)) AS BIGINT)) AS s,
              max(CAST(floor(epoch(ts)) AS BIGINT)) + 1 AS e
       FROM events GROUP BY user_id, day
@@ -8465,9 +8360,19 @@ def peak_concurrency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "user_id",
             epoch.alias("ep"),
+            # explicit floor(x / 86400.0) on BOTH sides, not integer
+            # division: Spark `div` AND DuckDB integer `//` both
+            # truncate toward zero (probed: -7 // 2 = -3 in DuckDB),
+            # which is the semantically wrong day bucket pre-1970 (two
+            # calendar days collapse into "day 0"). Floor is the right
+            # bucketing and, written explicitly, is engine-independent.
+            # Double division is exact here (epoch seconds << 2^53;
+            # only exact multiples of 86400 land on integer quotients).
+            # Same anchoring discipline as ols_trend; pinned pre-1970
+            # in tests/test_r6_advice_fixes.py.
             F.expr(
-                "CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6)"
-                " AS BIGINT) div 86400"
+                "CAST(floor(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6)"
+                " / 86400.0) AS BIGINT)"
             ).alias("day"),
         )
         .groupBy("user_id", "day")
@@ -8484,7 +8389,8 @@ def peak_concurrency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
       SELECT event_type,
-             ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 3) % 7 AS dow
+             ((((CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0)
+                      AS BIGINT)) + 3) % 7) + 7) % 7 AS dow
       FROM events
     ),
     c AS (
@@ -8511,9 +8417,15 @@ def weekday_seasonality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((days + 3) % 7, Monday = 0): engine date-part functions disagree
     on week-start conventions, integer arithmetic cannot."""
     e = spread(_t(spark, sf_dir, "events"))
+    # explicit floor day + fully-normalized modulo on BOTH sides: `div`
+    # and DuckDB integer `//` both truncate toward zero (wrong bucket
+    # pre-1970), and bare `%` keeps the dividend's sign in both engines
+    # (a pre-epoch dow would come out negative). floor + ((x%7)+7)%7 is
+    # engine-independent and always lands Monday=0..6. Pinned pre-1970
+    # in tests/test_r6_advice_fixes.py.
     dow = F.expr(
-        "((CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6) AS BIGINT)"
-        " div 86400) + 3) % 7"
+        "((((CAST(floor(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6)"
+        " / 86400.0) AS BIGINT)) + 3) % 7) + 7) % 7"
     )
     c = e.select("event_type", dow.alias("dow")).groupBy(
         "event_type", "dow"

