@@ -142,3 +142,19 @@ def write_feed_zip(zip_path: str, files: dict[str, str] | None = None) -> str:
         for fname, content in (files or FEED_FILES).items():
             z.writestr(fname, content)
     return zip_path
+
+
+#: A23 postprocessing-hook fixtures shared VERBATIM by the LocalCatalog
+#: (DuckDB stand-in snapshot SQL engine, tests/test_publish.py) and the
+#: PsqlCatalog (live `psql -1`, tests/test_pg_live.py) tests. The same
+#: file content passing both backends pins the hook-SQL dialect
+#: boundary: a hook written against this surface behaves identically in
+#: the no-Postgres test path and in production (VERDICT r5 item 5;
+#: reference: import.sh:134-148). Keep these to the ANSI intersection —
+#: a PG-only construct would pass live and fail the DuckDB twin, and
+#: vice versa, which is exactly the drift this pair exists to catch.
+HOOK_SQL_CREATE = (
+    "CREATE TABLE route_trip_counts AS "
+    "SELECT route_id, count(*) AS n_trips FROM trips GROUP BY route_id;"
+)
+HOOK_SQL_MUTATE = "UPDATE stops SET stop_name = 'RENAMED' ;"

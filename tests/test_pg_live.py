@@ -265,6 +265,43 @@ def test_postprocessing_hook_and_grants_live(spark, catalog, pg_server, tmp_path
     assert grants == ["SELECT"]
 
 
+def test_hook_sql_dialect_parity_live(spark, catalog, pg_server, tmp_path):
+    """A23 hook-SQL dialect parity (VERDICT r5 item 5): the VERBATIM
+    postprocessing fixtures the LocalCatalog test runs through its
+    DuckDB stand-in executor (tests/test_publish.py) must execute
+    through `psql -1` against live PostgreSQL with identical outcomes —
+    otherwise a hook passing the default (no-Postgres) test path could
+    fail in production, the dialect drift VERDICT r5 flagged.
+    Reference: import.sh:134-148."""
+    from .gtfs_fixtures import HOOK_SQL_CREATE, HOOK_SQL_MUTATE
+
+    hooks = tmp_path / "postprocessing.d"
+    hooks.mkdir()
+    (hooks / "01-route-counts.sql").write_text(HOOK_SQL_CREATE)
+    (hooks / "02-mutate.sql").write_text(HOOK_SQL_MUTATE)
+    trips = spark.createDataFrame(
+        [("t1", "r1"), ("t2", "r1"), ("t3", "r2")],
+        "trip_id string, route_id string",
+    )
+    stops = spark.createDataFrame(
+        [("s1", "Alpha"), ("s2", "Beta")], "stop_id string, stop_name string"
+    )
+    res = import_gtfs_atomically(
+        spark, catalog, db_prefix=PREFIX, feed_digest="hookparity",
+        build_tables=lambda s, _db: {"trips": trips, "stops": stops},
+        postprocessing_dir=str(hooks),
+        now=make_clock(1_700_200_000),
+    )
+    db = res.new_import["db_name"]
+    assert _psql(
+        pg_server, db,
+        "SELECT n_trips FROM route_trip_counts WHERE route_id = 'r1'",
+    ) == ["2"]
+    assert _psql(pg_server, db, "SELECT DISTINCT stop_name FROM stops") == [
+        "RENAMED"
+    ]
+
+
 def test_copy_roundtrip_types_live(spark, catalog, pg_server):
     """C17: COPY text-format escaping + type mapping round-trips NULLs,
     tabs/newlines/backslashes, unicode, bools, dates and UTC timestamps."""

@@ -22,7 +22,7 @@ from postgis_gtfs_importer_spark.plans.publish import (
 )
 from postgis_gtfs_importer_spark.plans.pipeline import run_import
 
-from .gtfs_fixtures import write_feed_zip
+from .gtfs_fixtures import HOOK_SQL_CREATE, HOOK_SQL_MUTATE, write_feed_zip
 
 PREFIX = "gtfs_"
 
@@ -289,10 +289,9 @@ def test_run_import_end_to_end(spark, tmp_path):
         # with created tables exported back (A23)
         ppd = tmp_path / "postprocessing.d"
         ppd.mkdir()
-        (ppd / "01-route-counts.sql").write_text(
-            "CREATE TABLE route_trip_counts AS "
-            "SELECT route_id, count(*) AS n_trips FROM trips GROUP BY route_id;"
-        )
+        # shared fixture: the SAME text also runs through live psql -1
+        # in tests/test_pg_live.py (hook-SQL dialect parity, A23)
+        (ppd / "01-route-counts.sql").write_text(HOOK_SQL_CREATE)
         (ppd / ".hidden.sql").write_text("THIS WOULD FAIL")  # dotfiles skipped
         res3 = run_import(
             spark,
@@ -311,9 +310,7 @@ def test_run_import_end_to_end(spark, tmp_path):
         # published snapshot, and partitioned tables must keep their
         # hive layout through the re-export
         (ppd / "01-route-counts.sql").unlink()
-        (ppd / "02-mutate.sql").write_text(
-            "UPDATE stops SET stop_name = 'RENAMED' ;"
-        )
+        (ppd / "02-mutate.sql").write_text(HOOK_SQL_MUTATE)
         res4 = run_import(
             spark,
             cat,
