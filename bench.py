@@ -200,6 +200,47 @@ STDOUT_KEEP = {
     "import_e2e",  # reported separately, listed for completeness
 }
 
+#: The FROZEN 30-query timed core (VERDICT r5 item 6): `core_warm_sum`
+#: over exactly this list is the tracked headline number, immune to
+#: suite growth (total_warm kept creeping up purely from added
+#: coverage). Selection rule, applied ONCE at the r5 close and then
+#: frozen: the 30 warmest queries of BENCH_DETAIL_r5 (heaviest =
+#: most regression-sensitive); r5 backfill value over this list =
+#: 70.60 s warm at sf0.1. Do NOT re-derive per round — the point is a
+#: constant denominator; additions go to the rotating tail.
+CORE_30 = [
+    "sssp_trade",
+    "pagerank_trade",
+    "prefix_filter_jaccard",
+    "streaming_sessionize",
+    "eigenvector_centrality",
+    "triangle_count",
+    "embedding_cosine_pairs",
+    "streaming_interval_join",
+    "item_similarity",
+    "entity_resolution",
+    "simhash_pairs",
+    "association_rules",
+    "streaming_interval_join_outer",
+    "minhash_lsh_pairs",
+    "split_leakage_audit",
+    "neardup_incremental",
+    "ngram_jaccard_pairs",
+    "bpe_merges",
+    "greedy_set_cover",
+    "ngram_jaccard_capped",
+    "min_cost_supplier",
+    "bulk_customers",
+    "revenue_cube",
+    "market_share",
+    "excess_shippers",
+    "small_quantity_revenue",
+    "shipping_priority",
+    "topk_parts_per_nation",
+    "bigram_lm_scores",
+    "bm25_topk",
+]
+
 STREAMING_QUERIES = {
     "streaming_corpus_gate",
     "streaming_hll_dashboard",
@@ -307,6 +348,27 @@ def main() -> None:
     except Exception as e:  # the bench line must survive a backend failure
         print(f"# import_e2e: FAILED {type(e).__name__}: {e}", flush=True)
         detail["import_e2e"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    # sf1-class import (VERDICT r5 item 8): one decade up from the
+    # standing run (~11.5M arrivals vs ~1.15M) to pin COPY-sink
+    # throughput scaling. Env-gated — it adds minutes, so it runs when
+    # explicitly requested (SPARK_GRAFT_IMPORT_X10=1), not per-round;
+    # the recorded evidence lives in PARITY.md + SURVEY §8.
+    if os.environ.get("SPARK_GRAFT_IMPORT_X10"):
+        try:
+            with tempfile.TemporaryDirectory(prefix="import-x10-") as wd:
+                imp10 = run_import_bench(spark, wd, scale=(sf or 0.1) * 100)
+            detail["import_e2e_x10"] = imp10
+            rps = imp10["arrivals_rows"] / max(imp10["total_sec"], 1e-9)
+            print(
+                f"# import_e2e_x10: {imp10['total_sec']:.3f}s"
+                f" ({imp10['backend']} backend,"
+                f" {imp10['arrivals_rows']} arrivals rows, {rps:,.0f} rows/s)",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"# import_e2e_x10: FAILED {type(e).__name__}: {e}", flush=True)
+            detail["import_e2e_x10"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # sf1-class scale smoke (VERDICT r4 item 6): the heavy near-dup path
     # on a 50k-doc synthetic corpus with a deliberately hot key (one
@@ -529,6 +591,26 @@ def main() -> None:
         "regressed_2x": sorted(regressed_2x)[:5],
     }
 
+    # frozen-core headline (VERDICT r5 item 6): comparable across rounds
+    # because the denominator never grows with the suite
+    core_now = [
+        detail[n]["warm"]
+        for n in CORE_30
+        if isinstance(detail.get(n), dict) and "warm" in detail[n]
+    ]
+    core_prev = [
+        prev_queries[n]["warm"]
+        for n in CORE_30
+        if isinstance(prev_queries.get(n), dict) and "warm" in prev_queries[n]
+    ]
+    core = {
+        "core_warm_sum": round(sum(core_now), 2),
+        "core_n": len(core_now),  # must be 30; fewer means a core query died
+        "core_warm_sum_prev": (
+            round(sum(core_prev), 2) if len(core_prev) == len(CORE_30) else None
+        ),
+    }
+
     detail_paths = ["BENCH_DETAIL.json"]
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd:
@@ -538,6 +620,7 @@ def main() -> None:
         "total_cold": round(total, 3),
         "total_warm": round(total_warm, 3),
         "delta_vs_prev": delta_vs_prev,
+        **core,
         "queries": detail,
     }
     for p in detail_paths:
@@ -557,6 +640,7 @@ def main() -> None:
                 if isinstance(v, dict) and "warm" in v
             ),
             "total_warm": round(total_warm, 2),
+            **core,
             "import_e2e": import_e2e,
             "delta_vs_prev": delta_vs_prev,
             "sf": sf,

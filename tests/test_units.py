@@ -153,6 +153,9 @@ def test_bench_line_budget():
             "queries": worst,
             "n_queries": 999,
             "total_warm": 99999.99,
+            "core_warm_sum": 99999.99,
+            "core_n": 30,
+            "core_warm_sum_prev": 99999.99,
             "import_e2e": 99999.999,
             "delta_vs_prev": {
                 "common": 999,
