@@ -57,10 +57,21 @@ def kmv_sketch(
     collapse before the shuffle); the window moves at most the distinct
     keys. Persist this to merge later: union + re-rank is the KMV merge.
 
+    NULL policy (all four sketch families alike): NULL values are
+    EXCLUDED explicitly, same contract as fixed_histogram. Without the
+    filter a NULL key diverges ACROSS ENGINES — Spark ranks NULLS FIRST
+    in an ascending window (consuming a top-k slot and shifting a real
+    key out) while DuckDB ranks them LAST; in HLL a NULL forms a
+    phantom register row that corrupts the m - n_buckets term; in
+    CMS/Bloom Spark's concat() nulls the whole preimage while DuckDB's
+    concat() SKIPS null arguments. A NULL has no place in a
+    distinct/frequency/membership domain; count it separately.
+
     Returns (group..., h, rn), rn <= k.
     """
     keys = (
-        df.select(*group_cols, h60(value_col).alias("h"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h60(value_col).alias("h"))
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
@@ -123,7 +134,8 @@ def hll_registers(
         F.lit(w_bits) - bitlen + 1
     )
     return (
-        df.select(*group_cols, h.alias("_h"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
         .withColumn("bucket", bucket)
         .withColumn("_rem", rem)
         .withColumn("_rank", rank)
@@ -250,7 +262,8 @@ def cms_counters(
         % width
     )
     return (
-        df.select(F.col(value_col).cast("string").alias("_v"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("string").alias("_v"))
         .select("_v", rows)
         .withColumn("bucket", bucket)
         .groupBy("row", "bucket")
@@ -304,7 +317,8 @@ def cms_estimate(
         % width
     )
     probes = (
-        probe.select(F.col(probe_col).cast("string").alias("_p"))
+        probe.filter(F.col(probe_col).isNotNull())
+        .select(F.col(probe_col).cast("string").alias("_p"))
         .distinct()
         .select("_p", rows)
         .withColumn("bucket", bucket)
@@ -441,7 +455,8 @@ def bloom_bits(
         % m_bits
     )
     return (
-        df.select(F.col(value_col).cast("string").alias("_v"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("string").alias("_v"))
         .select("_v", rows)
         .select(bit.alias("bit"))
         .distinct()
@@ -488,7 +503,8 @@ def bloom_probe(
         % m_bits
     )
     probes = (
-        probe.select(F.col(probe_col).cast("string").alias("_p"))
+        probe.filter(F.col(probe_col).isNotNull())
+        .select(F.col(probe_col).cast("string").alias("_p"))
         .distinct()
         .select("_p", rows)
         .withColumn("bit", bit)

@@ -160,6 +160,17 @@ _OVERFLOW_QUEUE: list[str] = [
     # and funnels.py changed after its r4 green row (r5 step-literal
     # escaping + this round's table-identifier allowlist)
     "funnel_conversion",
+    # round-6 self-review: NULL-exclusion policy added to all four
+    # sketch builders + mirrored in their oracles (NULL keys diverge
+    # across engines — Spark NULLS FIRST vs DuckDB NULLS LAST in the
+    # KMV rank; phantom HLL register row; concat() NULL semantics).
+    # No-NULL testdata means values are unchanged; pinned in
+    # tests/test_r6_advice_fixes.py::test_sketches_null_policy_cross_engine
+    "kmv_distinct_users",
+    "hll_distinct_users",
+    "hll_merge_shards",
+    "bloom_membership",
+    "streaming_hll_dashboard",
 ]
 
 #: Human-readable subset of the ledger's stale set: entries with a PRIOR
@@ -3367,6 +3378,7 @@ _H60_SQL = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGIN
     f"""
     WITH h AS (
       SELECT DISTINCT event_type, {_H60_SQL} AS h FROM events
+      WHERE user_id IS NOT NULL
     ),
     r AS (
       SELECT event_type, h,
@@ -3406,7 +3418,7 @@ def kmv_distinct_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     b AS (
       SELECT event_type, h // 18014398509481984 AS bucket,
@@ -3987,7 +3999,7 @@ def cms_token_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     b AS (
       SELECT h // 18014398509481984 AS bucket, h % 18014398509481984 AS rem
@@ -4604,7 +4616,8 @@ def neardup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bloom_membership",
     """
-    WITH vals AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+    WITH vals AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+              WHERE o_custkey IS NOT NULL),
     rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
     bits AS (
       SELECT DISTINCT
@@ -7107,7 +7120,7 @@ def unpivot_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     b AS (
       SELECT event_type, h // 18014398509481984 AS bucket,

@@ -127,3 +127,50 @@ def test_funnel_oracle_sql_rejects_bad_table_identifier():
     # legitimate forms still pass
     assert "FROM events" in funnel_oracle_sql(["a", "b"])
     assert "FROM main.events" in funnel_oracle_sql(["a"], table="main.events")
+
+
+def test_sketches_null_policy_cross_engine(spark):
+    """Round-6 self-review finding (same in-domain NULL class as the
+    bpe_encode ADVICE item): NULL values used to flow into the sketch
+    builders, where they diverge ACROSS ENGINES — Spark ranks NULL keys
+    FIRST in the KMV ascending window (consuming a top-k slot) while
+    DuckDB ranks them LAST; an HLL NULL forms a phantom register row
+    corrupting the m - n_buckets term; CMS/Bloom preimages differ
+    because Spark concat() nulls out while DuckDB concat() skips NULLs.
+    All four families now EXCLUDE NULLs explicitly (the fixed_histogram
+    contract), mirrored in their oracles. This test feeds NULL-bearing
+    frames through each builder and asserts the NULL contributes
+    nothing — i.e. results equal the NULL-free input's."""
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+        cms_counters,
+        hll_distinct,
+        kmv_distinct,
+    )
+
+    vals = [("a", f"u{i}") for i in range(40)] + [("a", None), ("b", None)]
+    df = spark.createDataFrame(vals, "g string, v string")
+    clean = df.filter(df.v.isNotNull())
+
+    for fn in (
+        lambda d: kmv_distinct(d, ["g"], "v", k=16),
+        lambda d: hll_distinct(d, ["g"], "v", p=6),
+    ):
+        got = sorted(map(tuple, fn(df).collect()))
+        want = sorted(map(tuple, fn(clean).collect()))
+        assert got == want
+        assert all(r[0] == "a" for r in got), "NULL-only group must vanish"
+
+    got = sorted(map(tuple, cms_counters(df, "v").collect()))
+    want = sorted(map(tuple, cms_counters(clean, "v").collect()))
+    assert got == want
+
+    bits_df = bloom_bits(df, "v")
+    assert sorted(map(tuple, bits_df.collect())) == sorted(
+        map(tuple, bloom_bits(clean, "v").collect())
+    )
+    # NULL probes are dropped, not reported as absent-with-0-hits
+    probes = spark.createDataFrame([("u1",), (None,)], "p string")
+    out = bloom_probe(bits_df, probes, "p").collect()
+    assert len(out) == 1 and out[0]["maybe_present"] == 1
