@@ -42,6 +42,13 @@ def asof_join(
     Right rows with duplicate (key, ts) must be reduced beforehand (the
     operator asserts nothing about which would win; dedup is the
     caller's statement of intent).
+
+    NULL right VALUES are carried faithfully: the fill tracks the last
+    right ROW (one struct of ts + values filled with a single
+    last(ignorenulls) pass), so a matched row whose value is NULL
+    yields NULL — not the previous non-null value with an asof_ts
+    pointing at the newer row, the inconsistent pair a per-column
+    ignorenulls fill produces. Matches DuckDB's native ASOF JOIN.
     """
     clash = sorted(set(value_cols) & (set(left.columns) - set(on)))
     if clash:
@@ -54,7 +61,14 @@ def asof_join(
     r_tagged = (
         right.select(*on, ts_col, *value_cols)
         .withColumn("_side", F.lit(0))
-        .withColumn("_r_ts", F.col(ts_col))
+        .withColumn(
+            "_pack",
+            F.struct(
+                F.col(ts_col).alias("_r_ts"),
+                *[F.col(c) for c in value_cols],
+            ),
+        )
+        .drop(*value_cols)
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # right rows sort before left rows at equal ts => >= match semantics
@@ -63,17 +77,15 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE ignorenulls fill of the packed right row: _pack is non-null
+    # exactly for right rows, so row presence (not value non-null-ness)
+    # drives the fill, and ts + values always come from the SAME row
     filled = merged.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
-        F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias(asof_ts_col),
+        "*", F.last(F.col("_pack"), ignorenulls=True).over(w).alias("_f")
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"_f_{c}").alias(c) for c in value_cols
-    ] + [asof_ts_col]
+        F.col(f"_f.{c}").alias(c) for c in value_cols
+    ] + [F.col("_f._r_ts").alias(asof_ts_col)]
     return filled.filter(F.col("_side") == 1).select(*out_cols)
 
 
@@ -106,6 +118,11 @@ def range_join_bucketed(
     """
     b = F.lit(int(bucket_width))
     pts = points.withColumn("_b", F.floor(F.col(point_col) / b).cast("long"))
+    # degenerate intervals (hi <= lo) match nothing, but Spark's
+    # sequence() DESCENDS when stop < start — a reversed [lo, hi) pair
+    # would explode a spurious bucket range proportional to the gap.
+    # Drop them before the explode.
+    intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
     iv = intervals.withColumn(
         "_b",
         F.explode(
@@ -153,6 +170,14 @@ def locf_resample(
 
     Returns ``(key, step, value, is_observed)``; the first grid step is
     always observed by construction (it is the key's min event).
+
+    Documented semantics, both engines alike: a NULL-valued observation
+    is treated as ABSENT (the fill carries the prior non-null value
+    through it and ``is_observed`` is false) — LOCF regularizes toward
+    "last USABLE value". Step buckets use truncating integer division
+    on both engines (Spark ``div`` == DuckDB ``//``); pre-1970
+    timestamps bucket consistently cross-engine, just not
+    calendar-aligned around epoch 0.
     """
     k, t, v = key_col, ts_col, value_col
     step = F.expr(f"unix_timestamp({t}) div {int(step_sec)}")
@@ -205,7 +230,9 @@ def asof_join_forward(
     ``value_cols`` must not collide with left's columns: the
     currentRow-anchored frame would fill a left-side column from the
     left row ITSELF (while asof_ts still came from the next right row —
-    an inconsistent pair), so the collision is rejected up front."""
+    an inconsistent pair), so the collision is rejected up front.
+    NULL right values are carried faithfully via the same packed-struct
+    fill as :func:`asof_join`."""
     clash = sorted(set(value_cols) & (set(left.columns) - set(on)))
     if clash:
         raise ValueError(
@@ -216,7 +243,14 @@ def asof_join_forward(
     r_tagged = (
         right.select(*on, ts_col, *value_cols)
         .withColumn("_side", F.lit(1))
-        .withColumn("_r_ts", F.col(ts_col))
+        .withColumn(
+            "_pack",
+            F.struct(
+                F.col(ts_col).alias("_r_ts"),
+                *[F.col(c) for c in value_cols],
+            ),
+        )
+        .drop(*value_cols)
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
@@ -225,14 +259,9 @@ def asof_join_forward(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     filled = merged.select(
-        "*",
-        *[
-            F.first(F.col(c), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
-        F.first(F.col("_r_ts"), ignorenulls=True).over(w).alias(asof_ts_col),
+        "*", F.first(F.col("_pack"), ignorenulls=True).over(w).alias("_f")
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"_f_{c}").alias(c) for c in value_cols
-    ] + [asof_ts_col]
+        F.col(f"_f.{c}").alias(c) for c in value_cols
+    ] + [F.col("_f._r_ts").alias(asof_ts_col)]
     return filled.filter(F.col("_side") == 0).select(*out_cols)

@@ -171,6 +171,16 @@ _OVERFLOW_QUEUE: list[str] = [
     "hll_merge_shards",
     "bloom_membership",
     "streaming_hll_dashboard",
+    # round-6 self-review, temporal family: as-of joins now carry NULL
+    # right VALUES faithfully (packed-struct fill, DuckDB-ASOF-pinned);
+    # range join guards degenerate intervals against reversed sequence()
+    # explosion; locf NULL-observation semantics documented. Values on
+    # testdata unchanged (oracle-parity re-verified); pinned in
+    # tests/test_r6_advice_fixes.py
+    "asof_join",
+    "asof_join_forward",
+    "range_join",
+    "locf_resample",
 ]
 
 #: Human-readable subset of the ledger's stale set: entries with a PRIOR

@@ -174,3 +174,75 @@ def test_sketches_null_policy_cross_engine(spark):
     probes = spark.createDataFrame([("u1",), (None,)], "p string")
     out = bloom_probe(bits_df, probes, "p").collect()
     assert len(out) == 1 and out[0]["maybe_present"] == 1
+
+
+def test_asof_join_null_right_values_match_duckdb_asof(spark):
+    """Round-6 self-review: a matched right row whose VALUE is NULL must
+    yield NULL (DuckDB native ASOF JOIN semantics) — the per-column
+    ignorenulls fill used to return the PREVIOUS non-null value while
+    asof_ts pointed at the newer row, an inconsistent pair. The packed-
+    struct fill ties ts + values to one row."""
+    from postgis_gtfs_importer_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    right = spark.createDataFrame(
+        [("k", 10, 100), ("k", 20, None), ("k", 30, 300)],
+        "key string, ts long, v long",
+    )
+    left = spark.createDataFrame(
+        [("k", 5), ("k", 15), ("k", 25), ("k", 35)], "key string, ts long"
+    )
+    got = {
+        r["ts"]: (r["v"], r["asof_ts"])
+        for r in asof_join(left, right, ["key"], "ts", ["v"]).collect()
+    }
+    assert got == {
+        5: (None, None),     # no earlier right row at all
+        15: (100, 10),
+        25: (None, 20),      # matched row EXISTS, its value is NULL
+        35: (300, 30),
+    }
+    # cross-engine: DuckDB's native ASOF JOIN agrees
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(key VARCHAR, ts BIGINT, v BIGINT)")
+    con.execute("INSERT INTO r VALUES ('k',10,100),('k',20,NULL),('k',30,300)")
+    con.execute("CREATE TABLE l(key VARCHAR, ts BIGINT)")
+    con.execute("INSERT INTO l VALUES ('k',5),('k',15),('k',25),('k',35)")
+    oracle = {
+        ts: (v, ats)
+        for ts, v, ats in con.execute(
+            "SELECT l.ts, r.v, r.ts FROM l ASOF LEFT JOIN r"
+            " ON l.key = r.key AND l.ts >= r.ts ORDER BY l.ts"
+        ).fetchall()
+    }
+    assert got == oracle
+
+    fwd = {
+        r["ts"]: (r["v"], r["asof_ts"])
+        for r in asof_join_forward(left, right, ["key"], "ts", ["v"]).collect()
+    }
+    assert fwd == {
+        5: (100, 10),
+        15: (None, 20),      # next right row exists, value NULL
+        25: (300, 30),
+        35: (None, None),    # nothing at-or-after
+    }
+
+
+def test_range_join_bucketed_degenerate_intervals_guarded(spark):
+    """hi <= lo intervals match nothing — and must not explode reversed
+    bucket sequences (Spark sequence() DESCENDS when stop < start)."""
+    from postgis_gtfs_importer_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    pts = spark.createDataFrame([(i,) for i in (5, 50, 500)], "p long")
+    iv = spark.createDataFrame(
+        [(0, 10, "ok"), (600, 100, "reversed"), (7, 7, "empty")],
+        "lo long, hi long, tag string",
+    )
+    out = range_join_bucketed(pts, iv, "p", "lo", "hi", bucket_width=16)
+    rows = [(r["p"], r["tag"]) for r in out.collect()]
+    assert rows == [(5, "ok")]
