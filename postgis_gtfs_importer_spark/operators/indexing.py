@@ -288,6 +288,16 @@ def bm25_topk(
     per-doc total is exact integer addition — accumulation order (which
     differs between engines) cannot move the result.
 
+    Cross-engine float boundary (reviewed, accepted): the idf is the one
+    transcendental in the whole registry surface — ln of a ratio of
+    exactly-shared integers. JVM Math.log and DuckDB's libm log are not
+    FORMALLY guaranteed to agree to the last ulp, but a divergence would
+    have to land the e6-rounded product within ~1e-12 of a .5 boundary
+    to flip a value; the 3-SF + hostile-config + repeat-run sweeps all
+    hold green. A transcendental-free restatement would change BM25's
+    semantics, so the boundary is documented instead (contrast
+    distinctive_terms, which drops the log precisely to stay exact).
+
     Plan shape for a 100 TB corpus: doc length AND the per-term counts
     come out of ONE tokenize→aggregate pass keyed on the doc id (term
     frequencies as conditional sums — the query term set is small, so
