@@ -214,3 +214,55 @@ def test_v2_locally_imported_symbol_chain():
         "postgis_gtfs_importer_spark.operators.dedup"
         not in L.v2_visible_modules("pagerank_trade")
     )
+
+
+def test_v2_handler_dict_indirection(monkeypatch):
+    """Dynamic dispatch through a module-level table must stay covered:
+    if a reached def looks up HANDLERS and HANDLERS maps to another def,
+    editing THAT def must change the digest even though no reached code
+    names it directly. This is the conservativeness the per-definition
+    walk must not lose relative to whole-module v1."""
+    fake = "postgis_gtfs_importer_spark.operators._fake_r6"
+    base_src = (
+        "HANDLERS = {'a': handle_a}\n"
+        "\n"
+        "def handle_a(df):\n"
+        "    return df\n"
+        "\n"
+        "def dispatch(df, kind):\n"
+        "    return HANDLERS[kind](df)\n"
+    )
+
+    def make_sources(handle_a_body):
+        src = base_src.replace("    return df\n", handle_a_body, 1)
+        real_path, real_src = L._module_path, L._module_source
+        monkeypatch.setattr(
+            L, "_module_path",
+            lambda m: "/fake.py" if m == fake else real_path(m),
+        )
+        monkeypatch.setattr(
+            L, "_module_source",
+            lambda m: src if m == fake else real_src(m),
+        )
+
+    def digest_of_dispatch():
+        col = L._V2Collector()
+        col.resolve_segment(fake, L._mod_index(fake).bindings["dispatch"])
+        col.finish()
+        parts = []
+        for mod in sorted(col.partial):
+            idx = L._mod_index(mod)
+            for b in sorted(col.partial[mod]):
+                parts.append(f"{mod}:{b}:{idx.bindings[b]}")
+        return "\n".join(parts), col
+
+    make_sources("    return df\n")
+    d1, col = digest_of_dispatch()
+    assert "handle_a" in col.partial[fake], (
+        "HANDLERS value must pull handle_a into the reachable set"
+    )
+    monkeypatch.undo()
+
+    make_sources("    return df.distinct()\n")
+    d2, _ = digest_of_dispatch()
+    assert d1 != d2, "editing the dispatched-to def must change the digest"
