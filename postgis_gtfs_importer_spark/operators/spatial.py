@@ -133,6 +133,15 @@ def _probe_cells(df: DataFrame, cell_deg: float) -> DataFrame:
     the payload; the price of turning a distance predicate into an
     equi-join.
     """
+    _, n_ring = _lon_cells(cell_deg)
+    if n_ring < 3:
+        # with < 3 cells on the wrap ring the -1/0/+1 probe offsets
+        # alias onto each other, and the "each pair produced exactly
+        # once" contract (radius_pairs) silently breaks with duplicates
+        raise ValueError(
+            f"cell_deg={cell_deg} leaves only {n_ring} longitude cells;"
+            " the 3x3 probe needs >= 3 on the wrap ring"
+        )
     offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
     return (
         df.withColumn("_dx", F.explode(offsets))

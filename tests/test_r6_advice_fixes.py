@@ -246,3 +246,15 @@ def test_range_join_bucketed_degenerate_intervals_guarded(spark):
     out = range_join_bucketed(pts, iv, "p", "lo", "hi", bucket_width=16)
     rows = [(r["p"], r["tag"]) for r in out.collect()]
     assert rows == [(5, "ok")]
+
+
+def test_probe_cells_rejects_degenerate_wrap_ring(spark):
+    """cell_deg >= 120 deg leaves < 3 longitude cells, so the 3x3 probe
+    offsets alias and pairs would duplicate — must fail loudly."""
+    from postgis_gtfs_importer_spark.operators.spatial import radius_pairs
+
+    pts = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("b", 0.1, 0.1)], "stop_id string, lat double, lon double"
+    )
+    with pytest.raises(ValueError, match="wrap ring"):
+        radius_pairs(pts, radius_m=100.0, cell_deg=180.0).collect()
