@@ -801,3 +801,85 @@ def test_sketch_family_bounds_at_1m_rows(spark):
 
     hll = hll_distinct(df, [], "u", p=6).collect()[0]
     assert abs(hll.hll_est - n) <= int(n * 0.4), hll
+
+
+# ---------------------------------------------------------------------------
+# Funnel / retention volume smoke (round 6): the one analytics family
+# without an above-bench-SF pin. 200k users, closed-form expectations.
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_and_retention_volume_closed_form(spark):
+    from postgis_gtfs_importer_spark.operators.funnels import (
+        WEEK_SEC,
+        funnel_steps,
+        retention_cohorts,
+    )
+
+    n_users = 198_000  # divisible by 4 and 6: every residue class exact
+    base = 1_000_000
+    u = F.col("id")
+    view_t = F.lit(base) + u
+    users = spark.range(n_users)
+    views = users.select(
+        u.alias("user_id"), F.lit("view").alias("event_type"),
+        F.timestamp_seconds(view_t).alias("ts"),
+    )
+    clicks = users.select(
+        u.alias("user_id"), F.lit("click").alias("event_type"),
+        F.timestamp_seconds(view_t + 10).alias("ts"),
+    )
+    # u%4==0: purchase inside the window; u%4==2: outside (excluded);
+    # odd users: purchase BEFORE the view (ordering violation, excluded)
+    purchases = users.select(
+        u.alias("user_id"), F.lit("purchase").alias("event_type"),
+        F.timestamp_seconds(
+            F.when(u % 4 == 0, view_t + 20)
+            .when(u % 4 == 2, view_t + 2 * 3600)
+            .otherwise(view_t - 5)
+        ).alias("ts"),
+    )
+    events = views.unionByName(clicks).unionByName(purchases)
+    got = {
+        r["step_type"]: r["n_users"]
+        for r in funnel_steps(
+            events, ["view", "click", "purchase"], window_sec=3600
+        ).collect()
+    }
+    assert got == {
+        "view": n_users,
+        "click": n_users,
+        "purchase": n_users // 4,
+    }
+
+    # retention: cohort c = u%3 (start week), active offsets 0..(1 + u%2)
+    ret_events = (
+        spark.range(n_users)
+        .select(
+            F.col("id").alias("user_id"),
+            (F.lit(1000) + F.col("id") % 3).alias("_c"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(1) + F.col("id") % 2)
+            ).alias("_o"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_seconds(
+                (F.col("_c") + F.col("_o")) * F.lit(WEEK_SEC) + F.lit(7)
+            ).alias("ts"),
+        )
+    )
+    got_ret = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(ret_events).collect()
+    }
+    per_cohort = n_users // 3
+    expected = {}
+    for c in (1000, 1001, 1002):
+        # u % 3 == c-1000 intersected with u % 2 parity: exactly half
+        # of each cohort has the extra offset-2 week (n_users % 6 == 0
+        # -> the residue classes are perfectly balanced)
+        expected[(c, 0)] = per_cohort
+        expected[(c, 1)] = per_cohort
+        expected[(c, 2)] = per_cohort // 2
+    assert got_ret == expected
