@@ -34,7 +34,8 @@ the sweep class that validated it (the cross-SF variant caught the
 session_window oracle boundary bug at sf0.1 — tests/test_review_fixes).
 One-off axes run per round via the verify-skill recipe: whole-stage
 codegen off (interpreted eval), ANSI off, shifted system TZ — all
-169/169 green in round 5."""
+169/169 green in rounds 5 AND 6 (re-run combined: ansi=false +
+codegen.wholeStage=false, 169/0 at sf0.001)."""
 
 from __future__ import annotations
 
