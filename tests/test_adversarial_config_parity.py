@@ -35,7 +35,8 @@ session_window oracle boundary bug at sf0.1 — tests/test_review_fixes).
 One-off axes run per round via the verify-skill recipe: whole-stage
 codegen off (interpreted eval), ANSI off, shifted system TZ — all
 169/169 green in rounds 5 AND 6 (re-run combined: ansi=false +
-codegen.wholeStage=false, 169/0 at sf0.001)."""
+codegen.wholeStage=false, 169/0 at sf0.001; TZ=America/New_York
+system-zone shift, 169/0 at sf0.001)."""
 
 from __future__ import annotations
 
