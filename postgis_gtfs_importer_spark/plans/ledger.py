@@ -41,7 +41,12 @@ ROUND START, immediately after the driver's ``CORRECTNESS_r{N}.json``
 lands and BEFORE any code edit — the working tree then still equals the
 code the driver ran, so recording current digests is exact. Any edit
 made after refresh changes digests and mechanically forces the touched
-entries back into the window.
+entries back into the window. Since round 6 ``refresh`` is INCREMENTAL:
+it updates only entries with a NEW green driver row and preserves every
+other row verbatim (sentinels included), so a queued-backlog entry can
+never be silently un-staled by forgetting to enumerate it; the full
+rewrite survives as ``refresh-full [mark_stale names...]`` for
+backfills.
 """
 
 from __future__ import annotations
@@ -316,6 +321,35 @@ def refresh(mark_stale: set[str] | None = None) -> dict[str, dict]:
         json.dump(ledger, f, indent=1, sort_keys=True)
         f.write("\n")
     return ledger
+
+
+def refresh_incremental() -> tuple[dict[str, dict], list[str]]:
+    """Round-start refresh with NO un-staling foot-gun: update ONLY the
+    entries whose latest green driver round is newer than their recorded
+    row (or that have no row), recording the current digest for those;
+    every other row — stale sentinel or old digest alike — is preserved
+    VERBATIM, so queued-backlog entries stay stale without anyone having
+    to enumerate them as ``mark_stale`` arguments (the round-6 refresh
+    required passing 70 names by hand; forgetting one would silently
+    un-stale it). Same precondition as ``refresh``: run at round start,
+    BEFORE any edit, while the tree equals what the driver verified.
+
+    Returns (ledger, updated_names)."""
+    Q = _queries_module()
+    green = _green_rounds()
+    ledger = load_ledger()
+    updated: list[str] = []
+    for name in Q._REGISTRY:
+        if name not in green:
+            continue
+        row = ledger.get(name)
+        if row is None or green[name] > row["round"]:
+            ledger[name] = {"round": green[name], "digest": entry_digest(name)}
+            updated.append(name)
+    with open(LEDGER_PATH, "w", encoding="utf-8") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return ledger, updated
 
 
 def _round_commit(rnd: int) -> str | None:
@@ -830,6 +864,17 @@ def migrate_v2(dry_run: bool = False) -> dict[str, str]:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "refresh":
+        # round-start default: incremental (fold in ONLY the new green
+        # rows; everything else — sentinels included — is preserved, so
+        # no stale entry can be silently un-staled). The full rewrite
+        # remains available as `refresh-full [mark_stale names...]` for
+        # backfills.
+        led, updated = refresh_incremental()
+        print(
+            f"ledger: {len(led)} rows; {len(updated)} updated from new"
+            f" green driver rows: {sorted(updated)}"
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "refresh-full":
         led = refresh(mark_stale=set(sys.argv[2:]))
         print(f"ledger: {len(led)} entries recorded")
     elif len(sys.argv) > 1 and sys.argv[1] == "migrate-v2":

@@ -266,3 +266,31 @@ def test_v2_handler_dict_indirection(monkeypatch):
     make_sources("    return df.distinct()\n")
     d2, _ = digest_of_dispatch()
     assert d1 != d2, "editing the dispatched-to def must change the digest"
+
+
+def test_refresh_incremental_preserves_stale_rows(monkeypatch, tmp_path):
+    """The round-start refresh must be un-staling-proof: entries WITHOUT
+    a new green driver row keep their recorded row verbatim (stale
+    sentinel included); only new green rows get fresh digests."""
+    name_new, name_old = list(Q._REGISTRY)[:2]
+    ledger_path = tmp_path / "ledger.json"
+    import json
+
+    json.dump(
+        {
+            name_new: {"round": 5, "digest": L.STALE_SENTINEL},
+            name_old: {"round": 2, "digest": L.STALE_SENTINEL},
+        },
+        open(ledger_path, "w"),
+    )
+    monkeypatch.setattr(L, "LEDGER_PATH", str(ledger_path))
+    # driver round 6 re-verified name_new only
+    monkeypatch.setattr(
+        L, "_green_rounds", lambda: {name_new: 6, name_old: 2}
+    )
+    led, updated = L.refresh_incremental()
+    assert updated == [name_new]
+    assert led[name_new]["round"] == 6
+    assert led[name_new]["digest"] == L.entry_digest(name_new)
+    # the queued entry's sentinel row survives VERBATIM
+    assert led[name_old] == {"round": 2, "digest": L.STALE_SENTINEL}
