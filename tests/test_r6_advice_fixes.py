@@ -258,3 +258,29 @@ def test_probe_cells_rejects_degenerate_wrap_ring(spark):
     )
     with pytest.raises(ValueError, match="wrap ring"):
         radius_pairs(pts, radius_m=100.0, cell_deg=180.0).collect()
+
+
+def test_locf_null_observation_documented_semantics(spark):
+    """Pins the documented contract: a NULL-valued observation is
+    treated as ABSENT — the fill carries the last USABLE value through
+    it and is_observed reports false for that step."""
+    from postgis_gtfs_importer_spark.operators.temporal import locf_resample
+
+    rows = [
+        ("k", "2024-01-01 00:00:00", 10, 1),
+        ("k", "2024-01-01 01:00:00", None, 2),   # observed row, NULL value
+        ("k", "2024-01-01 03:00:00", 40, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, s string, v int, id int"
+    ).select("key", F.col("s").cast("timestamp").alias("ts"), "v", "id")
+    got = {
+        r["step"]: (r["value"], r["is_observed"])
+        for r in locf_resample(df, "key", "ts", "v", "id").collect()
+    }
+    steps = sorted(got)
+    assert len(steps) == 4  # 00..03 inclusive grid
+    assert got[steps[0]] == (10, True)
+    assert got[steps[1]] == (10, False)  # NULL observation: filled through
+    assert got[steps[2]] == (10, False)  # true gap
+    assert got[steps[3]] == (40, True)
