@@ -22,6 +22,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: internal column names the union-then-window machinery materializes;
+#: user columns with these names would be silently shadowed
+_ASOF_INTERNAL = ("_pack", "_side", "_f")
+
+
+def _validate_asof_cols(
+    fn_name: str,
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    value_cols: list[str],
+) -> None:
+    """Shared up-front validation for both as-of directions.
+
+    Beyond the left-collision check (the frame would fill a left column
+    from the left row itself), the packed-struct fill has two
+    representation constraints that must fail LOUDLY rather than
+    corrupt: the struct's timestamp field is literally named ``_r_ts``
+    (a value column with that name would collide inside the struct),
+    and values are read back by dotted ``_f.<name>`` paths (a dot in a
+    value column name breaks the extraction). Internal scratch names
+    are rejected on either input for the same reason.
+    """
+    clash = sorted(set(value_cols) & (set(left.columns) - set(on)))
+    if clash:
+        raise ValueError(
+            f"{fn_name} value_cols collide with left columns: {clash}"
+            f" — rename them on one side first (the window would fill"
+            f" from the left row itself)"
+        )
+    bad = sorted(c for c in value_cols if "." in c or "`" in c or c == "_r_ts")
+    if bad:
+        raise ValueError(
+            f"{fn_name} value_cols {bad} unsupported: '_r_ts' collides"
+            f" with the packed timestamp field and dots/backticks break"
+            f" the struct-field extraction — rename them first"
+        )
+    internal = sorted(
+        set(_ASOF_INTERNAL) & (set(left.columns) | set(right.columns))
+    )
+    if internal:
+        raise ValueError(
+            f"{fn_name} inputs carry reserved internal column names"
+            f" {internal} — rename them first"
+        )
+
 
 def asof_join(
     left: DataFrame,
@@ -50,13 +96,7 @@ def asof_join(
     pointing at the newer row, the inconsistent pair a per-column
     ignorenulls fill produces. Matches DuckDB's native ASOF JOIN.
     """
-    clash = sorted(set(value_cols) & (set(left.columns) - set(on)))
-    if clash:
-        raise ValueError(
-            f"asof_join value_cols collide with left columns: {clash}"
-            f" — rename them on one side first (the window would fill"
-            f" from the left row itself)"
-        )
+    _validate_asof_cols("asof_join", left, right, on, value_cols)
     l_tagged = left.withColumn("_side", F.lit(1))
     r_tagged = (
         right.select(*on, ts_col, *value_cols)
@@ -168,8 +208,11 @@ def locf_resample(
        ``last(value, ignorenulls=True)`` over the step order — one
        window pass.
 
-    Returns ``(key, step, value, is_observed)``; the first grid step is
-    always observed by construction (it is the key's min event).
+    Returns ``(key, step, value, is_observed)``; the first grid step
+    holds the key's min event by construction, and is observed UNLESS
+    that earliest bucket's winning observation carries a NULL value —
+    then the NULL-as-absent rule below applies and the first step is
+    ``is_observed=false`` with a NULL (nothing earlier to carry).
 
     Documented semantics, both engines alike: a NULL-valued observation
     is treated as ABSENT (the fill carries the prior non-null value
@@ -233,12 +276,7 @@ def asof_join_forward(
     an inconsistent pair), so the collision is rejected up front.
     NULL right values are carried faithfully via the same packed-struct
     fill as :func:`asof_join`."""
-    clash = sorted(set(value_cols) & (set(left.columns) - set(on)))
-    if clash:
-        raise ValueError(
-            f"asof_join_forward value_cols collide with left columns:"
-            f" {clash} — rename them on one side first"
-        )
+    _validate_asof_cols("asof_join_forward", left, right, on, value_cols)
     l_tagged = left.withColumn("_side", F.lit(0))
     r_tagged = (
         right.select(*on, ts_col, *value_cols)

@@ -534,10 +534,19 @@ def _mod_index(mod_name: str, src: str | None = None) -> types.SimpleNamespace:
     imports: dict[str, tuple] = {}
     whole: set[str] = set()
     anonymous: list[str] = []
+
+    def _bind(name: str, seg: str) -> None:
+        # A name bound by SEVERAL top-level statements (``X = ...`` then
+        # ``X += ...``, or a rebind after an if-block) keeps EVERY
+        # segment — overwriting would drop the earlier assignment's text
+        # from dependent digests (ADVICE r6 under-pull).
+        prev = bindings.get(name)
+        bindings[name] = seg if prev is None else f"{prev}\n{seg}"
+
     tree = ast.parse(src) if src else ast.parse("")
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            bindings[node.name] = _segment(lines, node)
+            _bind(node.name, _segment(lines, node))
         elif isinstance(node, ast.Import):
             for a in node.names:
                 if a.name.startswith(_PKG):
@@ -562,7 +571,7 @@ def _mod_index(mod_name: str, src: str | None = None) -> types.SimpleNamespace:
             seg = _segment(lines, node)
             if targets:
                 for t in targets:
-                    bindings[t] = seg
+                    _bind(t, seg)
             else:
                 anonymous.append(seg)
     idx = types.SimpleNamespace(
@@ -628,9 +637,19 @@ class _V2Collector:
         idx = _mod_index(mod)
         seg = idx.bindings.get(name)
         if seg is None:
-            # imported-but-unbound or runtime-created: the residue /
-            # import resolution covers it; just mark the module touched
             self.partial.setdefault(mod, set())
+            # RE-EXPORT: the name may be bound by an import statement in
+            # this module (``from .x import foo``). Follow it so editing
+            # foo's DEFINING source still stales dependents (ADVICE r6
+            # under-pull) — without this, only the re-exporting module's
+            # residue was hashed, never foo itself.
+            tgt = idx.imports.get(name)
+            if tgt is not None:
+                if tgt[0] == "mod":
+                    self.whole.add(tgt[1])
+                else:
+                    self.visit_binding(tgt[1], tgt[2])
+            # otherwise runtime-created: the residue covers it
             return
         self.partial.setdefault(mod, set()).add(name)
         self.resolve_segment(mod, seg)

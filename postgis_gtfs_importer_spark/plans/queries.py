@@ -60,72 +60,16 @@ def register(name: str, oracle: str | None):
 #: Human-readable subset of the ledger's stale set: entries with a PRIOR
 #: green driver row whose implementation changed afterwards. Enforced
 #: against the ledger by tests/test_registry_ledger.py (both directions).
-#: Round-6 drain (VERDICT r5 items 1/4): the entire stale set IS the
-#: r5 migration/review backlog — 70 entries with prior green driver
-#: rows whose implementation (or its newly-visible transitive closure,
-#: post import-resolver fix) changed after those rows. All 70 are
-#: oracle-parity green locally at sf0.01 (tests/test_oracle_parity.py).
-#: The window takes the 50 OLDEST queue entries verbatim; the remaining
-#: 20 — plus anything this round's fixes re-stale — drain in round 7.
-#: Registry ADDITIONS stay frozen until the queue is empty.
-_WINDOW_R6: list[str] = [
-    "balanced_mixture",
-    "bm25_topk",
-    "chunk_documents",
-    "classifier_scores",
-    "hash_split",
-    "inverted_index",
-    "nearest_stops",
-    "negative_samples",
-    "pack_sequences",
-    "pii_redaction",
-    "pmi_bigrams",
-    "priority_sample",
-    "repetition_profile",
-    "shape_lengths",
-    "source_cap",
-    "stops_radius_pairs",
-    "stratified_sample",
-    "tfidf_distinctive",
-    "departures_at_station",
-    "translations_feedwide",
-    "streaming_corpus_gate",
-    "streaming_dedup",
-    "streaming_enrich",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_sessionize",
-    "streaming_windowed_stats",
-    "ann_int8_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "bigram_lm_scores",
-    "cms_token_counts",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_incremental",
-    "embedding_cosine_pairs",
-    "embedding_topk",
-    "entity_resolution",
-    "lexical_rarity",
-    "mad_outliers",
-    "minhash_lsh_pairs",
-    "neardup_incremental",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    "quality_gate",
-    "rolling_fingerprint",
-    "score_quantile_norm",
-    "semantic_dedup",
-    "simhash_pairs",
-    "temperature_sample",
-]
-
-#: Queued for round 7, tail of _FRONT (test_registry_ledger overflow
-#: invariant: overflow only while the window is fully stale, and only
-#: for changed-since entries — each of these has a prior green row).
-#: Entries re-staled by round-6 fixes are APPENDED here as they land.
-_OVERFLOW_QUEUE: list[str] = [
+#: Round-7 window (VERDICT r5 item 4): the round-6 drain landed 50/50
+#: green (CORRECTNESS_r06); after the round-start ledger refresh the
+#: stale set is exactly the 34 entries below — the round-6 overflow
+#: remainder plus the round-6/7 fix re-stales. They ALL fit in the
+#: window, so the freeze LIFTS: the remaining slots (50 − 34 − new
+#: re-stales) admit new entries via _ADDITIONS_R7, each never-verified
+#: and therefore window-resident by the standing rule. Every stale
+#: entry is oracle-parity green locally at sf0.01
+#: (tests/test_oracle_parity.py).
+_WINDOW_R7: list[str] = [
     "token_topk",
     "audio_features",
     "corpus_curation",
@@ -146,49 +90,45 @@ _OVERFLOW_QUEUE: list[str] = [
     "market_share",
     "top_returners",
     "rolling_user_activity",
-    # round-6 ADVICE fixes (each staled by a reviewed defect's fix, all
-    # locally oracle-parity green post-fix + pinned in
-    # tests/test_r6_advice_fixes.py): bpe_encode NULL-text zeros;
-    # pareto_customers exact-int prefilter prior; peak_concurrency /
-    # weekday_seasonality explicit-floor day buckets on both engines
+    # round-6 ADVICE fixes (all locally oracle-parity green post-fix,
+    # pinned in tests/test_r6_advice_fixes.py)
     "bpe_encode",
     "pareto_customers",
     "peak_concurrency",
     "weekday_seasonality",
-    # surfaced by the v2 ledger migration closing the FN-alias hole:
-    # funnel_conversion's v1 digest never covered operators/funnels.py,
-    # and funnels.py changed after its r4 green row (r5 step-literal
-    # escaping + this round's table-identifier allowlist)
+    # v2 ledger migration FN-alias closure (funnels.py became visible)
     "funnel_conversion",
-    # round-6 self-review: NULL-exclusion policy added to all four
-    # sketch builders + mirrored in their oracles (NULL keys diverge
-    # across engines — Spark NULLS FIRST vs DuckDB NULLS LAST in the
-    # KMV rank; phantom HLL register row; concat() NULL semantics).
-    # No-NULL testdata means values are unchanged; pinned in
-    # tests/test_r6_advice_fixes.py::test_sketches_null_policy_cross_engine
+    # round-6 self-review: sketch NULL-exclusion policy (values on
+    # no-NULL testdata unchanged; pinned in test_r6_advice_fixes)
     "kmv_distinct_users",
     "hll_distinct_users",
     "hll_merge_shards",
     "bloom_membership",
     "streaming_hll_dashboard",
-    # round-6 self-review, temporal family: as-of joins now carry NULL
-    # right VALUES faithfully (packed-struct fill, DuckDB-ASOF-pinned);
-    # range join guards degenerate intervals against reversed sequence()
-    # explosion; locf NULL-observation semantics documented. Values on
-    # testdata unchanged (oracle-parity re-verified); pinned in
-    # tests/test_r6_advice_fixes.py
+    # temporal family: r6 packed-struct NULL-value fill + degenerate
+    # interval guard; r7 ADVICE hardening (value-col name validation,
+    # locf first-step semantics pin) — tests/test_r7_advice_fixes.py
     "asof_join",
     "asof_join_forward",
     "range_join",
     "locf_resample",
 ]
 
+#: Round-7 additions: new entries land here (never driver-verified →
+#: must sit inside the window). Capacity = 50 − len(_WINDOW_R7) minus
+#: any late re-stales; the ledger test enforces the bound mechanically.
+_ADDITIONS_R7: list[str] = []
+
+#: Kept for the overflow invariant in test_registry_ledger (empty =
+#: no overflow this round; freeze lifted).
+_OVERFLOW_QUEUE: list[str] = []
+
 #: Human-readable subset of the ledger's stale set: entries with a PRIOR
 #: green driver row whose implementation changed afterwards. Enforced
 #: against the ledger by tests/test_registry_ledger.py (both directions).
-_MUST_VERIFY: list[str] = [*_WINDOW_R6, *_OVERFLOW_QUEUE]
+_MUST_VERIFY: list[str] = [*_WINDOW_R7, *_ADDITIONS_R7, *_OVERFLOW_QUEUE]
 
-_FRONT: list[str] = [*_WINDOW_R6, *_OVERFLOW_QUEUE]
+_FRONT: list[str] = [*_WINDOW_R7, *_ADDITIONS_R7, *_OVERFLOW_QUEUE]
 
 
 def _ordered() -> list[str]:
