@@ -303,3 +303,170 @@ def asof_join_forward(
         F.col(f"_f.{c}").alias(c) for c in value_cols
     ] + [F.col("_f._r_ts").alias(asof_ts_col)]
     return filled.filter(F.col("_side") == 0).select(*out_cols)
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Merge overlapping/adjacent half-open intervals per key into
+    maximal disjoint islands — the coverage primitive behind "total
+    active time", uptime/SLA windows, and interval-set compaction
+    before a range join.
+
+    Classic gaps-and-islands, but over ARBITRARY intervals rather than
+    gap-separated points (session_window cannot express it: an
+    interval's reach is its own ``hi``, not a fixed gap after it).
+    Two window passes over one per-key sort, then one aggregate — a
+    single shuffle on the key, no self-join, no explode:
+
+    1. island boundary: an interval starts a new island iff its ``lo``
+       exceeds the running ``max(hi)`` of all EARLIER intervals (order
+       ``lo, hi`` — ties can never split an island since equal ``lo``
+       always overlaps). Adjacent intervals ([1,5), [5,9)) merge: the
+       half-open union is contiguous.
+    2. island id: running sum of the boundary flags (same sort reused —
+       Spark plans both windows in one Window node over one exchange).
+    3. per-island aggregate: min(lo), max(hi), count — map-side partial
+       on (key, island).
+
+    Degenerate intervals (``hi <= lo``, empty by half-open convention)
+    are dropped up front — mirroring range_join_bucketed's guard.
+
+    Returns (key, lo, hi, n_merged) — the merged islands. Deterministic
+    for any tie order: island membership depends only on the interval
+    SET. Scales on key cardinality; a single hot key serializes its own
+    sort only (the window is per-key), the layout every engine shares
+    for this problem.
+    """
+    k = key_col
+    iv = df.filter(F.col(hi_col) > F.col(lo_col))
+    w_prev = (
+        Window.partitionBy(k)
+        .orderBy(F.col(lo_col), F.col(hi_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(k)
+        .orderBy(F.col("_lo"), F.col("_hi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.select(
+        F.col(k),
+        F.col(lo_col).alias("_lo"),
+        F.col(hi_col).alias("_hi"),
+        F.when(
+            F.max(F.col(hi_col)).over(w_prev) >= F.col(lo_col), F.lit(0)
+        ).otherwise(F.lit(1)).alias("_new"),
+    )
+    islands = flagged.select(
+        F.col(k), "_lo", "_hi", F.sum("_new").over(w_run).alias("_island")
+    )
+    return (
+        islands.groupBy(k, "_island")
+        .agg(
+            F.min("_lo").alias("lo"),
+            F.max("_hi").alias("hi"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+        .select(k, "lo", "hi", "n_merged")
+    )
+
+
+def interpolate_resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    step_sec: int = 3600,
+) -> DataFrame:
+    """Linear-interpolation gap fill on the regular grid — the
+    companion to :func:`locf_resample` for quantities that move
+    continuously between observations (gauge readings, prices) rather
+    than holding (state flags).
+
+    Same three-stage shape as LOCF (per-bucket exact winner, exploded
+    dense grid, windowed fill — every shuffle on the key only), but the
+    fill carries BOTH neighbors: the previous and next observed (step,
+    value) ride as two packed structs (last/first over one per-key
+    sort; struct presence — not value non-nullness — drives the fill,
+    the asof_join lesson), and an unobserved step interpolates
+
+        v = pv + (nv - pv) * (step - ps) / (ns - ps)
+
+    left-associatively in IEEE doubles — one fixed op chain, so DuckDB
+    replays it bit-for-bit; the result is reported as ``value_e6``
+    (floor(v * 1e6 + 0.5), BIGINT) so the hashed surface is integer.
+    Steps before the first / after the last observation have no
+    bracket and yield NULL (no extrapolation). A NULL-valued
+    observation is ABSENT here (locf_resample's documented policy):
+    interpolation runs between its non-null neighbors and
+    ``is_observed`` is false for its step.
+
+    Returns (key, step, value_e6, is_observed).
+    """
+    k, t, v = key_col, ts_col, value_col
+    step = F.expr(f"unix_timestamp({t}) div {int(step_sec)}")
+    obs = (
+        df.withColumn("_step", step)
+        .groupBy(k, "_step")
+        .agg(
+            F.max(F.struct(F.col(t), F.col(id_col), F.col(v))).alias("_last")
+        )
+        .select(k, "_step", F.col("_last")[v].alias("_obs"))
+    )
+    spans = obs.groupBy(k).agg(
+        F.min("_step").alias("_lo"), F.max("_step").alias("_hi")
+    )
+    grid = spans.select(
+        k, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_step")
+    )
+    joined = grid.join(obs, [k, "_step"], "left").select(
+        F.col(k),
+        F.col("_step"),
+        F.col("_obs"),
+        F.when(
+            F.col("_obs").isNotNull(),
+            F.struct(F.col("_step").alias("s"), F.col("_obs").alias("v")),
+        ).alias("_sv"),
+    )
+    w_prev = (
+        Window.partitionBy(k)
+        .orderBy("_step")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(k)
+        .orderBy("_step")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    br = joined.select(
+        F.col(k),
+        F.col("_step"),
+        F.col("_obs"),
+        F.last("_sv", ignorenulls=True).over(w_prev).alias("_p"),
+        F.first("_sv", ignorenulls=True).over(w_next).alias("_n"),
+    )
+    interp = (
+        F.col("_p.v")
+        + (F.col("_n.v") - F.col("_p.v"))
+        * (F.col("_step") - F.col("_p.s"))
+        / (F.col("_n.s") - F.col("_p.s"))
+    )
+    val = F.when(F.col("_obs").isNotNull(), F.col("_obs")).otherwise(
+        F.when(
+            F.col("_p").isNotNull()
+            & F.col("_n").isNotNull()
+            & (F.col("_n.s") > F.col("_p.s")),
+            interp,
+        )
+    )
+    return br.select(
+        F.col(k),
+        F.col("_step").alias("step"),
+        F.floor(val * F.lit(1e6) + F.lit(0.5)).cast("long").alias("value_e6"),
+        F.col("_obs").isNotNull().alias("is_observed"),
+    )

@@ -117,7 +117,10 @@ _WINDOW_R7: list[str] = [
 #: Round-7 additions: new entries land here (never driver-verified →
 #: must sit inside the window). Capacity = 50 − len(_WINDOW_R7) minus
 #: any late re-stales; the ledger test enforces the bound mechanically.
-_ADDITIONS_R7: list[str] = []
+_ADDITIONS_R7: list[str] = [
+    "interval_union",
+    "interpolate_resample",
+]
 
 #: Kept for the overflow invariant in test_registry_ledger (empty =
 #: no overflow this round; freeze lifted).
@@ -8937,4 +8940,138 @@ def greedy_set_cover_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(d, "doc_id", "text", 3)
     return greedy_set_cover(sh, k=5, id_col="id", elem_col="shingle").select(
         "round", F.col("id").alias("doc_id"), "gain"
+    )
+
+
+# ===========================================================================
+# Round-7 additions: interval algebra + interpolation resampling
+# ===========================================================================
+
+
+@register(
+    "interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + (event_id % 7 + 1) * 60000000 AS hi
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, lo, hi,
+             CASE WHEN max(hi) OVER (
+                    PARTITION BY user_id ORDER BY lo, hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) >= lo THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, lo, hi,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY lo, hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(min(lo) AS BIGINT) AS lo,
+           CAST(max(hi) AS BIGINT) AS hi,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def interval_union_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-set compaction (operators/temporal.py::interval_union):
+    each event opens a half-open activity interval [ts, ts + 1..7 min)
+    (length keyed off event_id — deterministic, no data dependency) and
+    overlapping/adjacent intervals per user merge into maximal islands.
+    The coverage primitive behind "total active time" / SLA uptime;
+    gaps-and-islands over ARBITRARY intervals, which session_window's
+    fixed-gap model cannot express. One shuffle on the key: two window
+    passes over a single per-key sort plus one map-side-combined
+    aggregate — no self-join, no explode, the shape that survives when
+    one user has millions of intervals."""
+    from ..operators.temporal import interval_union
+
+    e = spread(_t(spark, sf_dir, "events"))
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. load_table pins
+    # the session TZ to UTC so the cast preserves the naive instant and
+    # matches the oracle's epoch_us(CAST(ts AS TIMESTAMP)).
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("lo"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") % 7 + 1) * F.lit(60_000_000)
+        ).alias("hi"),
+    )
+    return interval_union(iv, key_col="user_id", lo_col="lo", hi_col="hi")
+
+
+@register(
+    "interpolate_resample",
+    """
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS step, value,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ),
+    o1 AS (SELECT user_id, step, value FROM obs WHERE rn = 1),
+    spans AS (
+      SELECT user_id, min(step) AS lo, max(step) AS hi
+      FROM o1 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS step FROM spans
+    ),
+    j AS (
+      SELECT g.user_id, g.step, o.value AS obs_v
+      FROM grid g LEFT JOIN o1 o
+        ON o.user_id = g.user_id AND o.step = g.step
+    ),
+    br AS (
+      SELECT user_id, step, obs_v,
+             last_value(CASE WHEN obs_v IS NOT NULL THEN step END
+                        IGNORE NULLS) OVER wp AS ps,
+             last_value(obs_v IGNORE NULLS) OVER wp AS pv,
+             first_value(CASE WHEN obs_v IS NOT NULL THEN step END
+                         IGNORE NULLS) OVER wn AS ns,
+             first_value(obs_v IGNORE NULLS) OVER wn AS nv
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY step
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY step
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, step,
+           CAST(floor((CASE WHEN obs_v IS NOT NULL THEN obs_v
+                WHEN ps IS NOT NULL AND ns IS NOT NULL AND ns > ps
+                THEN pv + (nv - pv) * (step - ps) / (ns - ps)
+                END) * 1e6 + 0.5) AS BIGINT) AS value_e6,
+           obs_v IS NOT NULL AS is_observed
+    FROM br
+    """,
+)
+def interpolate_resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling
+    (operators/temporal.py::interpolate_resample): per user, the hourly
+    grid over the observed span with unobserved steps filled by linear
+    interpolation between the bracketing observations — the continuous
+    companion to locf_resample (prices/gauges move between readings;
+    state flags hold). Same single-shuffle grid machinery; the
+    interpolation is ONE fixed left-associative IEEE double chain
+    replayed textually by the oracle (every intermediate is the same
+    correctly-rounded op on both engines), reported as floor(v*1e6+0.5)
+    BIGINT so the hashed surface is integer. Steps outside the
+    observed bracket stay NULL (no extrapolation)."""
+    from ..operators.temporal import interpolate_resample
+
+    e = spread(_t(spark, sf_dir, "events"))
+    return interpolate_resample(
+        e, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", step_sec=3600,
     )

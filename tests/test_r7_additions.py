@@ -1,0 +1,88 @@
+"""Crafted-fixture pins for the round-7 operator additions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_interval_union_merge_classes(spark):
+    """Overlap merges, half-open adjacency merges, gaps split,
+    degenerate (hi <= lo) intervals drop, containment collapses."""
+    from postgis_gtfs_importer_spark.operators.temporal import interval_union
+
+    rows = [
+        # k1: [0,10) + [5,20) overlap; [20,30) adjacent -> one island
+        ("k1", 0, 10), ("k1", 5, 20), ("k1", 20, 30),
+        # k1: gap then [40,50) with contained [42,44)
+        ("k1", 40, 50), ("k1", 42, 44),
+        # degenerate: empty + reversed — both dropped
+        ("k1", 7, 7), ("k1", 60, 55),
+        # k2: single interval
+        ("k2", 1, 2),
+    ]
+    df = spark.createDataFrame(rows, "k string, lo long, hi long")
+    got = {
+        (r["k"], r["lo"], r["hi"]): r["n_merged"]
+        for r in interval_union(df, "k", "lo", "hi").collect()
+    }
+    assert got == {
+        ("k1", 0, 30): 3,
+        ("k1", 40, 50): 2,
+        ("k2", 1, 2): 1,
+    }
+
+
+def test_interpolate_resample_exact_bracket(spark):
+    """Interpolated steps hit the exact linear value; NULL-valued
+    observations are absent (interpolation runs across them); edges
+    beyond the observed bracket stay NULL."""
+    from postgis_gtfs_importer_spark.operators.temporal import (
+        interpolate_resample,
+    )
+
+    rows = [
+        # hourly steps: 0h value 10.0, 1h NULL observation, 3h value 40.0
+        ("k", "2024-01-01 00:00:00", 10.0, 1),
+        ("k", "2024-01-01 01:00:00", None, 2),
+        ("k", "2024-01-01 03:00:00", 40.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, s string, v double, id int"
+    ).select("key", F.col("s").cast("timestamp").alias("ts"), "v", "id")
+    got = {
+        r["step"]: (r["value_e6"], r["is_observed"])
+        for r in interpolate_resample(df, "key", "ts", "v", "id").collect()
+    }
+    steps = sorted(got)
+    assert len(steps) == 4
+    # observed endpoints exact
+    assert got[steps[0]] == (10_000_000, True)
+    assert got[steps[3]] == (40_000_000, True)
+    # NULL observation at 1h: absent -> interpolate 10 + 30*(1/3) = 20
+    assert got[steps[1]] == (20_000_000, False)
+    # true gap at 2h: 10 + 30*(2/3) = 30
+    assert got[steps[2]] == (30_000_000, False)
+
+
+def test_interpolate_resample_leading_null_is_unbracketed(spark):
+    """A key whose earliest bucket carries a NULL value has no left
+    bracket for the first steps — they stay NULL (no extrapolation)."""
+    from postgis_gtfs_importer_spark.operators.temporal import (
+        interpolate_resample,
+    )
+
+    rows = [
+        ("k", "2024-01-01 00:00:00", None, 1),
+        ("k", "2024-01-01 02:00:00", 8.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, s string, v double, id int"
+    ).select("key", F.col("s").cast("timestamp").alias("ts"), "v", "id")
+    got = {
+        r["step"]: (r["value_e6"], r["is_observed"])
+        for r in interpolate_resample(df, "key", "ts", "v", "id").collect()
+    }
+    steps = sorted(got)
+    assert got[steps[0]] == (None, False)
+    assert got[steps[1]] == (None, False)
+    assert got[steps[2]] == (8_000_000, True)
