@@ -518,3 +518,120 @@ def bigram_lm_scores(
         .cast("long")
         .alias("mean_cond_e6"),
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 200,
+) -> DataFrame:
+    """Top-k skip-gram (center, context) co-occurrence counts within a
+    ±``window`` token distance — the training-pair extraction step of a
+    word2vec/GloVe-style embedding pipeline (each emitted pair is one
+    SGD example; the counts are the co-occurrence matrix GloVe factors).
+
+    Pair generation is MAP-SIDE from each document's token array (the
+    pmi_bigrams lesson, generalized from distance 1 to distance ≤ w):
+    for position i, ``slice(_t, i+2, w)`` yields its next ≤w tokens and
+    a nested transform emits FORWARD pairs — no corpus-sized shuffle
+    just to see neighbors, no positional self-join. Forward counts are
+    aggregated once (map-side combine on the skew-free (a, b) key) on
+    the vocab²-bounded relation, then mirrored — c(x→y) = fwd(x,y) +
+    fwd(y,x) — so the symmetric directional counts come from a
+    union of two projections of the SAME small aggregate, not a second
+    corpus pass. Final top-k is a TakeOrderedAndProject on the exact
+    BIGINT count with full lexicographic tiebreak.
+
+    Returns (center, context, cnt), at most k rows. A repeated token
+    within the window co-occurs with itself: both mirror directions
+    count, matching word2vec's per-position emission semantics.
+    """
+    toks_arr = TX.lower_ws_tokens_nonempty(F.col(text_col))
+    fwd_pairs = F.expr(
+        f"flatten(transform(_t, (x, i) -> "
+        f"transform(slice(_t, i + 2, {int(window)}), "
+        f"y -> struct(x AS a, y AS b))))"
+    )
+    fwd = (
+        df.select(toks_arr.alias("_t"))
+        .select(F.explode(fwd_pairs).alias("_p"))
+        .select("_p.a", "_p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_f"))
+    )
+    sym = (
+        fwd.select(F.col("a").alias("center"), F.col("b").alias("context"), "c_f")
+        .unionByName(
+            fwd.select(F.col("b").alias("center"), F.col("a").alias("context"), "c_f")
+        )
+        .groupBy("center", "context")
+        .agg(F.sum("c_f").cast("long").alias("cnt"))
+    )
+    return (
+        sym.filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), F.asc("center"), F.asc("context"))
+        .limit(k)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus-derived
+    top-``vocab_size`` vocabulary — the tokenizer-coverage diagnostic a
+    training pipeline runs before committing to a vocab (docs with high
+    OOV are the ones a fixed vocabulary will shred into UNK).
+
+    Two passes over the token relation, both shuffling on skew-free
+    keys: (1) vocabulary induction — token counts, then the top-V by
+    (count DESC, tok ASC) exact rank (deterministic at count ties);
+    (2) per-doc aggregation of total vs OOV tokens, the OOV flag
+    resolved by a LEFT join against the vocab — which is vocab_size
+    rows, hence BROADCAST: the corpus-sized side never reshuffles for
+    the membership test. The top-V selection itself is a distributed
+    TakeOrderedAndProject (per-partition heaps + driver merge of V
+    rows), NOT a global row_number window — the distinct-token relation
+    of a web corpus is billions of rows, the no-partition-window trap.
+    ``oov_ppm = n_oov * 1e6 div n_tok`` in exact BIGINTs. Zero-token
+    docs ride along from the documents side with n_tok = 0 and NULL
+    oov_ppm (visible-but-unscorable, the fluency gate's
+    pass-when-unscorable discipline).
+
+    Returns (id, n_tok, n_oov, oov_ppm) for EVERY input document.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(TX.lower_ws_tokens_nonempty(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    vocab = (
+        counts.orderBy(F.desc("c_tok"), F.asc("tok"))
+        .limit(int(vocab_size))
+        .select("tok", F.lit(1).alias("_in_v"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.expr("n_oov * 1000000L div n_tok").alias("oov_ppm"),
+        )
+    )

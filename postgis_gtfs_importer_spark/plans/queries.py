@@ -120,6 +120,8 @@ _WINDOW_R7: list[str] = [
 _ADDITIONS_R7: list[str] = [
     "interval_union",
     "interpolate_resample",
+    "skipgram_pairs",
+    "oov_rate",
 ]
 
 #: Kept for the overflow invariant in test_registry_ledger (empty =
@@ -9075,3 +9077,101 @@ def interpolate_resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, key_col="user_id", ts_col="ts", value_col="value",
         id_col="event_id", step_sec=3600,
     )
+
+
+@register(
+    "skipgram_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, pos, tok
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(t, 1) - 1 AS pos,
+               unnest(list_transform(t, x -> lower(x))) AS tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    fwd AS (
+      SELECT a.tok AS ca, b.tok AS cb, count(*) AS c_f
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+      GROUP BY a.tok, b.tok
+    ),
+    sym AS (
+      SELECT center, context, CAST(sum(c_f) AS BIGINT) AS cnt
+      FROM (
+        SELECT ca AS center, cb AS context, c_f FROM fwd
+        UNION ALL
+        SELECT cb AS center, ca AS context, c_f FROM fwd
+      ) GROUP BY center, context
+    )
+    SELECT center, context, cnt FROM sym WHERE cnt >= 5
+    ORDER BY cnt DESC, center ASC, context ASC LIMIT 200
+    """,
+)
+def skipgram_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair extraction
+    (operators/indexing.py::skipgram_pairs): top-200 (center, context)
+    co-occurrence counts within ±3 tokens — the word2vec/GloVe example
+    generator. Pairs are built map-side from each document's token
+    array (nested transform + slice, distance generalized from
+    pmi_bigrams' adjacency), aggregated once on the skew-free pair key,
+    and MIRRORED from that small aggregate rather than re-scanning the
+    corpus; the oracle builds the same counts from a positional
+    self-join. Exact BIGINT counts, full lexicographic tiebreak."""
+    from ..operators.indexing import skipgram_pairs
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return skipgram_pairs(d, id_col="doc_id", text_col="text",
+                          window=3, min_count=5, k=200)
+
+
+@register(
+    "oov_rate",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 regexp_split_to_array(trim(text), '\\s+'),
+                 x -> lower(x))) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    counts AS (
+      SELECT tok, count(*) AS c_tok FROM toks GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok FROM counts
+      ORDER BY c_tok DESC, tok ASC LIMIT 1000
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tok, 0) AS BIGINT) AS n_tok,
+           CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+           p.n_oov * 1000000 // p.n_tok AS oov_ppm
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def oov_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage diagnostic (operators/indexing.py::oov_rate):
+    per-document OOV token share against the corpus top-1000 vocabulary.
+    Vocab induction is a distributed TakeOrderedAndProject (exact
+    (count DESC, tok ASC) rank — never a no-partition window over the
+    billion-token distinct relation); membership is a BROADCAST left
+    join, so the corpus-sized token relation shuffles only for its two
+    count aggregates. Exact ppm by BIGINT div; zero-token docs surface
+    with NULL ppm rather than vanishing."""
+    from ..operators.indexing import oov_rate
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return oov_rate(d, id_col="doc_id", text_col="text", vocab_size=1000)

@@ -86,3 +86,48 @@ def test_interpolate_resample_leading_null_is_unbracketed(spark):
     assert got[steps[0]] == (None, False)
     assert got[steps[1]] == (None, False)
     assert got[steps[2]] == (8_000_000, True)
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    """±window co-occurrence from a crafted doc: distance ≤ w pairs
+    count in BOTH directions, distance > w pairs don't, repeated
+    tokens co-occur with themselves."""
+    from postgis_gtfs_importer_spark.operators.indexing import skipgram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c a")], "doc_id long, text string"
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(
+            df, window=2, min_count=1, k=100
+        ).collect()
+    }
+    # positions: a0 b1 c2 a3; window-2 unordered co-occurrences:
+    # a0-b1, b1-a3 (two a<->b), a0-c2, c2-a3 (two a<->c), b1-c2 (one)
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("b", "c")] == 1 and got[("c", "b")] == 1
+    assert got[("a", "c")] == 2 and got[("c", "a")] == 2
+    # a0 and a3 are distance 3 > window: no self pair
+    assert ("a", "a") not in got
+
+
+def test_oov_rate_vocab_and_unscorable(spark):
+    """Top-V vocab by (count, tok); OOV tokens counted exactly;
+    zero-token docs surface with NULL ppm."""
+    from postgis_gtfs_importer_spark.operators.indexing import oov_rate
+
+    rows = [
+        (1, "x x x y y z"),   # x:3 y:2 z:1
+        (2, "x q"),           # q is OOV at V=3? vocab = x,y,z (q count 1, tie with z -> 'q' < 'z' wins!)
+        (3, "   "),           # zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # counts: x3 y2 z1 q1 -> V=3 vocab by (cnt desc, tok asc): x, y, q
+    got = {
+        r["doc_id"]: (r["n_tok"], r["n_oov"], r["oov_ppm"])
+        for r in oov_rate(df, vocab_size=3).collect()
+    }
+    assert got[1] == (6, 1, 166_666)   # z is OOV: 1/6
+    assert got[2] == (2, 0, 0)         # x, q both in vocab
+    assert got[3] == (0, 0, None)      # unscorable, visible
