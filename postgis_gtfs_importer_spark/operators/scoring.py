@@ -336,3 +336,63 @@ def robust_scale(
         )
         .drop("_v", "q1", "q3")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Winsorized per-group aggregates: values are clamped to the exact
+    rank-selected [p_lo, p_hi] cut points before summing — the
+    tail-robust mean/sum every metrics pipeline wants when a handful of
+    absurd values (bot sessions, parse glitches) would otherwise own
+    the average. Completes the robust-statistics family
+    (quantile_normalize / mad_outliers / robust_scale).
+
+    Cut points are ACTUAL data elements picked by integer rank in
+    (value, id) order — rank ceil(n·p/100), clamped to [1, n] — no
+    interpolation, no float percentile boundary, so both engines select
+    identical BIGINTs (``value_col`` must be integral; quantize floats
+    first). One window pass computes both ranks; the group-count-sized
+    cut table broadcasts back; the clamped sum is an associative BIGINT
+    aggregate with map-side combine. Two shuffles on the group key
+    total — the same plan at any scale.
+
+    Returns one row per group:
+    (group, n, lo_cut, hi_cut, sum_winsorized, n_clamped_lo,
+    n_clamped_hi).
+    """
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(v, F.col(id_col))
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("_v", v)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wg))
+    )
+    k_lo = f"greatest(1L, ({int(lo_pct)} * _n + 99) div 100)"
+    k_hi = f"greatest(1L, ({int(hi_pct)} * _n + 99) div 100)"
+    cuts = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("_rn") == F.expr(k_lo), F.col("_v"))).alias("lo_cut"),
+        F.max(F.when(F.col("_rn") == F.expr(k_hi), F.col("_v"))).alias("hi_cut"),
+        F.max("_n").cast("long").alias("n"),
+    )
+    clamped = df.withColumn("_v", v).join(F.broadcast(cuts), group_col)
+    return clamped.groupBy(group_col).agg(
+        F.max("n").alias("n"),
+        F.max("lo_cut").alias("lo_cut"),
+        F.max("hi_cut").alias("hi_cut"),
+        F.sum(F.greatest(F.least(F.col("_v"), F.col("hi_cut")), F.col("lo_cut")))
+        .cast("long")
+        .alias("sum_winsorized"),
+        F.sum(F.when(F.col("_v") < F.col("lo_cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_lo"),
+        F.sum(F.when(F.col("_v") > F.col("hi_cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_hi"),
+    )

@@ -122,6 +122,8 @@ _ADDITIONS_R7: list[str] = [
     "interpolate_resample",
     "skipgram_pairs",
     "oov_rate",
+    "winsorized_stats",
+    "hits_trade",
 ]
 
 #: Kept for the overflow invariant in test_registry_ledger (empty =
@@ -9175,3 +9177,142 @@ def oov_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(_t(spark, sf_dir, "documents"))
     return oov_rate(d, id_col="doc_id", text_col="text", vocab_size=1000)
+
+
+@register(
+    "winsorized_stats",
+    """
+    WITH v AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+               AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    cuts AS (
+      SELECT grp,
+             max(CASE WHEN rn = greatest(1, (5 * n + 99) // 100)
+                 THEN cents END) AS lo_cut,
+             max(CASE WHEN rn = greatest(1, (95 * n + 99) // 100)
+                 THEN cents END) AS hi_cut,
+             CAST(max(n) AS BIGINT) AS n
+      FROM r GROUP BY grp
+    )
+    SELECT v.grp AS o_orderpriority,
+           max(c.n) AS n,
+           max(c.lo_cut) AS lo_cut,
+           max(c.hi_cut) AS hi_cut,
+           CAST(sum(greatest(least(v.cents, c.hi_cut), c.lo_cut))
+                AS BIGINT) AS sum_winsorized,
+           CAST(sum(CASE WHEN v.cents < c.lo_cut THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_lo,
+           CAST(sum(CASE WHEN v.cents > c.hi_cut THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_hi
+    FROM v JOIN cuts c ON c.grp = v.grp
+    GROUP BY v.grp
+    """,
+)
+def winsorized_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-robust aggregates (operators/scoring.py::winsorized_stats):
+    order totals per priority, clamped to the exact rank-selected
+    [p5, p95] before summing — the winsorized mean/sum that survives
+    bot-session and parse-glitch tails. Cut points are actual data
+    elements by integer rank (no interpolation), the clamped sum is an
+    associative BIGINT with map-side combine, and the cut table
+    broadcasts — two group-key shuffles at any scale."""
+    from ..operators.scoring import winsorized_stats
+
+    o = spread(_t(spark, sf_dir, "orders"))
+    v = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return winsorized_stats(
+        v, value_col="cents", group_col="o_orderpriority",
+        id_col="o_orderkey", lo_pct=5, hi_pct=95,
+    )
+
+
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled HITS oracle: per iteration, the authority and hub
+    half-steps each appear as a raw-sum CTE plus an integer-L∞-scaled
+    CTE (MATERIALIZED — DuckDB's default CTE inlining re-expands the
+    chain exponentially, the eigenvector_centrality lesson)."""
+    ctes = [
+        """
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS hub, l.l_suppkey AS auth
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )""",
+        """
+    h0 AS (SELECT DISTINCT hub, CAST(1000000 AS BIGINT) AS hs
+           FROM pairs)""",
+    ]
+    for r in range(1, iterations + 1):
+        p = r - 1
+        ctes.append(f"""
+    a{r}r AS MATERIALIZED (
+      SELECT p.auth, sum(h.hs) AS raw
+      FROM pairs p JOIN h{p} h USING (hub) GROUP BY p.auth
+    )""")
+        ctes.append(f"""
+    a{r} AS MATERIALIZED (
+      SELECT auth, (raw * 1000000) // (SELECT max(raw) FROM a{r}r) AS sc
+      FROM a{r}r
+    )""")
+        ctes.append(f"""
+    h{r}r AS MATERIALIZED (
+      SELECT p.hub, sum(a.sc) AS raw
+      FROM pairs p JOIN a{r} a USING (auth) GROUP BY p.hub
+    )""")
+        ctes.append(f"""
+    h{r} AS MATERIALIZED (
+      SELECT hub, (raw * 1000000) // (SELECT max(raw) FROM h{r}r) AS hs
+      FROM h{r}r
+    )""")
+    n = iterations
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT 'hub' AS side, hub AS node, CAST(hs AS BIGINT) AS score
+    FROM h{n}
+    UNION ALL
+    SELECT 'auth' AS side, auth AS node, CAST(sc AS BIGINT) AS score
+    FROM a{n}
+    """
+    )
+
+
+@register("hits_trade", _hits_oracle_sql(iterations=3))
+def hits_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (operators/graph.py::hits) over the
+    directed customer→supplier trade edge list: customers rank as hubs
+    (order from the suppliers everyone else orders from), suppliers as
+    authorities — Kleinberg's mutual-reinforcement ranking, the sixth
+    iterative-graph family member. All-BIGINT mutual power iteration
+    with integer L∞ normalization per half-step; the oracle unrolls the
+    identical 3 rounds as MATERIALIZED CTEs and matches bit-for-bit.
+    Per half-step: ONE shuffle (the far-side sum); score state
+    broadcasts; eager per-round localCheckpoint (the measured pagerank
+    cadence)."""
+    from ..operators.graph import hits
+
+    o = spread(_t(spark, sf_dir, "orders"))
+    l = spread(_t(spark, sf_dir, "lineitem"))
+    pairs = (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("hub"),
+            F.col("l_suppkey").alias("auth"),
+        )
+        .distinct()
+    )
+    return hits(pairs, iterations=3, hub_col="hub", auth_col="auth")

@@ -131,3 +131,38 @@ def test_oov_rate_vocab_and_unscorable(spark):
     assert got[1] == (6, 1, 166_666)   # z is OOV: 1/6
     assert got[2] == (2, 0, 0)         # x, q both in vocab
     assert got[3] == (0, 0, None)      # unscorable, visible
+
+
+def test_winsorized_stats_exact_cuts(spark):
+    """p5/p95 cut points are exact rank-selected elements; clamping
+    counts and the winsorized sum are pinned on a crafted group."""
+    from postgis_gtfs_importer_spark.operators.scoring import winsorized_stats
+
+    # 20 values 1..20: k_lo = ceil(20*5/100) = 1 -> cut 1;
+    # k_hi = ceil(20*95/100) = 19 -> cut 19. Clamp: 20 -> 19.
+    rows = [("g", i, i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "grp string, id int, v int")
+    r = winsorized_stats(df, "v", "grp", "id").collect()[0]
+    assert (r["n"], r["lo_cut"], r["hi_cut"]) == (20, 1, 19)
+    assert r["sum_winsorized"] == sum(range(1, 20)) + 19
+    assert (r["n_clamped_lo"], r["n_clamped_hi"]) == (0, 1)
+
+
+def test_hits_hand_computed_rounds(spark):
+    """Three exact-integer HITS rounds on a 2-hub / 2-authority graph,
+    verified against hand-computed normalization arithmetic."""
+    from postgis_gtfs_importer_spark.operators.graph import hits
+
+    pairs = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], "hub string, auth string"
+    )
+    got = {
+        (r["side"], r["node"]): r["score"]
+        for r in hits(pairs, iterations=3).collect()
+    }
+    assert got == {
+        ("hub", "h1"): 1_000_000,
+        ("hub", "h2"): 619_047,
+        ("auth", "a1"): 1_000_000,
+        ("auth", "a2"): 615_384,
+    }
