@@ -470,3 +470,134 @@ def interpolate_resample(
         F.floor(val * F.lit(1e6) + F.lit(0.5)).cast("long").alias("value_e6"),
         F.col("_obs").isNotNull().alias("is_observed"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key over irregular observations — the
+    TWAP/telemetry primitive a plain ``avg`` gets WRONG on irregular
+    sampling (a value that held for 6 hours must weigh 360× one that
+    held a minute; plain avg weighs them equally).
+
+    Each observation carries its value until the NEXT observation of
+    the same key (the last one carries nothing — no extrapolation
+    beyond the observed span, matching interpolate_resample's edge
+    policy). ``ts_col`` must be integral (epoch seconds/micros — the
+    caller picks the resolution) and ``value_col`` integral (quantize
+    first): the weighted numerator Σ v·Δt is then an exact associative
+    BIGINT sum — engine- and partition-order-free. Keep
+    max|v| · span < 2^63 (holds for cent-quantized values over
+    second-resolution years by two orders of magnitude).
+
+    One shuffle on the key: a lead() window over the per-key sort, then
+    the group aggregate (map-side combine). Returns
+    (key, twa = num div dur, num, dur, n_obs); keys with a single
+    observation (zero span) report NULL twa with dur 0 — honestly
+    unaveraged, not a fake point estimate.
+
+    Duplicate (key, ts) rows are the caller's contract to resolve
+    (zero-width segments contribute nothing but make the lead order
+    within the tie arbitrary between their values — harmless for the
+    sum only if values match; reduce first).
+    """
+    k = key_col
+    w = Window.partitionBy(k).orderBy(F.col(ts_col))
+    seg = df.select(
+        F.col(k),
+        F.col(value_col).cast("long").alias("_v"),
+        (F.lead(F.col(ts_col)).over(w) - F.col(ts_col))
+        .cast("long")
+        .alias("_dt"),
+    )
+    agg = seg.groupBy(k).agg(
+        F.sum(F.col("_v") * F.col("_dt")).cast("long").alias("num"),
+        F.sum("_dt").cast("long").alias("dur"),
+        F.count("*").cast("long").alias("n_obs"),
+    )
+    return agg.select(
+        F.col(k),
+        F.expr("CASE WHEN dur > 0 THEN num div dur END").alias("twa"),
+        F.coalesce("num", F.lit(0)).alias("num"),
+        F.coalesce("dur", F.lit(0)).alias("dur"),
+        "n_obs",
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    asof_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """Nearest-in-time as-of join: each left row takes the right row
+    with the SMALLEST |Δts| per key, ties broken toward the earlier
+    (at-or-before) row — the sensor-alignment join when the best
+    reading may sit on either side of the event.
+
+    One union-then-window pass carries BOTH candidates: the
+    at-or-before right row via last(ignorenulls) over the preceding
+    frame and the strictly-after row via first(ignorenulls) over the
+    following frame — the SAME per-key sort feeds both frames, so
+    Spark plans one exchange+sort with two window frames: the cost of
+    ONE as-of join buys both directions. An equal-ts right row sorts
+    before the left row (backward's >= tie rule), is seen only by the
+    preceding frame, and wins at distance 0 — the forward frame then
+    starts strictly after, so the two candidates can never be the same
+    row. The winner is picked per row by exact |Δ| comparison on the
+    packed structs (row presence drives the fill — the asof_join
+    contract — so NULL right values are carried faithfully from
+    whichever row wins).
+
+    ``ts_col`` must be numeric (epoch units) so |Δ| is integer
+    arithmetic. Same validation contract as asof_join.
+    """
+    _validate_asof_cols("asof_join_nearest", left, right, on, value_cols)
+    l_tagged = left.withColumn("_side", F.lit(1))
+    r_tagged = (
+        right.select(*on, ts_col, *value_cols)
+        .withColumn("_side", F.lit(0))
+        .withColumn(
+            "_pack",
+            F.struct(
+                F.col(ts_col).alias("_r_ts"),
+                *[F.col(c) for c in value_cols],
+            ),
+        )
+        .drop(*value_cols)
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    order = [F.col(ts_col), F.col("_side")]
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = merged.select(
+        "*",
+        F.last(F.col("_pack"), ignorenulls=True).over(w_back).alias("_b"),
+        F.first(F.col("_pack"), ignorenulls=True).over(w_fwd).alias("_n"),
+    )
+    d_back = F.abs(F.col(ts_col) - F.col("_b._r_ts"))
+    d_fwd = F.abs(F.col("_n._r_ts") - F.col(ts_col))
+    pick = (
+        F.when(F.col("_b").isNull(), F.col("_n"))
+        .when(F.col("_n").isNull(), F.col("_b"))
+        .when(d_fwd < d_back, F.col("_n"))
+        .otherwise(F.col("_b"))  # ties -> earlier row
+    )
+    chosen = filled.withColumn("_f", pick)
+    out_cols = [c for c in left.columns] + [
+        F.col(f"_f.{c}").alias(c) for c in value_cols
+    ] + [F.col("_f._r_ts").alias(asof_ts_col)]
+    return chosen.filter(F.col("_side") == 1).select(*out_cols)

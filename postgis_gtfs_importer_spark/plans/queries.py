@@ -124,6 +124,8 @@ _ADDITIONS_R7: list[str] = [
     "oov_rate",
     "winsorized_stats",
     "hits_trade",
+    "time_weighted_avg",
+    "asof_join_nearest",
 ]
 
 #: Kept for the overflow invariant in test_registry_ledger (empty =
@@ -9316,3 +9318,119 @@ def hits_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits(pairs, iterations=3, hub_col="hub", auth_col="auth")
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH o AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id)
+               AS cents
+      FROM events
+      GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+    ),
+    seg AS (
+      SELECT user_id, cents,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               - ts_us AS dt
+      FROM o
+    )
+    SELECT user_id,
+           CAST(CASE WHEN sum(dt) > 0
+                THEN sum(cents * dt) // sum(dt) END AS BIGINT) AS twa,
+           CAST(coalesce(sum(cents * dt), 0) AS BIGINT) AS num,
+           CAST(coalesce(sum(dt), 0) AS BIGINT) AS dur,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM seg GROUP BY user_id
+    """,
+)
+def time_weighted_avg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (operators/temporal.py::time_weighted_avg):
+    per user, each event's cent-quantized value weighted by how long it
+    held (until the next event) — the TWAP/telemetry statistic a plain
+    avg computes wrongly on irregular sampling. Duplicate (user, µs)
+    observations are reduced first (max_by on event_id — the asof
+    entry's discipline) so segment attachment is deterministic. The
+    numerator is an exact associative BIGINT sum (cents × µs ≈ 1e17 ≪
+    2^63); one lead() window plus one aggregate, a single shuffle on
+    the key."""
+    from ..operators.temporal import time_weighted_avg
+
+    e = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    obs = (
+        e.select("user_id", ts_us.alias("ts_us"), cents.alias("_c"), "event_id")
+        .groupBy("user_id", "ts_us")
+        .agg(F.expr("max_by(_c, event_id)").alias("cents"))
+    )
+    return time_weighted_avg(
+        obs, key_col="user_id", ts_col="ts_us", value_col="cents"
+    )
+
+
+@register(
+    "asof_join_nearest",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_type
+      FROM events WHERE event_type <> 'error'
+    ),
+    r AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             arg_max(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+    ),
+    b AS (
+      SELECT l.event_id, r.err_value AS bv, r.ts_us AS bt
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    ),
+    n AS (
+      SELECT l.event_id, r.err_value AS nv, r.ts_us AS nt
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts_us < r.ts_us
+    )
+    SELECT l.event_id, l.user_id, l.ts_us, l.event_type,
+           CASE WHEN bt IS NULL THEN nv
+                WHEN nt IS NULL THEN bv
+                WHEN (nt - l.ts_us) < (l.ts_us - bt) THEN nv
+                ELSE bv END AS err_value,
+           CASE WHEN bt IS NULL THEN nt
+                WHEN nt IS NULL THEN bt
+                WHEN (nt - l.ts_us) < (l.ts_us - bt) THEN nt
+                ELSE bt END AS err_ts_us
+    FROM l
+    JOIN b ON b.event_id = l.event_id
+    JOIN n ON n.event_id = l.event_id
+    """,
+)
+def asof_join_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join
+    (operators/temporal.py::asof_join_nearest): every non-error event
+    picks the user's error reading with the smallest |Δt|, either
+    direction, ties toward the earlier row. ONE union-then-window pass
+    carries both candidates (two frames over the SAME per-key
+    exchange+sort — both directions for the price of one as-of join);
+    the oracle composes DuckDB's NATIVE backward and strict-forward
+    ASOF joins with the identical tie rule, so the pick logic faces a
+    first-party implementation."""
+    from ..operators.temporal import asof_join_nearest
+
+    e = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = e.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", ts_us.alias("ts_us"), "event_type"
+    )
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", ts_us.alias("ts_us"))
+        .agg(F.expr("max_by(value, event_id)").alias("err_value"))
+    )
+    return asof_join_nearest(
+        left, right, on=["user_id"], ts_col="ts_us",
+        value_cols=["err_value"], asof_ts_col="err_ts_us",
+    )

@@ -166,3 +166,59 @@ def test_hits_hand_computed_rounds(spark):
         ("auth", "a1"): 1_000_000,
         ("auth", "a2"): 615_384,
     }
+
+
+def test_time_weighted_avg_segments(spark):
+    """Each value holds until the next observation; the last carries
+    nothing; single-observation keys report NULL twa honestly."""
+    from postgis_gtfs_importer_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # k1: v=10 holds 5s, v=20 holds 15s, v=99 terminal (no weight)
+        ("k1", 0, 10), ("k1", 5, 20), ("k1", 20, 99),
+        # k2: single observation
+        ("k2", 7, 42),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v long")
+    got = {
+        r["k"]: (r["twa"], r["num"], r["dur"], r["n_obs"])
+        for r in time_weighted_avg(df, "k", "ts", "v").collect()
+    }
+    # num = 10*5 + 20*15 = 350, dur = 20 -> twa 17
+    assert got["k1"] == (17, 350, 20, 3)
+    assert got["k2"] == (None, 0, 0, 1)
+
+
+def test_asof_join_nearest_direction_and_ties(spark):
+    """Nearest |dt| wins either direction; exact ties pick the earlier
+    row; equal-ts matches at distance 0; unmatched keys stay NULL."""
+    from postgis_gtfs_importer_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("k", 1, 10),   # nearer to r@8 (d2) than r@20 (d10)
+            ("k", 2, 15),   # exact tie: r@10? no — r@8 d7 vs r@20 d5 -> r@20
+            ("k", 3, 14),   # tie d6/d6 -> earlier (r@8)
+            ("k", 4, 20),   # equal ts -> distance 0 backward
+            ("q", 5, 99),   # no right rows for q -> NULLs
+        ],
+        "k string, id int, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 8, 800), ("k", 20, 2000)], "k string, ts long, v int"
+    )
+    got = {
+        r["id"]: (r["v"], r["asof_ts"])
+        for r in asof_join_nearest(
+            left, right, ["k"], "ts", ["v"]
+        ).collect()
+    }
+    assert got[1] == (800, 8)
+    assert got[2] == (2000, 20)
+    assert got[3] == (800, 8)      # tie -> earlier
+    assert got[4] == (2000, 20)    # distance 0
+    assert got[5] == (None, None)
