@@ -24,6 +24,14 @@ the merge sequence — and therefore the whole tokenizer — is a pure
 function of the corpus. Verified against a pure-Python reference
 implementation in tests/test_bpe.py (exact merge-sequence equality),
 which is the honest check for an operator no SQL oracle can express.
+
+Character-split boundary (documented, not fixed): the initial symbols
+come from ``split(word, '')``, which operates on Java UTF-16 code
+UNITS — a non-BMP code point (emoji, rare CJK) splits into its two
+surrogate halves, while the pure-Python reference's ``list(word)``
+yields one code POINT. The two diverge only on non-BMP corpora; for a
+byte/char-exact tokenizer over such text, pre-encode to bytes (real
+BPE trainers operate on bytes anyway) before this operator.
 """
 
 from __future__ import annotations

@@ -59,16 +59,39 @@ def snapshot_diff(
 
     Returns (pk..., status).
     """
-    o = old.select(*pk_cols, row_fingerprint(compare_cols).alias("_fp_old"))
-    n = new.select(*pk_cols, row_fingerprint(compare_cols).alias("_fp_new"))
+    # Pk equality is NULL-SAFE: a NULL pk component must match its NULL
+    # twin across snapshots (plain `=` never matches NULL, so the same
+    # NULL-pk row was classified added AND removed every diff — the
+    # in-domain-NULL class the nulled-payload sweeps keep finding).
+    o = old.select(
+        *[F.col(k).alias(f"_o_{k}") for k in pk_cols],
+        row_fingerprint(compare_cols).alias("_fp_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_n_{k}") for k in pk_cols],
+        row_fingerprint(compare_cols).alias("_fp_new"),
+    )
+    cond = [
+        F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in pk_cols
+    ]
     status = (
         F.when(F.col("_fp_old").isNull(), F.lit("added"))
         .when(F.col("_fp_new").isNull(), F.lit("removed"))
         .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    return o.join(n, pk_cols, "full_outer").select(
-        *pk_cols, status.alias("status")
+    return o.join(n, cond, "full_outer").select(
+        *[
+            # equal whenever both sides exist (null-safe match), so
+            # either side supplies the pk; coalesce handles the
+            # one-sided added/removed rows. A genuinely NULL pk stays
+            # NULL (coalesce of two NULLs) — faithful, not fabricated.
+            F.when(F.col("_fp_old").isNotNull(), F.col(f"_o_{k}"))
+            .otherwise(F.col(f"_n_{k}"))
+            .alias(k)
+            for k in pk_cols
+        ],
+        status.alias("status"),
     )
 
 
@@ -81,9 +104,16 @@ def merge_upsert(
     anti-join + union — two map-side-combinable stages, one shuffle on
     the pk (zero with bucketed staging). The idempotent re-import
     primitive for mutable feeds: applying the same source twice is a
-    no-op.
+    no-op. Pk matching is NULL-SAFE (a NULL-pk source row REPLACES the
+    target's NULL-pk row rather than accumulating a duplicate on every
+    re-apply — the idempotency contract under the in-domain-NULL class).
     """
-    keep = target.join(source, pk_cols, "left_anti")
+    src = source.alias("_mu_s")
+    tgt = target.alias("_mu_t")
+    cond = [
+        F.col(f"_mu_t.{k}").eqNullSafe(F.col(f"_mu_s.{k}")) for k in pk_cols
+    ]
+    keep = tgt.join(src, cond, "left_anti")
     return keep.unionByName(source)
 
 
@@ -139,7 +169,11 @@ def scd2_apply(
         *[F.col(k).alias(f"_s_{k}") for k in payload],
         row_fingerprint(compare_cols).alias("_fp_s"),
     )
-    cond = [F.col(f"_c_{k}") == F.col(f"_s_{k}") for k in pk_cols]
+    # NULL-SAFE pk match: with plain `=` a NULL-pk row never joined its
+    # own current version, so every batch closed it and opened a
+    # duplicate — violating the idempotency contract documented above
+    # (re-applying the same source must reproduce the same history).
+    cond = [F.col(f"_c_{k}").eqNullSafe(F.col(f"_s_{k}")) for k in pk_cols]
     j = c.join(s, cond, "full_outer")
 
     def version(side: str, vfrom, vto) -> Column:

@@ -596,6 +596,9 @@ def hits(
     Returns (side, node, score): side 'hub' or 'auth', score in
     [0, 1e6] with max(score) = 1e6 on each side.
     """
+    if int(iterations) < 1:
+        raise ValueError("hits needs iterations >= 1 (the authority side"
+                         " only exists after the first half-step)")
     scale0 = 1_000_000
     e = pairs.select(
         F.col(hub_col).alias("hub"), F.col(auth_col).alias("auth")

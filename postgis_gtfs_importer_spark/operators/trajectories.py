@@ -26,7 +26,13 @@ from pyspark.sql.types import DoubleType
 def _hausdorff(
     lat_a: pd.Series, lon_a: pd.Series, lat_b: pd.Series, lon_b: pd.Series
 ) -> pd.Series:
-    """Symmetric discrete Hausdorff distance (degrees) between polylines."""
+    """Symmetric discrete Hausdorff distance (degrees) between polylines.
+
+    RAW coordinate-space Euclidean per point pair — no geodesic math and
+    no longitude wrap: a pair straddling ±180 scores ~360° apart even
+    though geographically adjacent (the blocker pairs them; rank their
+    distance with a seam-aware kernel if near-seam similarity matters).
+    """
     import numpy as np
 
     out = []
@@ -72,10 +78,24 @@ def similar_shapes_topk(
     Candidates are blocked by centroid cell (shapes whose centroids fall
     in the same ``cell_deg`` grid cell, all 9 neighbor cells probed via
     the 3×3 offset explode) — equi-join on cell ids, never a full cross
-    join. Output: shape_id, other_shape_id, hausdorff_deg, rn.
+    join. The longitude cell axis is normalized onto the antimeridian
+    wrap ring (spatial._wrap_x — the r6 radius_pairs lesson): centroids
+    at lon +179.9 and -179.9 are neighbors, so near-seam Fiji/Chatham
+    shapes pair up. KNOWN LIMIT: a shape whose polyline CROSSES ±180
+    averages its raw longitudes to a meaningless mid-Pacific-antipode
+    centroid and blocks into the wrong cell — centroid blocking is a
+    recall heuristic there; split such shapes at the seam upstream if
+    they matter. Output: shape_id, other_shape_id, hausdorff_deg, rn.
     """
     from .dedup import materialize
+    from .spatial import _lon_cells, _wrap_x
 
+    _, n_ring = _lon_cells(cell_deg)
+    if n_ring < 3:
+        raise ValueError(
+            f"cell_deg={cell_deg} leaves only {n_ring} longitude cells;"
+            " the 3x3 probe needs >= 3 on the wrap ring"
+        )
     pl = materialize(_polylines(tables))
     offsets = F.array(
         *[
@@ -92,7 +112,10 @@ def similar_shapes_topk(
             F.col("lat").alias("lat_a"),
             F.col("lon").alias("lon_a"),
             (F.floor(F.col("c_lat") / cell_deg) + F.col("o.dx")).alias("cx"),
-            (F.floor(F.col("c_lon") / cell_deg) + F.col("o.dy")).alias("cy"),
+            _wrap_x(
+                F.floor(F.col("c_lon") / cell_deg).cast("long") + F.col("o.dy"),
+                cell_deg,
+            ).cast("long").alias("cy"),
         )
     )
     b = pl.select(
@@ -100,7 +123,9 @@ def similar_shapes_topk(
         F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),
         F.floor(F.col("c_lat") / cell_deg).alias("cx"),
-        F.floor(F.col("c_lon") / cell_deg).alias("cy"),
+        _wrap_x(
+            F.floor(F.col("c_lon") / cell_deg).cast("long"), cell_deg
+        ).cast("long").alias("cy"),
     )
     pairs = a.join(b, ["cx", "cy"]).filter(F.col("id_a") != F.col("id_b"))
     scored = pairs.withColumn(

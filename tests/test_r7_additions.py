@@ -222,3 +222,31 @@ def test_asof_join_nearest_direction_and_ties(spark):
     assert got[3] == (800, 8)      # tie -> earlier
     assert got[4] == (2000, 20)    # distance 0
     assert got[5] == (None, None)
+
+
+def test_similar_shapes_antimeridian_wrap(spark):
+    """Centroid-cell blocking wraps at ±180: two shapes hugging the
+    seam from opposite sides must PAIR (the r6 radius_pairs lesson
+    applied to the trajectory blocker); a mid-Pacific-distant shape
+    stays unpaired."""
+    from postgis_gtfs_importer_spark.operators.trajectories import (
+        similar_shapes_topk,
+    )
+
+    shapes = spark.createDataFrame(
+        [
+            ("E", 1, 0.0, 179.9), ("E", 2, 0.1, 179.9),
+            ("W", 1, 0.0, -179.9), ("W", 2, 0.1, -179.9),
+            ("far", 1, 0.0, 0.0), ("far", 2, 0.1, 0.0),
+        ],
+        "shape_id string, shape_pt_sequence int,"
+        " shape_pt_lat double, shape_pt_lon double",
+    )
+    got = {
+        (r["shape_id"], r["other_shape_id"])
+        for r in similar_shapes_topk(
+            {"shapes": shapes}, k=1, cell_deg=0.5
+        ).collect()
+    }
+    assert ("E", "W") in got and ("W", "E") in got
+    assert not any(s == "far" or o == "far" for s, o in got)
