@@ -112,6 +112,14 @@ _WINDOW_R7: list[str] = [
     "asof_join_forward",
     "range_join",
     "locf_resample",
+    # r7 self-review: NULL-safe pk matching landed in diff.py (its
+    # non-null-safe joins mis-classified in-domain-NULL pks); bpe.py
+    # gained the UTF-16 split-boundary doc note (module-docstring edit
+    # stales the whole module by design — docstrings document contract)
+    "snapshot_diff",
+    "merge_upsert",
+    "scd2_apply",
+    "bpe_merges",
 ]
 
 #: Round-7 additions: new entries land here (never driver-verified →
