@@ -362,15 +362,24 @@ def winsorized_stats(
     aggregate with map-side combine. Two shuffles on the group key
     total — the same plan at any scale.
 
+    NULL observations are EXCLUDED up front (the sketch-family policy:
+    a NULL is no observation) — they neither count toward n nor
+    participate in cut selection. Without the filter a NULL sorts
+    first, can be rank-selected as a NULL cut, and greatest/least's
+    NULL-skipping then silently UNclamps that side — an
+    engine-dependent footgun, not a policy. A group that is entirely
+    NULL disappears from the output.
+
     Returns one row per group:
     (group, n, lo_cut, hi_cut, sum_winsorized, n_clamped_lo,
     n_clamped_hi).
     """
     v = F.col(value_col).cast("long")
+    base = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(v, F.col(id_col))
     wg = Window.partitionBy(group_col)
     ranked = (
-        df.withColumn("_v", v)
+        base.withColumn("_v", v)
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count("*").over(wg))
     )
@@ -381,7 +390,7 @@ def winsorized_stats(
         F.max(F.when(F.col("_rn") == F.expr(k_hi), F.col("_v"))).alias("hi_cut"),
         F.max("_n").cast("long").alias("n"),
     )
-    clamped = df.withColumn("_v", v).join(F.broadcast(cuts), group_col)
+    clamped = base.withColumn("_v", v).join(F.broadcast(cuts), group_col)
     return clamped.groupBy(group_col).agg(
         F.max("n").alias("n"),
         F.max("lo_cut").alias("lo_cut"),

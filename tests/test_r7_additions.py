@@ -250,3 +250,29 @@ def test_similar_shapes_antimeridian_wrap(spark):
     }
     assert ("E", "W") in got and ("W", "E") in got
     assert not any(s == "far" or o == "far" for s, o in got)
+
+
+def test_winsorized_stats_null_exclusion(spark):
+    """NULL observations are excluded up front (sketch-family policy):
+    they neither count toward n nor can be rank-selected as a NULL cut
+    (which greatest/least's NULL-skipping would silently unclamp);
+    an all-NULL group disappears."""
+    from postgis_gtfs_importer_spark.operators.scoring import (
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([None, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+        + [("allnull", 99, None)],
+        "grp string, id int, val int",
+    )
+    rows = {r["grp"]: r for r in winsorized_stats(
+        df, "val", "grp", "id", lo_pct=10, hi_pct=90
+    ).collect()}
+    assert set(rows) == {"g"}
+    g = rows["g"]
+    # 10 non-null values 1..10: ceil(10*.1)=1 -> lo_cut=1,
+    # ceil(10*.9)=9 -> hi_cut=9; sum = 1..9 clamped + (10->9) = 54
+    assert (g["n"], g["lo_cut"], g["hi_cut"]) == (10, 1, 9)
+    assert g["sum_winsorized"] == 54
+    assert (g["n_clamped_lo"], g["n_clamped_hi"]) == (0, 1)
