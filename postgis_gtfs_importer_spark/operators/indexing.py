@@ -635,3 +635,94 @@ def oov_rate(
             F.expr("n_oov * 1000000L div n_tok").alias("oov_ppm"),
         )
     )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-n-gram coverage: the fraction of a doc's
+    tokens lying inside some length-``n`` token n-gram that occurs at
+    least ``min_dup`` times in the WHOLE corpus (within-doc repeats
+    count) — the Dolma/RedPajama-class "fraction of tokens in duplicate
+    n-grams" quality signal, the inter-document complement of
+    repetition_profile's intra-document ratios. High coverage marks
+    boilerplate/templated/mirrored text that exact and near dedup both
+    miss (they judge whole documents; this finds duplicated SPANS
+    inside otherwise-unique ones — the suffix-array exact-substring
+    result of Lee et al., approximated at fixed span length n).
+
+    Scale shape — three corpus-keyed shuffles, no self-join:
+    (1) n-gram starts are MAP-SIDE from each doc's token array (the
+    pmi/skipgram slice trick; a doc with < n tokens emits nothing);
+    (2) occurrence counts aggregate on the n-gram string (map-side
+    combine), and the duplicate set joins BACK on that same key — a
+    hash join whose dup side has ONE row per distinct hot n-gram, so a
+    boilerplate n-gram with millions of start sites multiplies nothing
+    (output rows = input rows), the skew-safe direction; (3) covered
+    tokens come from merging each doc's duplicated [s, s+n) spans with
+    :func:`..temporal.interval_union` (per-doc window sort) and summing
+    island lengths — overlap never double-counts. Every shuffle key is
+    n-gram or doc_id; nothing broadcasts a corpus-sized relation.
+
+    Returns (id, n_tok, covered_tok, dup_ppm) for EVERY input document;
+    ``dup_ppm = covered_tok * 1e6 div n_tok`` exact BIGINT, NULL for
+    zero-token docs (visible-but-unscorable).
+    """
+    from .temporal import interval_union
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        TX.lower_ws_tokens_nonempty(F.col(text_col)).alias("_t"),
+    )
+    starts = F.when(
+        F.size("_t") >= n, F.sequence(F.lit(1), F.size("_t") - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = (
+        toks.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.concat_ws(" ", F.slice("_t", s, n)).alias("g"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "_id",
+            F.col("_p.s").cast("long").alias("_s"),
+            F.col("_p.g").alias("_g"),
+        )
+    )
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= int(min_dup))
+        .select("_g")
+    )
+    spans = grams.join(dup, "_g").select(
+        "_id", F.col("_s").alias("_lo"), (F.col("_s") + n).alias("_hi")
+    )
+    cov = (
+        interval_union(spans, "_id", "_lo", "_hi")
+        .groupBy("_id")
+        .agg(F.sum(F.col("hi") - F.col("lo")).cast("long").alias("covered_tok"))
+    )
+    ntok = toks.select("_id", F.size("_t").cast("long").alias("n_tok"))
+    out = ntok.join(cov, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_tok",
+        F.coalesce("covered_tok", F.lit(0)).cast("long").alias("covered_tok"),
+    )
+    return out.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_tok > 0 THEN covered_tok * 1000000L div n_tok END"
+        ).alias("dup_ppm"),
+    )

@@ -164,3 +164,98 @@ def tvd_drift(
             .alias("tvd_ppm"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-key CUSUM level-shift detection over an irregular event
+    series — the classic change-point statistic (Page's cumulative
+    sum): against the key's own mean, the maximum upward excursion
+    S+ = max_i (cs_i − min(0, min_{j≤i} cs_j)) and downward excursion
+    S− = max_i (max(0, max_{j≤i} cs_j) − cs_i) of the centered
+    cumulative sum cs, plus WHERE each peak first occurs. A drifting
+    metric (deploy regression, sensor bias, seasonality break) shows a
+    large one-sided excursion; a stable one stays near zero. This is
+    the monitoring companion to tvd_drift (distribution change between
+    two snapshots) — CUSUM localizes WHEN a single series broke.
+
+    The recursive textbook form S_i = max(0, S_{i-1} + x_i − μ) is not
+    window-expressible, but its closed form above is: one cumulative
+    sum and a running min/max over the SAME per-key sort. Exactness:
+    values quantize to e6 BIGINTs per row (the money-sum discipline),
+    μ is the integer-floor mean (sum div n — deterministic, bias < 1
+    quantum), so cs and both excursions are exact integers any engine
+    reproduces bit-for-bit. Order is (epoch_us, id) — total and
+    engine-free.
+
+    One shuffle on the key: every window (whole-partition stats, the
+    running frames, the partition max) shares the one exchange+sort,
+    and the final per-key aggregate reuses that partitioning. NULL
+    value/ts observations are EXCLUDED up front (the sketch-family
+    policy); a key with all-NULL observations disappears.
+
+    Returns (key, n_obs, mean_e6, max_up_e6, max_down_e6,
+    peak_up_us, peak_down_us) — peaks are the EARLIEST (ts, id) where
+    the maximal excursion is attained.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_i"),
+        F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("_v"),
+    )
+    wk = Window.partitionBy("_k")
+    run = (
+        Window.partitionBy("_k")
+        .orderBy("_us", "_i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mu = base.select(
+        "*", F.expr("sum(_v) OVER (PARTITION BY _k) div count(*) OVER (PARTITION BY _k)").alias("_mu")
+    )
+    cs = mu.select("*", F.sum(F.col("_v") - F.col("_mu")).over(run).alias("_cs"))
+    dev = cs.select(
+        "*",
+        (F.col("_cs") - F.least(F.min("_cs").over(run), F.lit(0))).alias("_up"),
+        (F.greatest(F.max("_cs").over(run), F.lit(0)) - F.col("_cs")).alias("_dn"),
+    )
+    peaked = dev.select(
+        "*",
+        F.max("_up").over(wk).alias("_mup"),
+        F.max("_dn").over(wk).alias("_mdn"),
+    )
+    return (
+        peaked.groupBy("_k")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.max("_mu").cast("long").alias("mean_e6"),
+            F.max("_up").cast("long").alias("max_up_e6"),
+            F.max("_dn").cast("long").alias("max_down_e6"),
+            F.min(
+                F.when(F.col("_up") == F.col("_mup"), F.struct("_us", "_i"))
+            )["_us"].alias("peak_up_us"),
+            F.min(
+                F.when(F.col("_dn") == F.col("_mdn"), F.struct("_us", "_i"))
+            )["_us"].alias("peak_down_us"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n_obs",
+            "mean_e6",
+            "max_up_e6",
+            "max_down_e6",
+            "peak_up_us",
+            "peak_down_us",
+        )
+    )

@@ -134,6 +134,8 @@ _ADDITIONS_R7: list[str] = [
     "hits_trade",
     "time_weighted_avg",
     "asof_join_nearest",
+    "dup_ngram_coverage",
+    "cusum_changepoints",
 ]
 
 #: Kept for the overflow invariant in test_registry_ledger (empty =
@@ -9442,3 +9444,118 @@ def asof_join_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on=["user_id"], ts_col="ts_us",
         value_cols=["err_value"], asof_ts_col="err_ts_us",
     )
+
+
+@register(
+    "dup_ngram_coverage",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+               x -> x <> '') AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS s FROM docs
+    ),
+    grams AS (
+      SELECT doc_id, s, array_to_string(t[s : s + 4], ' ') AS g
+      FROM starts
+    ),
+    dup AS (
+      SELECT g FROM (SELECT g, count(*) AS c FROM grams GROUP BY g)
+      WHERE c >= 2
+    ),
+    cov AS (
+      SELECT doc_id, count(DISTINCT s + k) AS covered
+      FROM (SELECT grams.doc_id, grams.s, unnest(range(0, 5)) AS k
+            FROM grams JOIN dup USING (g))
+      GROUP BY doc_id
+    ),
+    nt AS (SELECT doc_id, len(t) AS n_tok FROM docs)
+    SELECT nt.doc_id,
+           CAST(nt.n_tok AS BIGINT) AS n_tok,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tok,
+           CASE WHEN nt.n_tok > 0 THEN
+             CAST(coalesce(cov.covered, 0) * 1000000 AS BIGINT) // nt.n_tok
+           END AS dup_ppm
+    FROM nt LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dup_ngram_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-5-gram token coverage per document
+    (operators/indexing.py::dup_ngram_coverage) — the Dolma-class
+    "fraction of tokens in corpus-duplicated n-grams" quality signal;
+    inter-document span-level duplication that whole-doc exact/near
+    dedup misses. Three corpus-keyed shuffles (map-side n-gram starts,
+    count+join on the n-gram key, per-doc interval-union of duplicated
+    spans); the oracle replays coverage as count(DISTINCT covered
+    position) — a deliberately different algorithm for the same set."""
+    from ..operators.indexing import dup_ngram_coverage
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return dup_ngram_coverage(d, id_col="doc_id", text_col="text",
+                              n=5, min_dup=2)
+
+
+@register(
+    "cusum_changepoints",
+    """
+    WITH base AS (
+      SELECT user_id AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             event_id AS i,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    mu AS (
+      SELECT *,
+             sum(v) OVER (PARTITION BY k)
+               // count(*) OVER (PARTITION BY k) AS m
+      FROM base
+    ),
+    cs AS (
+      SELECT *,
+             sum(v - m) OVER (PARTITION BY k ORDER BY us, i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM mu
+    ),
+    dev AS (
+      SELECT *,
+             c - least(min(c) OVER (PARTITION BY k ORDER BY us, i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS up,
+             greatest(max(c) OVER (PARTITION BY k ORDER BY us, i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - c AS dn
+      FROM cs
+    ),
+    peaked AS (
+      SELECT *,
+             max(up) OVER (PARTITION BY k) AS mup,
+             max(dn) OVER (PARTITION BY k) AS mdn
+      FROM dev
+    )
+    SELECT k AS user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(max(m) AS BIGINT) AS mean_e6,
+           CAST(max(up) AS BIGINT) AS max_up_e6,
+           CAST(max(dn) AS BIGINT) AS max_down_e6,
+           min(CASE WHEN up = mup THEN us END) AS peak_up_us,
+           min(CASE WHEN dn = mdn THEN us END) AS peak_down_us
+    FROM peaked
+    GROUP BY k
+    """,
+)
+def cusum_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM level-shift excursions over the event value
+    series (operators/profiling.py::cusum_changepoints): exact-integer
+    closed-form CUSUM (cumsum minus running extremum — the recursive
+    textbook form is not window-expressible, this is) with earliest
+    peak localization; all windows and the final aggregate share ONE
+    per-user exchange+sort. tvd_drift says a distribution changed
+    between snapshots; this says WHEN a single series broke."""
+    from ..operators.profiling import cusum_changepoints
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_changepoints(e, "user_id", "ts", "value", "event_id")

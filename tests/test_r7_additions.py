@@ -276,3 +276,71 @@ def test_winsorized_stats_null_exclusion(spark):
     assert (g["n"], g["lo_cut"], g["hi_cut"]) == (10, 1, 9)
     assert g["sum_winsorized"] == 54
     assert (g["n_clamped_lo"], g["n_clamped_hi"]) == (0, 1)
+
+
+def test_dup_ngram_coverage_pin(spark):
+    """Hand-computed: docs 1+2 share the 5-gram 'a b c d e' (each
+    covers positions 1-5 of 8 tokens -> 625000 ppm); overlapping dup
+    spans within a doc merge (never double-count); <n-token and
+    zero-token docs stay visible (0 / NULL ppm)."""
+    from postgis_gtfs_importer_spark.operators.indexing import (
+        dup_ngram_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x a b c d e f z"),  # dup 5-grams 'a b c d e','b c d e f'
+            (3, "p q r s t u"),
+            (4, "short one"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x.asDict() for x in dup_ngram_coverage(docs).collect()}
+    # doc1: starts 1..4; dup starts 1 ('a b c d e') and 2 ('b c d e f')
+    #   -> spans [1,6) U [2,7) = [1,7) -> 6 covered of 8
+    assert (r[1]["n_tok"], r[1]["covered_tok"], r[1]["dup_ppm"]) == (8, 6, 750000)
+    # doc2: dup starts 2,3 -> [2,7) U [3,8) = [2,8) -> 6 of 8
+    assert (r[2]["n_tok"], r[2]["covered_tok"], r[2]["dup_ppm"]) == (8, 6, 750000)
+    assert (r[3]["covered_tok"], r[3]["dup_ppm"]) == (0, 0)
+    assert (r[4]["n_tok"], r[4]["dup_ppm"]) == (2, 0)
+    assert (r[5]["n_tok"], r[5]["dup_ppm"]) == (0, None)
+
+
+def test_cusum_changepoints_pin(spark):
+    """Hand-computed step series: 5x10.0 then 5x20.0, mean 15 ->
+    centered cumsum walks to -25e6 then back to 0; both excursions
+    25e6, downward peak at the 5th obs, upward at the last; a stable
+    key shows zero excursions; NULL values are excluded."""
+    from datetime import datetime
+
+    from postgis_gtfs_importer_spark.operators.profiling import (
+        cusum_changepoints,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, i), 100 + i,
+         10.0 if i < 5 else 20.0)
+        for i in range(10)
+    ] + [
+        (2, datetime(2024, 1, 1, 0, 0, i), 200 + i, 7.0) for i in range(4)
+    ] + [(2, datetime(2024, 1, 1, 0, 1, 0), 299, None)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    r = {x["user_id"]: x.asDict()
+         for x in cusum_changepoints(ev, "user_id", "ts", "value",
+                                     "event_id").collect()}
+    u1 = r[1]
+    assert (u1["n_obs"], u1["mean_e6"]) == (10, 15_000_000)
+    assert (u1["max_up_e6"], u1["max_down_e6"]) == (25_000_000, 25_000_000)
+    # TZ-independent epoch: NTZ inputs are interpreted under the
+    # pinned UTC session zone, so the expectation must not use the
+    # host zone (the shifted-system-TZ sweep would catch it).
+    import calendar
+    base = calendar.timegm((2024, 1, 1, 0, 0, 0)) * 1_000_000
+    assert u1["peak_down_us"] == base + 4 * 1_000_000
+    assert u1["peak_up_us"] == base + 9 * 1_000_000
+    u2 = r[2]
+    assert (u2["n_obs"], u2["max_up_e6"], u2["max_down_e6"]) == (4, 0, 0)
