@@ -883,3 +883,56 @@ def test_funnel_and_retention_volume_closed_form(spark):
         expected[(c, 1)] = per_cohort
         expected[(c, 2)] = per_cohort // 2
     assert got_ret == expected
+
+
+def test_dup_ngram_coverage_volume_closed_form(spark):
+    """Volume + skew pin for dup_ngram_coverage: 50k docs share a
+    20-token boilerplate prefix, so every prefix-interior 5-gram
+    occurs 50,000x (the hot-n-gram skew the docstring declares safe:
+    the dup side of the join is ONE row per distinct gram, output rows
+    = input rows). Unique 30-token tails contribute nothing. Closed
+    form: every doc covers exactly the 20 boilerplate tokens of its 50
+    -> dup_ppm = 20e6 div 50 = 400000; plus 5k fully-unique docs pin
+    zero coverage at volume."""
+    from postgis_gtfs_importer_spark.operators.indexing import (
+        dup_ngram_coverage,
+    )
+
+    N, B, U = 50_000, 20, 30
+    boiler = F.concat_ws(
+        " ", F.array(*[F.lit(f"boiler{j}") for j in range(B)])
+    )
+    tail = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(U)),
+            lambda j: F.concat(
+                F.lit("u"), F.col("id"), F.lit("x"), j.cast("string")
+            ),
+        ),
+    )
+    shared = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.concat(boiler, F.lit(" "), tail).alias("text"),
+    )
+    lone = spark.range(N, N + 5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(B)),
+                lambda j: F.concat(
+                    F.lit("v"), F.col("id"), F.lit("x"), j.cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = dup_ngram_coverage(shared.unionByName(lone)).groupBy(
+        "n_tok", "covered_tok", "dup_ppm"
+    ).count()
+    got = {(r["n_tok"], r["covered_tok"], r["dup_ppm"]): r["count"]
+           for r in out.collect()}
+    assert got == {
+        (B + U, B, 400_000): N,   # exactly the boilerplate covered
+        (B, 0, 0): 5_000,         # fully-unique docs: zero coverage
+    }
