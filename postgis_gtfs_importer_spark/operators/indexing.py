@@ -668,6 +668,16 @@ def dup_ngram_coverage(
     island lengths — overlap never double-counts. Every shuffle key is
     n-gram or doc_id; nothing broadcasts a corpus-sized relation.
 
+    Negative result (measured, kept as recompute): the gram relation
+    feeds two branches and the plan shows 6 parquet scans with zero
+    exchange reuse — but a materialize() barrier was TRIED and was
+    SLOWER at 19M grams (1.8 s vs 0.55 s cold): unlike the dedup
+    self-joins materialize() exists for, the branch's upstream is a
+    narrow scan+project+explode with no shuffle, so re-executing it is
+    vectorized-cheap while checkpointing writes out the exploded
+    relation (larger than its source). Recompute-per-branch IS the
+    scale plan here.
+
     Returns (id, n_tok, covered_tok, dup_ppm) for EVERY input document;
     ``dup_ppm = covered_tok * 1e6 div n_tok`` exact BIGINT, NULL for
     zero-token docs (visible-but-unscorable).
