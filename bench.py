@@ -181,6 +181,17 @@ HEADLINE = [
     "phrase_search",
     "ols_trend",
     "greedy_set_cover",
+    # round-7 additions (coverage tail; CORE_30 stays frozen)
+    "interval_union",
+    "interpolate_resample",
+    "skipgram_pairs",
+    "oov_rate",
+    "winsorized_stats",
+    "hits_trade",
+    "time_weighted_avg",
+    "asof_join_nearest",
+    "dup_ngram_coverage",
+    "cusum_changepoints",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -48,15 +48,25 @@ def greedy_set_cover(
     NEW elements it covered (exact integers; ties broken by id, so the
     whole trace replays identically on any engine or partitioning).
     Stops early if coverage is exhausted before k picks.
+
+    NULL ids and NULL elements are EXCLUDED up front (the sketch-family
+    policy: no set without a name, no element without an identity).
+    Without the filter both break the greedy loop's progress guarantee:
+    a NULL id can win the argmax but ``col == lit(NULL)`` matches
+    nothing, so its elements are never deleted and it wins every
+    remaining round; a NULL elem is counted as gain but survives every
+    anti-join (NULL never equi-joins), double-counting forever.
     """
     from .dedup import materialize
 
     spark = items.sparkSession
     id_type = items.schema[id_col].dataType.simpleString()
     remaining = materialize(
-        items.select(
-            F.col(id_col).alias("id"), F.col(elem_col).alias("elem")
-        ).dropDuplicates(["id", "elem"])
+        items.filter(
+            F.col(id_col).isNotNull() & F.col(elem_col).isNotNull()
+        )
+        .select(F.col(id_col).alias("id"), F.col(elem_col).alias("elem"))
+        .dropDuplicates(["id", "elem"])
     )
     picks: list[tuple] = []
     for r in range(1, int(k) + 1):

