@@ -52,10 +52,15 @@ def funnel_steps(
     monotonically non-increasing in n_users; a step no user reaches
     reports 0 (global aggregates, not group-by — an empty funnel tail is
     a result, not an absence).
+
+    NULL user ids are EXCLUDED up front: without the filter a NULL
+    "user" counts at step 0 but can never reach step 1 (equi-joins drop
+    NULL keys) — a phantom that deflates every conversion rate while
+    never being a trackable user. Mirrored in funnel_oracle_sql.
     """
     assert len(steps) >= 2, "a funnel needs at least 2 steps"
     ep = F.unix_timestamp(F.col(ts_col))
-    ev = events.select(
+    ev = events.filter(F.col(user_col).isNotNull()).select(
         F.col(user_col).alias("u"), F.col(type_col).alias("et"), ep.alias("t")
     )
 
@@ -120,7 +125,8 @@ def funnel_oracle_sql(
     ctes = [
         f"s0 AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,"
         f" CAST(floor(epoch(min(ts))) AS BIGINT) AS tp"
-        f" FROM {table} WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+        f" FROM {table} WHERE event_type = '{steps[0]}'"
+        f" AND user_id IS NOT NULL GROUP BY user_id)"
     ]
     for i, st in enumerate(steps[1:], start=1):
         ctes.append(

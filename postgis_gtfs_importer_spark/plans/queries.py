@@ -121,8 +121,12 @@ _WINDOW_R7: list[str] = [
     "scd2_apply",
     "bpe_merges",
     # r7 self-review: greedy_set_cover NULL-id/elem exclusion (NULLs
-    # broke the greedy loop's progress guarantee)
+    # broke the greedy loop's progress guarantee); funnel NULL-user
+    # exclusion (phantom step-0 user that could never convert).
+    # retention_cohorts needs NO fix: its u-keyed equi-join already
+    # drops NULL users on both engine sides — reviewed, not changed.
     "greedy_set_cover",
+    "funnel_conversion",
 ]
 
 #: Round-7 additions: new entries land here (never driver-verified →
@@ -141,9 +145,13 @@ _ADDITIONS_R7: list[str] = [
     "cusum_changepoints",
 ]
 
-#: Kept for the overflow invariant in test_registry_ledger (empty =
-#: no overflow this round; freeze lifted).
-_OVERFLOW_QUEUE: list[str] = []
+#: Round-7 overflow (1 entry): the funnel NULL-user fix staled
+#: retention_cohorts through the shared funnels.py digest reach even
+#: though its own code is UNCHANGED (reviewed: its u-keyed equi-join
+#: already drops NULL users on both engine sides). 51 stale > 50
+#: slots; it queues here and heads the round-8 window. It remains
+#: oracle-parity green locally (sf0.01; tests/test_oracle_parity.py).
+_OVERFLOW_QUEUE: list[str] = ["retention_cohorts"]
 
 #: Human-readable subset of the ledger's stale set: entries with a PRIOR
 #: green driver row whose implementation changed afterwards. Enforced

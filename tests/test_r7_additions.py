@@ -375,3 +375,43 @@ def test_greedy_set_cover_null_exclusion(spark):
     t2 = [(r["round"], r["id"], r["gain"]) for r in
           greedy_set_cover(spark.createDataFrame(noisy, "id string, elem string"), 5).orderBy("round").collect()]
     assert t1 == t2
+
+
+def test_funnel_null_user_exclusion(spark):
+    """A NULL user id is excluded up front: previously it counted at
+    step 0 but could never convert (equi-joins drop NULL keys) — a
+    phantom deflating every conversion rate. Both engines' twins share
+    the exclusion."""
+    import duckdb
+    from datetime import datetime
+
+    from postgis_gtfs_importer_spark.operators.funnels import (
+        funnel_oracle_sql,
+        funnel_steps,
+    )
+
+    rows = [
+        (1, "view", datetime(2024, 1, 1, 0, 0, 0)),
+        (1, "buy", datetime(2024, 1, 1, 0, 10, 0)),
+        (None, "view", datetime(2024, 1, 1, 0, 0, 0)),
+        (None, "buy", datetime(2024, 1, 1, 0, 10, 0)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(ev, ["view", "buy"]).collect()
+    }
+    assert got == {0: 1, 1: 1}   # the NULL phantom is gone from step 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "(1, 'view', TIMESTAMP '2024-01-01 00:00:00'),"
+        "(1, 'buy', TIMESTAMP '2024-01-01 00:10:00'),"
+        "(NULL, 'view', TIMESTAMP '2024-01-01 00:00:00'),"
+        "(NULL, 'buy', TIMESTAMP '2024-01-01 00:10:00')"
+        ") t(user_id, event_type, ts)"
+    )
+    odf = con.execute(funnel_oracle_sql(["view", "buy"])).df()
+    assert dict(zip(odf["step"], odf["n_users"])) == {0: 1, 1: 1}
