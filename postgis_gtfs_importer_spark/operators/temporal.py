@@ -264,9 +264,11 @@ def asof_join_forward(
 ) -> DataFrame:
     """Forward as-of left join: EARLIEST right values at-or-after left
     ts — the mirror of :func:`asof_join` (same union-then-window single
-    shuffle, frame reversed to currentRow..unboundedFollowing with
-    first(ignorenulls)). Ties at equal ts match (<=): left rows sort
-    BEFORE right rows at the same timestamp so the following-frame
+    shuffle, direction flipped by REVERSING the sort and keeping a
+    running last(ignorenulls) frame — see the in-code note on why the
+    naive currentRow..unboundedFollowing frame is a spill hazard).
+    Ties at equal ts match (<=): left rows order before right rows at
+    the same timestamp in the forward sense, so the suffix frame
     includes them. The "next scheduled event / next price revision"
     lookup of a timeline pipeline.
 
@@ -291,13 +293,22 @@ def asof_join_forward(
         .drop(*value_cols)
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # REVERSED-sort running frame, not currentRow..unboundedFollowing:
+    # first(non-null) ahead of the current row equals last(non-null) up
+    # to it under the inverted order. Spark evaluates running
+    # (unboundedPreceding..currentRow) frames streamingly, while
+    # unbounded-FOLLOWING frames re-scan the partition buffer from the
+    # current row for EVERY row — O(n^2) reads once the buffer spills,
+    # and each re-scan reopens every spill file (the forced-32-row-spill
+    # CI guard turned that into a JVM heap OOM on the dense-grid sibling
+    # interpolate_resample; same class here, fixed the same way).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col), F.col("_side"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
-        "*", F.first(F.col("_pack"), ignorenulls=True).over(w).alias("_f")
+        "*", F.last(F.col("_pack"), ignorenulls=True).over(w).alias("_f")
     )
     out_cols = [c for c in left.columns] + [
         F.col(f"_f.{c}").alias(c) for c in value_cols
@@ -438,17 +449,24 @@ def interpolate_resample(
         .orderBy("_step")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The next-observation fill runs over the REVERSED step order as a
+    # running frame (see asof_join_forward): an unbounded-FOLLOWING
+    # frame re-scans the buffer per row — on this operator's DENSE
+    # per-key grid (span/step rows per key) the forced-spill CI guard
+    # drove that into a JVM heap OOM (spill reader per re-scan).
+    # last(non-null) over the inverted sort is the same value,
+    # evaluated streamingly.
     w_next = (
         Window.partitionBy(k)
-        .orderBy("_step")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("_step").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     br = joined.select(
         F.col(k),
         F.col("_step"),
         F.col("_obs"),
         F.last("_sv", ignorenulls=True).over(w_prev).alias("_p"),
-        F.first("_sv", ignorenulls=True).over(w_next).alias("_n"),
+        F.last("_sv", ignorenulls=True).over(w_next).alias("_n"),
     )
     interp = (
         F.col("_p.v")
@@ -578,15 +596,19 @@ def asof_join_nearest(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Reversed-sort running frame for the forward candidate (the
+    # asof_join_forward spill-safety rationale): same value as
+    # first(non-null) over currentRow..unboundedFollowing, evaluated
+    # streamingly instead of re-scanning the buffer per row.
     w_fwd = (
         Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
         "*",
         F.last(F.col("_pack"), ignorenulls=True).over(w_back).alias("_b"),
-        F.first(F.col("_pack"), ignorenulls=True).over(w_fwd).alias("_n"),
+        F.last(F.col("_pack"), ignorenulls=True).over(w_fwd).alias("_n"),
     )
     d_back = F.abs(F.col(ts_col) - F.col("_b._r_ts"))
     d_fwd = F.abs(F.col("_n._r_ts") - F.col(ts_col))
