@@ -415,3 +415,25 @@ def test_funnel_null_user_exclusion(spark):
     )
     odf = con.execute(funnel_oracle_sql(["view", "buy"])).df()
     assert dict(zip(odf["step"], odf["n_users"])) == {0: 1, 1: 1}
+
+
+def test_cusum_single_exchange_plan(spark):
+    """The docstring's scale claim, pinned: every window (whole-
+    partition stats, running frames, partition max) and the final
+    per-key aggregate share ONE hash-partitioning exchange."""
+    import re
+
+    from postgis_gtfs_importer_spark.operators.profiling import (
+        cusum_changepoints,
+    )
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [(i % 7, datetime(2024, 1, 1, 0, 0, i % 60), i, float(i % 13))
+         for i in range(500)],
+        "user_id long, ts timestamp_ntz, event_id long, value double",
+    )
+    df = cusum_changepoints(ev, "user_id", "ts", "value", "event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles == 1, f"expected 1 shuffle, plan has {n_shuffles}"
