@@ -62,6 +62,17 @@ STREAMING = {
     "streaming_dedup", "streaming_enrich",
 }
 
+#: queries whose plan legitimately contains an unbounded-FOLLOWING
+#: window frame (the round-7 spill-OOM class — see docs/SCALE.md,
+#: "window-frame spill rule"): allowed ONLY over provably-small
+#: relations.
+FOLLOWING_FRAME_OK = {
+    "pareto_customers",  # skyline_2d's strictly-greater-x range frame
+                         # runs over the per-partition-Pareto-prefiltered
+                         # local-front union — deliberately small, and
+                         # the operator documents that boundary
+}
+
 REGISTRY = Q.queries()
 
 
@@ -80,6 +91,32 @@ def test_plan_has_no_scale_killers(spark, name):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in the plan"
     )
+    if name not in FOLLOWING_FRAME_OK:
+        # Only frames ANCHORED at/after the current row with an
+        # unbounded-following end are the O(n^2)-re-scan class
+        # (UnboundedFollowingWindowFunctionFrame). Whole-partition
+        # frames (unboundedpreceding..unboundedfollowing — what an
+        # orderBy-less window prints) are evaluated in ONE accumulation
+        # pass per partition and are fine.
+        import re as _re
+
+        offenders = [
+            m.group(0)
+            for m in _re.finditer(
+                r"specifiedwindowframe\(\w+Frame, ([^,]+),"
+                r" unboundedfollowing\$\(\)\)",
+                plan,
+            )
+            if m.group(1) != "unboundedpreceding$()"
+        ]
+        assert not offenders, (
+            f"{name}: unbounded-FOLLOWING window frame anchored at the"
+            f" current row — Spark re-scans the partition buffer per row"
+            f" (O(n^2); reopens every spill file per re-scan once spilled"
+            f" — the round-7 JVM-OOM class). Invert the sort and use a"
+            f" running last(ignorenulls) frame instead; see docs/SCALE.md"
+            f" 'window-frame spill rule'. Frames: {offenders}"
+        )
 
 
 def _file_scans(df) -> list[str]:
