@@ -936,3 +936,41 @@ def test_dup_ngram_coverage_volume_closed_form(spark):
         (B + U, B, 400_000): N,   # exactly the boilerplate covered
         (B, 0, 0): 5_000,         # fully-unique docs: zero coverage
     }
+
+
+def test_interpolate_dense_grid_volume_closed_form(spark):
+    """Volume pin on the round-7 spill fix: interpolate_resample's
+    dense per-key grid is EXACTLY the shape whose unbounded-following
+    frame OOM'd the JVM under forced spills — the rewritten
+    reversed-sort running frame must walk a 2^20-step single-key grid
+    (one ~1M-row window partition, the worst case) and produce the
+    bit-exact linear fill. Brackets are chosen dyadic (span 2^20,
+    value 2^20) so v = step exactly in IEEE arithmetic: every
+    unobserved step s interpolates to value_e6 = s * 1e6."""
+    from postgis_gtfs_importer_spark.operators.temporal import (
+        interpolate_resample,
+    )
+
+    span = 1 << 20
+    obs = spark.createDataFrame(
+        [("k", 0, 0.0, 1), ("k", span * 3600, float(span), 2)],
+        "key string, epoch long, v double, id int",
+    ).select(
+        "key",
+        F.timestamp_seconds(F.col("epoch")).cast("timestamp").alias("ts"),
+        "v",
+        "id",
+    )
+    out = interpolate_resample(obs, "key", "ts", "v", "id")
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("is_observed"), 1).otherwise(0)).alias("n_obs"),
+        F.sum("value_e6").alias("s"),
+        F.min("value_e6").alias("lo"),
+        F.max("value_e6").alias("hi"),
+    ).collect()[0]
+    n = span + 1
+    assert (agg["n"], agg["n_obs"]) == (n, 2)
+    # value_e6 at step s is exactly s * 1e6 -> sum = 1e6 * span*(span+1)/2
+    assert agg["s"] == 1_000_000 * span * (span + 1) // 2
+    assert (agg["lo"], agg["hi"]) == (0, span * 1_000_000)
