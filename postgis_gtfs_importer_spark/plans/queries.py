@@ -151,7 +151,12 @@ _ADDITIONS_R7: list[str] = [
 #: already drops NULL users on both engine sides). 51 stale > 50
 #: slots; it queues here and heads the round-8 window. It remains
 #: oracle-parity green locally (sf0.01; tests/test_oracle_parity.py).
-_OVERFLOW_QUEUE: list[str] = ["retention_cohorts"]
+#: + eigenvector_centrality: the raw-matvec-checkpoint form (the
+#: hits() double-compute lesson — halves the |E|-sized joins per
+#: iteration; ~wash locally at sf0.1, measured and documented in the
+#: operator) landed after the window filled; parity re-proven locally
+#: at sf0.001+sf0.1.
+_OVERFLOW_QUEUE: list[str] = ["retention_cohorts", "eigenvector_centrality"]
 
 #: Human-readable subset of the ledger's stale set: entries with a PRIOR
 #: green driver row whose implementation changed afterwards. Enforced
