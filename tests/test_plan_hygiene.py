@@ -51,6 +51,13 @@ BNLJ_OK = {
                              # joined into the single output row
     "association_rules",     # 1-row total-order-count scalar x rules
     "peak_concurrency",      # 1-row interval-count scalar x 1-row peak
+    "eigenvector_centrality",# final iterate: checkpointed matvec x the
+                             # 1-ROW max normalizer (the raw-checkpoint
+                             # form leaves this cross join visible in
+                             # the returned plan; it was hidden inside
+                             # the per-iterate checkpoint before)
+    "hits_trade",            # same: two checkpointed half-step aggs x
+                             # their 1-row max scalars
     "departures_at_station", # 1-row single-agency (count, name, tz)
                              # aggregate x fact — the omitted-agency_id
                              # timezone fill (arrivals_departures)
