@@ -1,0 +1,194 @@
+"""Lloyd k-means training loop — the sixth iterative family.
+
+The ANN family (operators/similarity.py) ships an IVF index whose
+quantizer SAMPLES centroids deterministically but never iterates
+(``ivf_topk``'s coarse quantizer); this module adds the actual
+training loop: synchronous Lloyd iterations (assign every point to its
+nearest centroid, recompute each centroid as its cluster mean), the
+k-means step every embedding-curation pipeline runs before IVF/PQ
+indexing, SemDeDup-style cluster pruning, or diversity balancing.
+
+Exactness discipline (the pagerank/hits/sssp/kcore/eigenvector
+pattern): coordinates quantize once to BIGINTs, squared distances are
+exact integer sums, the argmin tiebreaks on the smallest centroid id,
+and the centroid update is the truncating integer mean (``sum div
+count`` — Spark's ``div`` and DuckDB's ``//`` both truncate toward
+zero), so every iteration is bit-replayable by an unrolled-CTE SQL
+oracle on any engine. No RNG anywhere: the seed centroids are the k
+smallest point ids.
+
+Scale shape per iteration (the only shapes Lloyd admits):
+  * assignment — points ⋈ broadcast(centroids) on the dimension key
+    (centroids are k·dim rows, broadcast ALWAYS; a shuffled join here
+    would hash-partition the corpus on a 64-value key — maximal skew),
+    then one map-side-combinable sum to (id, cid) and an id-keyed
+    argmin that reuses the points' id partitioning;
+  * update — assignment joined back to points on id (broadcastable
+    while |assignment| fits, flag-gated like pagerank's
+    ``broadcast_state``), then a (cid, dim)-keyed mean whose partial
+    aggregate collapses each task to k·dim rows before the shuffle.
+Centroids are k·dim rows — eagerly localCheckpoint'ed each round so
+the lineage stays one-iteration deep (the pagerank lesson: a lazy
+checkpoint truncates nothing).
+
+Reference analog: the reference has no ML surface (it is an ETL
+pipeline, /root/reference/import.sh); this family belongs to the
+mandated LLM-data-pipeline surface next to similarity.py's IVF/LSH
+(whose quantizer it trains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for coordinate quantization: 1e6 keeps unit-norm
+#: embedding coordinates to ~6 significant digits while squared
+#: distances stay far inside BIGINT (64 dims · (2·1e6)² ≈ 2.6e14).
+COORD_SCALE = 1_000_000
+
+
+def quantize_points(
+    df: DataFrame, id_col: str, vec_col: str, scale: int = COORD_SCALE
+) -> DataFrame:
+    """Explode (id, vector) rows to exact-integer (id, dim, q) triples.
+
+    ``floor(x * scale + 0.5)`` on the double-widened coordinate — the
+    registry's fixed_point discipline — evaluates identically in every
+    IEEE engine, so the quantized points are THE shared ground truth
+    both the Spark loop and the SQL oracle iterate on. NULL vectors are
+    excluded up front (no observation, the sketch-family policy).
+    """
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("id"),
+            F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+        )
+        .select(
+            "id",
+            F.col("dim").cast("long").alias("dim"),
+            F.floor(F.col("_x").cast("double") * F.lit(float(scale)) + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 3,
+    scale: int = COORD_SCALE,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Exact-integer Lloyd k-means: ``iterations`` synchronous rounds
+    from the k smallest-id points as seeds.
+
+    Returns the trained codebook as (cid, dim, c_q, n_members) rows —
+    k·dim rows, ``c_q`` the quantized centroid coordinate after the
+    final update and ``n_members`` the size of the assignment that
+    produced it. A centroid that loses every member simply disappears
+    from that round's update (both engines drop empty groups — the
+    deterministic twin of the usual re-seed heuristic, documented
+    rather than hidden).
+
+    ``broadcast_state=True`` broadcasts the |V|-sized assignment into
+    the update join (right while points ≫ assignment rows per
+    executor, i.e. dim ≫ 1); set it False to fall back to a sort-merge
+    join on the id-prepartitioned points. Centroids are ALWAYS
+    broadcast — see the module docstring.
+
+    The driver collects exactly k seed ids via TakeOrdered (a k-row
+    probe, the pagerank-convergence class of collect) — never the data.
+    """
+    if k < 1:
+        raise ValueError(f"kmeans_lloyd requires k >= 1, got {k}")
+    if iterations < 1:
+        raise ValueError(
+            f"kmeans_lloyd requires iterations >= 1, got {iterations}"
+        )
+    pts = (
+        quantize_points(points, id_col, vec_col, scale)
+        .repartition("id")
+        .persist()
+    )
+    try:
+        hint = F.broadcast if broadcast_state else (lambda df: df)
+        seed_ids = [
+            r.id
+            for r in pts.select("id").distinct().orderBy("id").limit(k).collect()
+        ]
+        seeds = points.sparkSession.createDataFrame(
+            [(int(v), i) for i, v in enumerate(seed_ids)], "id long, cid long"
+        )
+        cent = (
+            pts.join(F.broadcast(seeds), "id")
+            .select("cid", "dim", F.col("q").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        assign = None
+        for _ in range(int(iterations)):
+            d2 = (
+                pts.join(F.broadcast(cent), "dim")
+                .groupBy("id", "cid")
+                .agg(
+                    F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+                    .alias("d2")
+                )
+            )
+            assign = d2.groupBy("id").agg(
+                F.min(F.struct("d2", "cid")).getField("cid").alias("cid")
+            )
+            cent = (
+                pts.join(hint(assign), "id")
+                .groupBy("cid", "dim")
+                .agg(F.expr("sum(q) div count(*)").cast("long").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+        sizes = assign.groupBy("cid").agg(
+            F.count("*").cast("long").alias("n_members")
+        )
+        return (
+            cent.join(F.broadcast(sizes), "cid")
+            .select(
+                F.col("cid").cast("long").alias("cid"),
+                F.col("dim").cast("long").alias("dim"),
+                F.col("c").alias("c_q"),
+                "n_members",
+            )
+        )
+    finally:
+        pts.unpersist()
+
+
+def kmeans_inertia(
+    points: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = COORD_SCALE,
+) -> DataFrame:
+    """Total within-cluster squared distance of ``points`` against a
+    trained (cid, dim, c_q, …) codebook — the k-means objective, as a
+    1-row (n_points, inertia) frame for convergence/elbow tracking.
+
+    Same assignment shape as the training loop (broadcast codebook,
+    exact integers), no state: usable to score a HELD-OUT split against
+    a codebook trained elsewhere.
+    """
+    pts = quantize_points(points, id_col, vec_col, scale)
+    d2 = (
+        pts.join(F.broadcast(codebook.select("cid", "dim", F.col("c_q").alias("c"))), "dim")
+        .groupBy("id", "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d2")
+        )
+    )
+    best = d2.groupBy("id").agg(F.min("d2").alias("d2"))
+    return best.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )

@@ -583,3 +583,67 @@ def temperature_sample(
         .filter(hash_bucket(key_col, salt=salt) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    salt: str = "aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact inclusion law:
+    keep the k rows with the smallest exponential key ``-ln(u) / w``
+    per stratum (u the key's md5-uniform in (0, 1], w the row weight)
+    — Efraimidis–Spirakis A-ES (2006). The key is Exp(rate=w), so the
+    selected set is distributed EXACTLY as sequential weighted draws
+    without replacement; :func:`priority_sample` (Ohlsson sequential
+    Poisson, key u/w) is its approximate sibling — asymptotically
+    equivalent inclusion probabilities, but only A-ES reproduces the
+    without-replacement law exactly. Both live here because they fail
+    differently under extreme weight ratios: priority sampling has
+    lower variance for level estimators, A-ES is the one to cite when
+    the draw order itself must match the sequential process.
+
+    Determinism: u = (h60 + 1) / 2^60 is the same double in every
+    engine (exact division by a power of two). ln is the one
+    transcendental in the chain; neither JVM Math.log nor libm log is
+    guaranteed correctly rounded, but both are sub-ulp, and md5-uniform
+    order statistics sit ~1e12 ulps apart at any realistic stratum
+    size, so a cross-engine rank flip needs two keys within ~1 ulp —
+    never observed, and the oracle-parity gate would catch it loudly
+    (unlike pow(), whose last-ulp spread breaks replay routinely, the
+    reason temperature_sample pins alpha to sqrt).
+
+    Same WindowGroupLimit plan as priority_sample: map tasks keep their
+    local k smallest keys per stratum before the single shuffle.
+    Nonpositive/NULL weights are excluded (priority NULL, documented
+    not silent). Returns input columns + ``rank`` (1-based, by key
+    ascending, key_col tiebreak).
+    """
+    from .sketches import KEY_SPACE
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(KEY_SPACE)
+    ekey = F.when(
+        F.col(weight_col) > 0, -F.log(u) / F.col(weight_col).cast("double")
+    )
+    parts = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.asc_nulls_last("_ek"), F.asc(key_col)
+    )
+    return (
+        df.withColumn("_ek", ekey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .filter(F.col("_ek").isNotNull())
+        .drop("_ek")
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -522,7 +522,6 @@ def bigram_lm_scores(
 
 def skipgram_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 3,
     min_count: int = 5,
@@ -548,6 +547,10 @@ def skipgram_pairs(
     Returns (center, context, cnt), at most k rows. A repeated token
     within the window co-occurs with itself: both mirror directions
     count, matching word2vec's per-position emission semantics.
+    Document identity is implicit (pairs never cross a row's token
+    array), so no id column is taken — an earlier ``id_col`` parameter
+    was accepted-but-unused and dropped (r7 ADVICE: it misled callers
+    into assuming per-doc identity mattered, e.g. for dedup).
     """
     toks_arr = TX.lower_ws_tokens_nonempty(F.col(text_col))
     fwd_pairs = F.expr(

@@ -188,8 +188,9 @@ def cusum_changepoints(
     window-expressible, but its closed form above is: one cumulative
     sum and a running min/max over the SAME per-key sort. Exactness:
     values quantize to e6 BIGINTs per row (the money-sum discipline),
-    μ is the integer-floor mean (sum div n — deterministic, bias < 1
-    quantum), so cs and both excursions are exact integers any engine
+    μ is the truncating integer mean (sum div n — Spark's div and
+    DuckDB's // both truncate toward zero, not floor; deterministic,
+    bias < 1 quantum), so cs and both excursions are exact integers any engine
     reproduces bit-for-bit. Order is (epoch_us, id) — total and
     engine-free.
 

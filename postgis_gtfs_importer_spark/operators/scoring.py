@@ -374,6 +374,16 @@ def winsorized_stats(
     (group, n, lo_cut, hi_cut, sum_winsorized, n_clamped_lo,
     n_clamped_hi).
     """
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        # Fail loudly (r7 ADVICE): an out-of-range or inverted percentile
+        # makes the rank never match, the cut comes back NULL, and
+        # greatest/least's NULL-skipping silently UNclamps that side —
+        # the same footgun the NULL-observation filter above closes for
+        # bad data must not stay open for bad arguments.
+        raise ValueError(
+            f"winsorized_stats requires 0 <= lo_pct <= hi_pct <= 100,"
+            f" got lo_pct={lo_pct!r} hi_pct={hi_pct!r}"
+        )
     v = F.col(value_col).cast("long")
     base = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(v, F.col(id_col))

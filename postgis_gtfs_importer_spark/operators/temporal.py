@@ -33,6 +33,7 @@ def _validate_asof_cols(
     right: DataFrame,
     on: list[str],
     value_cols: list[str],
+    extra_reserved: tuple[str, ...] = (),
 ) -> None:
     """Shared up-front validation for both as-of directions.
 
@@ -60,7 +61,8 @@ def _validate_asof_cols(
             f" the struct-field extraction — rename them first"
         )
     internal = sorted(
-        set(_ASOF_INTERNAL) & (set(left.columns) | set(right.columns))
+        (set(_ASOF_INTERNAL) | set(extra_reserved))
+        & (set(left.columns) | set(right.columns))
     )
     if internal:
         raise ValueError(
@@ -575,7 +577,14 @@ def asof_join_nearest(
     ``ts_col`` must be numeric (epoch units) so |Δ| is integer
     arithmetic. Same validation contract as asof_join.
     """
-    _validate_asof_cols("asof_join_nearest", left, right, on, value_cols)
+    # asof_join_nearest additionally materializes _b/_n (the two fill
+    # directions) as scratch columns; without reserving them an input
+    # carrying either name dies later with an ambiguous-reference
+    # AnalysisException instead of this loud ValueError (r7 ADVICE).
+    _validate_asof_cols(
+        "asof_join_nearest", left, right, on, value_cols,
+        extra_reserved=("_b", "_n"),
+    )
     l_tagged = left.withColumn("_side", F.lit(1))
     r_tagged = (
         right.select(*on, ts_col, *value_cols)

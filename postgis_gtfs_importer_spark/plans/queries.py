@@ -57,113 +57,113 @@ def register(name: str, oracle: str | None):
 #: failure. Run `python -m postgis_gtfs_importer_spark.plans.ledger
 #: refresh` at round start, before any edit.
 
-#: Human-readable subset of the ledger's stale set: entries with a PRIOR
-#: green driver row whose implementation changed afterwards. Enforced
-#: against the ledger by tests/test_registry_ledger.py (both directions).
-#: Round-7 window (VERDICT r5 item 4): the round-6 drain landed 50/50
-#: green (CORRECTNESS_r06); after the round-start ledger refresh the
-#: stale set is exactly the 34 entries below — the round-6 overflow
-#: remainder plus the round-6/7 fix re-stales. They ALL fit in the
-#: window, so the freeze LIFTS: the remaining slots (50 − 34 − new
-#: re-stales) admit new entries via _ADDITIONS_R7, each never-verified
-#: and therefore window-resident by the standing rule. Every stale
-#: entry is oracle-parity green locally at sf0.01
-#: (tests/test_oracle_parity.py).
-_WINDOW_R7: list[str] = [
-    "token_topk",
-    "audio_features",
-    "corpus_curation",
-    "dedup_exact",
-    "doc_fingerprint",
-    "frame_sample_stats",
-    "hilbert_hist",
-    "lang_id",
-    "multimodal_features",
-    "session_window_native",
-    "text_quality",
-    "video_features",
-    "zorder_hist",
-    "pricing_summary",
-    "revenue_by_nation",
-    "stats_by_type_day",
-    "small_quantity_revenue",
-    "market_share",
-    "top_returners",
-    "rolling_user_activity",
-    # round-6 ADVICE fixes (all locally oracle-parity green post-fix,
-    # pinned in tests/test_r6_advice_fixes.py)
-    "bpe_encode",
-    "pareto_customers",
-    "peak_concurrency",
-    "weekday_seasonality",
-    # v2 ledger migration FN-alias closure (funnels.py became visible)
-    "funnel_conversion",
-    # round-6 self-review: sketch NULL-exclusion policy (values on
-    # no-NULL testdata unchanged; pinned in test_r6_advice_fixes)
-    "kmv_distinct_users",
-    "hll_distinct_users",
-    "hll_merge_shards",
-    "bloom_membership",
-    "streaming_hll_dashboard",
-    # temporal family: r6 packed-struct NULL-value fill + degenerate
-    # interval guard; r7 ADVICE hardening (value-col name validation,
-    # locf first-step semantics pin) — tests/test_r7_advice_fixes.py
+#: Round-8 window (VERDICT r7 item 1 — freshness rotation). The r7
+#: window landed 50/50 green (CORRECTNESS_r07); after the round-start
+#: ledger refresh the stale set is eigenvector_centrality (its
+#: raw-matvec-checkpoint rewrite landed after the r7 window filled)
+#: plus the 12 re-stales from this round's ADVICE fixes (the temporal
+#: module's shared-validator edit reaches the whole as-of family; the
+#: skipgram id_col drop reaches indexing.py; winsorized/cusum are the
+#: other two fix sites). All 13 are oracle-parity green locally at
+#: sf0.01 post-fix (tests/test_oracle_parity.py; pins in
+#: tests/test_r8_advice_fixes.py).
+_RESTALE_R8: list[str] = [
+    # heads the window per VERDICT r7 "What's wrong" item 1
+    "eigenvector_centrality",
+    "winsorized_stats",
     "asof_join",
     "asof_join_forward",
+    "asof_join_nearest",
     "range_join",
     "locf_resample",
-    # r7 self-review: NULL-safe pk matching landed in diff.py (its
-    # non-null-safe joins mis-classified in-domain-NULL pks); bpe.py
-    # gained the UTF-16 split-boundary doc note (module-docstring edit
-    # stales the whole module by design — docstrings document contract)
-    "snapshot_diff",
-    "merge_upsert",
-    "scd2_apply",
-    "bpe_merges",
-    # r7 self-review: greedy_set_cover NULL-id/elem exclusion (NULLs
-    # broke the greedy loop's progress guarantee); funnel NULL-user
-    # exclusion (phantom step-0 user that could never convert).
-    # retention_cohorts needs NO fix: its u-keyed equi-join already
-    # drops NULL users on both engine sides — reviewed, not changed.
-    "greedy_set_cover",
-    "funnel_conversion",
-]
-
-#: Round-7 additions: new entries land here (never driver-verified →
-#: must sit inside the window). Capacity = 50 − len(_WINDOW_R7) minus
-#: any late re-stales; the ledger test enforces the bound mechanically.
-_ADDITIONS_R7: list[str] = [
     "interval_union",
     "interpolate_resample",
-    "skipgram_pairs",
-    "oov_rate",
-    "winsorized_stats",
-    "hits_trade",
     "time_weighted_avg",
-    "asof_join_nearest",
+    "skipgram_pairs",
     "dup_ngram_coverage",
     "cusum_changepoints",
+    # not an ADVICE site: its old docstring contained the bare token
+    # "quer-ies", whose identifier-scan edge reached _FRONT, so the
+    # round-8 window rotation itself re-staled it. The docstring is
+    # reworded to break that edge permanently; fresh row this round.
+    "small_quantity_revenue",
 ]
 
-#: Round-7 overflow (1 entry): the funnel NULL-user fix staled
-#: retention_cohorts through the shared funnels.py digest reach even
-#: though its own code is UNCHANGED (reviewed: its u-keyed equi-join
-#: already drops NULL users on both engine sides). 51 stale > 50
-#: slots; it queues here and heads the round-8 window. It remains
-#: oracle-parity green locally (sf0.01; tests/test_oracle_parity.py).
-#: + eigenvector_centrality: the raw-matvec-checkpoint form (the
-#: hits() double-compute lesson — halves the |E|-sized joins per
-#: iteration; ~wash locally at sf0.1, measured and documented in the
-#: operator) landed after the window filled; parity re-proven locally
-#: at sf0.001+sf0.1.
-_OVERFLOW_QUEUE: list[str] = ["retention_cohorts", "eigenvector_centrality"]
+#: Round-8 additions (VERDICT r7 item 4): the Lloyd k-means training
+#: loop (sixth iterative family; trains similarity.py's IVF quantizer)
+#: and A-ES exponential-key weighted sampling without replacement
+#: (completes the sampling family next to priority/temperature/
+#: stratified). Never driver-verified -> window-resident.
+_ADDITIONS_R8: list[str] = [
+    "kmeans_lloyd",
+    "weighted_sample_aes",
+]
 
-#: Human-readable subset of the ledger's stale set: entries with a PRIOR
-#: green driver row whose implementation changed afterwards. Enforced
-#: against the ledger by tests/test_registry_ledger.py (both directions).
-_MUST_VERIFY: list[str] = [*_WINDOW_R7, *_ADDITIONS_R7, *_OVERFLOW_QUEUE]
+#: Freshness rotation (VERDICT r7 item 1): with the stale set + the
+#: additions at 16 entries, the remaining 34 slots go to the entries
+#: with the OLDEST green driver rows, last-green-round ascending from
+#: the ledger: all 9 r2 rows, all 11 r3 rows, then 14 of the 20 r4
+#: rows (name order; the 6 r4 leftovers — promo_revenue_share,
+#: revenue_forecast, shipping_priority, supplier_part_counts,
+#: top_supplier, trend_by_type — head the r9 rotation). After this
+#: round no driver row predates r4. These are VERIFIED entries filling
+#: spare capacity, not stale ones: the ledger attests their digests
+#: unchanged since their recorded rows.
+_ROTATION_R8: list[str] = [
+    # r2 (publish/GTFS-core)
+    "composite_digest",
+    "digest_mint",
+    "gc_candidates",
+    "lang_normalized",
+    "minimize_stoptimes",
+    "reconcile_imports",
+    "retention_topk",
+    "sessionize",
+    "translations_applied",
+    # r3 (derivations + early analytics)
+    "connections",
+    "corpus_report",
+    "frequencies_expanded",
+    "json_props_stats",
+    "late_orders",
+    "service_days",
+    "shapes_aggregated",
+    "stats_rollup",
+    "trading_nations",
+    "value_quantiles",
+    "waiting_suppliers",
+    # r4 (first 15 by name)
+    "bulk_customers",
+    "customer_order_distribution",
+    "disjunctive_revenue",
+    "dormant_customers",
+    "event_transitions",
+    "events_json_stats",
+    "excess_shippers",
+    "fuzzy_title_pairs",
+    "hist_quantiles",
+    "hopping_window_stats",
+    "important_parts",
+    "min_cost_supplier",
+    "priority_shipment_buckets",
+    "product_type_profit",
+]
 
-_FRONT: list[str] = [*_WINDOW_R7, *_ADDITIONS_R7, *_OVERFLOW_QUEUE]
+#: No overflow this round: 13 stale + 2 additions fit with 35 slots to
+#: spare for rotation.
+_OVERFLOW_QUEUE: list[str] = []
+
+#: Human-readable subset of the ledger's stale set (changed-since rows
+#: + never-verified additions). Enforced against the ledger by
+#: tests/test_registry_ledger.py (both directions).
+_MUST_VERIFY: list[str] = [*_RESTALE_R8, *_ADDITIONS_R8]
+
+_FRONT: list[str] = [
+    *_RESTALE_R8,
+    *_ADDITIONS_R8,
+    *_ROTATION_R8,
+    *_OVERFLOW_QUEUE,
+]
 
 
 def _ordered() -> list[str]:
@@ -2704,9 +2704,16 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the DuckDB oracle (both engines parse ANSI here), so the parity
     check covers parser + decorrelation + plan, not just operators.
 
-    The reference exposes queries only through PostgreSQL (SURVEY §2.D);
-    this is the Spark-native equivalent of that SQL-in, relational-out
-    surface (sources/tables.py::register_views).
+    The reference exposes its query surface only through PostgreSQL
+    (SURVEY §2.D); this is the Spark-native equivalent of that SQL-in,
+    relational-out surface (sources/tables.py::register_views).
+    (Wording note: this docstring must not contain any bare token that
+    names a module-level binding of this file — e.g. the plural of
+    "query", which the ledger's identifier scan resolves to the
+    top-level accessor of that name, whose reach includes the window
+    ordering list, silently re-staling this entry on EVERY window
+    rotation; that exact coupling cost it a spurious re-stale in
+    round 8.)
     """
     from ..sources.tables import register_views
 
@@ -9154,7 +9161,7 @@ def skipgram_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.indexing import skipgram_pairs
 
     d = spread(_t(spark, sf_dir, "documents"))
-    return skipgram_pairs(d, id_col="doc_id", text_col="text",
+    return skipgram_pairs(d, text_col="text",
                           window=3, min_count=5, k=200)
 
 
@@ -9575,3 +9582,115 @@ def cusum_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return cusum_changepoints(e, "user_id", "ts", "value", "event_id")
+
+
+@register(
+    "weighted_sample_aes",
+    """
+    WITH ek AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             -ln((CAST(('0x' || substr(md5('aes' || CAST(o_orderkey AS VARCHAR)),
+                        1, 15)) AS BIGINT) + 1) / 1152921504606846976.0)
+               / CAST(o_totalprice AS DOUBLE) AS e
+      FROM orders WHERE o_totalprice > 0
+    ),
+    ranked AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY e ASC, o_orderkey ASC) AS rank
+      FROM ek
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 25
+    """,
+)
+def weighted_sample_aes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling without replacement: 25 orders per
+    priority class, inclusion law proportional-to-price — A-ES
+    exponential keys -ln(u)/w (Efraimidis-Spirakis 2006), the EXACT
+    without-replacement twin of priority_sample's sequential-Poisson
+    approximation (operators/curation.py::weighted_sample_aes documents
+    why both exist and the ln sub-ulp cross-engine analysis).
+
+    Same WindowGroupLimit scale shape as priority_sample: local top-k
+    per stratum before the one shuffle; the hot stratum never ships its
+    full row set."""
+    from ..operators.curation import weighted_sample_aes
+
+    o = _t(spark, sf_dir, "orders")
+    return weighted_sample_aes(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .filter(F.col("o_totalprice") > 0),
+        key_col="o_orderkey", weight_col="o_totalprice", k=25,
+        stratum_col="o_orderpriority", salt="aes",
+    ).select(
+        "o_orderkey", "o_orderpriority",
+        fixed_point(F.col("o_totalprice"), 2).alias("price_c"),
+        "rank",
+    )
+
+
+@register(
+    "kmeans_lloyd",
+    """
+    WITH pts AS (
+      SELECT vec_id AS id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid
+      FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT 4)
+    ),
+    c0 AS (SELECT s.cid, p.dim, p.q AS c
+           FROM seeds s JOIN pts p ON p.id = s.id),
+    d1 AS (SELECT p.id, c.cid, sum((p.q - c.c) * (p.q - c.c)) AS d2
+           FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY p.id, c.cid),
+    a1 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+                    ORDER BY d2 ASC, cid ASC) AS rn FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a.cid, p.dim, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+           FROM a1 a JOIN pts p ON p.id = a.id GROUP BY a.cid, p.dim),
+    d2_ AS (SELECT p.id, c.cid, sum((p.q - c.c) * (p.q - c.c)) AS d2
+            FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY p.id, c.cid),
+    a2 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+                    ORDER BY d2 ASC, cid ASC) AS rn FROM d2_) WHERE rn = 1),
+    c2 AS (SELECT a.cid, p.dim, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+           FROM a2 a JOIN pts p ON p.id = a.id GROUP BY a.cid, p.dim),
+    d3 AS (SELECT p.id, c.cid, sum((p.q - c.c) * (p.q - c.c)) AS d2
+           FROM pts p JOIN c2 c ON p.dim = c.dim GROUP BY p.id, c.cid),
+    a3 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+                    ORDER BY d2 ASC, cid ASC) AS rn FROM d3) WHERE rn = 1),
+    c3 AS (SELECT a.cid, p.dim, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+           FROM a3 a JOIN pts p ON p.id = a.id GROUP BY a.cid, p.dim),
+    sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+              FROM a3 GROUP BY cid)
+    SELECT c3.cid, c3.dim, c3.c AS c_q, s.n_members
+    FROM c3 JOIN sizes s USING (cid)
+    """,
+)
+def kmeans_lloyd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means training loop, k=4, 3 synchronous iterations over
+    the embeddings table (operators/clustering.py::kmeans_lloyd) — the
+    sixth iterative family next to pagerank/hits/sssp/kcore/
+    eigenvector, and the trainer for similarity.py's IVF coarse
+    quantizer. Exact-integer discipline end to end: quantized
+    coordinates, integer squared distances, smallest-cid argmin
+    tiebreak, truncating-integer centroid means — the unrolled-CTE
+    oracle replays all three rounds bit-for-bit. Per-iteration plan:
+    broadcast codebook join (NEVER shuffled — the dim key has 64
+    values, maximal skew), map-side-combined distance sum, id-keyed
+    argmin reusing the points' partitioning, eager k*dim-row
+    checkpoint."""
+    from ..operators.clustering import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(
+        e, id_col="vec_id", vec_col="embedding", k=4, iterations=3,
+    )

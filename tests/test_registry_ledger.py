@@ -294,3 +294,23 @@ def test_refresh_incremental_preserves_stale_rows(monkeypatch, tmp_path):
     assert led[name_new]["digest"] == L.entry_digest(name_new)
     # the queued entry's sentinel row survives VERBATIM
     assert led[name_old] == {"round": 2, "digest": L.STALE_SENTINEL}
+
+
+def test_front_list_is_duplicate_free_and_fills_window():
+    """VERDICT r7 'what's wrong' item 3: _WINDOW_R7 listed
+    funnel_conversion twice, so the '50-slot' list held 49 unique names
+    and the slot arithmetic in the surrounding comments silently
+    drifted (dict dedup self-healed the effective window, hiding it).
+    Pin both invariants: the composed _FRONT list names no entry twice,
+    and its registry-resident prefix fills the driver window exactly."""
+    dupes = sorted({n for n in Q._FRONT if Q._FRONT.count(n) > 1})
+    assert not dupes, f"_FRONT lists entries more than once: {dupes}"
+    front = [n for n in Q._FRONT if n in Q._REGISTRY]
+    assert len(front) == len(Q._FRONT), (
+        f"_FRONT names unregistered entries: "
+        f"{sorted(set(Q._FRONT) - set(Q._REGISTRY))}"
+    )
+    assert len(front) >= WINDOW, (
+        f"_FRONT holds {len(front)} entries — the {WINDOW}-slot driver "
+        f"window would backfill from registration order, untracked"
+    )
