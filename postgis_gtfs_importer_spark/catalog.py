@@ -198,6 +198,18 @@ class LocalCatalog:
         created — is exported back into the snapshot as parquet,
         preserving each table's partition layout. DuckDB is the local SQL
         executor, standing in for the snapshot Postgres.
+
+        DIALECT BOUNDARY (VERDICT r5 item 5, documented): DuckDB accepts
+        the ANSI subset the shipped hooks use, but it is NOT a PostgreSQL
+        parser — a hook written in PG-only syntax (``ALTER TABLE …
+        USING``, ``::regclass``, PL/pgSQL ``DO`` blocks, partial/GIST
+        indexes) passes this local path and still fails live. Keep hooks
+        inside the shared ANSI fixtures' envelope; the parity gate that
+        pins it is the SAME fixture pair executed through this method
+        (tests/test_publish.py) and through ``psql -1`` against live
+        PostgreSQL (tests/test_pg_live.py::test_hook_sql_dialect_parity_live).
+        A PG-only hook is a deliberate opt-out of local testability and
+        must be validated against PsqlCatalog/PostgresCatalog directly.
         """
         import shutil
         import tempfile

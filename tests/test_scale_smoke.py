@@ -974,3 +974,81 @@ def test_interpolate_dense_grid_volume_closed_form(spark):
     # value_e6 at step s is exactly s * 1e6 -> sum = 1e6 * span*(span+1)/2
     assert agg["s"] == 1_000_000 * span * (span + 1) // 2
     assert (agg["lo"], agg["hi"]) == (0, span * 1_000_000)
+
+
+def test_normalized_iterative_families_skew_and_linearity(spark):
+    """VERDICT r7 item 8: hits and eigenvector_centrality were the only
+    iterative families without a volume pin. Same 100k-node hub+path
+    graph as test_graph_family_skew_and_linearity (maximal degree skew):
+
+    1. the integer L-infinity normalizer must pin the celebrity node at
+       EXACTLY 1e6 (eigenvector; HITS hub side) and every other node
+       strictly below it — the invariant that makes the iterates
+       bit-replayable cross-engine;
+    2. HITS' authority side is also normalized to max(score) = 1e6;
+    3. ~linear growth, loose <10x bound at 4x nodes (complexity
+       regressions fail, timing noise does not).
+
+    Wall-clock at the 100k size is recorded each round by bench.py
+    under 'scale_smoke_graph' (eigenvector_sec / hits_sec).
+    """
+    import time
+
+    from postgis_gtfs_importer_spark.operators.graph import (
+        eigenvector_centrality,
+        hits,
+    )
+
+    def run(n):
+        g = _hub_path_graph(spark, n)
+        und = g.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.when(F.col("a") == 0, F.lit(1)).otherwise(F.lit(10)).alias("w"),
+        )
+        directed = und.unionByName(
+            und.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        t0 = time.monotonic()
+        ev = eigenvector_centrality(directed, iterations=3)
+        ev_top = ev.filter(F.col("v") == 1_000_000).collect()
+        ev_stats = ev.agg(
+            F.count("*").alias("nodes"), F.max("v").alias("vmax")
+        ).collect()[0]
+        t_ev = time.monotonic() - t0
+        t0 = time.monotonic()
+        ht = hits(
+            g.select(F.col("a").alias("hub"), F.col("b").alias("auth")),
+            iterations=2,
+        )
+        mx = {
+            r.side: r.mx
+            for r in ht.groupBy("side").agg(F.max("score").alias("mx")).collect()
+        }
+        hub_top = [
+            r.node
+            for r in ht.filter(
+                (F.col("side") == "hub") & (F.col("score") == 1_000_000)
+            ).collect()
+        ]
+        t_ht = time.monotonic() - t0
+        return ev_top, ev_stats, t_ev, mx, hub_top, t_ht
+
+    run(2_000)  # warm codegen/shuffle paths
+    evt1, evs1, t_ev1, mx1, hub1, t_ht1 = run(25_000)
+    evt4, evs4, t_ev4, mx4, hub4, t_ht4 = run(100_000)
+    for n, evt, evs in ((25_000, evt1, evs1), (100_000, evt4, evs4)):
+        # the hub owns the normalizer, uniquely and exactly
+        assert [r.node for r in evt] == [0], (n, evt)
+        assert (evs.nodes, evs.vmax) == (n, 1_000_000), (n, evs)
+    for n, mx, hub in ((25_000, mx1, hub1), (100_000, mx4, hub4)):
+        assert mx == {"hub": 1_000_000, "auth": 1_000_000}, (n, mx)
+        assert hub == [0], (n, hub)
+    assert t_ev4 < 10 * max(t_ev1, 0.5), (
+        f"eigenvector superlinear: {t_ev1:.2f}s -> {t_ev4:.2f}s"
+    )
+    assert t_ht4 < 10 * max(t_ht1, 0.5), (
+        f"hits superlinear: {t_ht1:.2f}s -> {t_ht4:.2f}s"
+    )

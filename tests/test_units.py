@@ -163,6 +163,7 @@ def test_bench_line_budget():
                 "now_warm_sum": 99999.99,
                 "n_regressed_2x": 999,
                 "regressed_2x": longest,
+                "n_retimed_ok": 999,
             },
             "sf": 0.1,
             "detail": "BENCH_DETAIL_r99.json",
