@@ -95,6 +95,13 @@ def kmeans_lloyd(
     deterministic twin of the usual re-seed heuristic, documented
     rather than hidden).
 
+    Vectors are assumed fixed-dimension (the embeddings-table
+    contract); a ragged vector is not rejected — its missing
+    dimensions simply contribute no distance terms and no update
+    observations, which skews its assignment — so enforce the schema
+    upstream if ragged data is possible. NULL vectors are excluded
+    (no observation); an empty input returns an empty codebook.
+
     ``broadcast_state=True`` broadcasts the |V|-sized assignment into
     the update join (right while points ≫ assignment rows per
     executor, i.e. dim ≫ 1); set it False to fall back to a sort-merge

@@ -621,7 +621,20 @@ def weighted_sample_aes(
     Nonpositive/NULL weights are excluded (priority NULL, documented
     not silent). Returns input columns + ``rank`` (1-based, by key
     ascending, key_col tiebreak).
+
+    Inputs carrying the scratch name ``_ek`` or the output name
+    ``rank`` are rejected loudly (the asof-family lesson: silent
+    shadowing corrupts, a late AnalysisException misleads).
+    priority_sample predates this guard and gets the same check when
+    it next rotates through the verification window.
     """
+    reserved = {"_ek", "rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"weighted_sample_aes input carries reserved column names"
+            f" {sorted(reserved)} — rename them first ('_ek' is the"
+            f" internal exponential key, 'rank' is the output column)"
+        )
     from .sketches import KEY_SPACE
 
     h = F.conv(

@@ -156,3 +156,12 @@ def test_aes_matches_manual_exponential_keys(spark):
         for r in priority_sample(df, "k", "w", k=8, salt="aes").collect()
     }
     assert pri != set(want)  # the exact law differs from u/w here
+
+
+@pytest.mark.parametrize("bad", ["_ek", "rank"])
+def test_aes_rejects_reserved_column_names(spark, bad):
+    df = spark.createDataFrame(
+        [(1, 2.0, 3)], f"k long, w double, {bad} long"
+    )
+    with pytest.raises(ValueError, match="reserved column names"):
+        weighted_sample_aes(df, "k", "w", k=1)
