@@ -165,3 +165,35 @@ def test_aes_rejects_reserved_column_names(spark, bad):
     )
     with pytest.raises(ValueError, match="reserved column names"):
         weighted_sample_aes(df, "k", "w", k=1)
+
+
+def test_kmeans_broadcast_state_off_same_result(spark):
+    """The sort-merge fallback (broadcast_state=False, for |V| beyond
+    executor memory) must be plan-only: bit-identical codebook."""
+    rows = [(i, (float(i % 7), float((3 * i) % 5), float(i % 3))) for i in range(60)]
+    df = _vec_df(spark, rows)
+    on = {(r.cid, r.dim): (r.c_q, r.n_members)
+          for r in kmeans_lloyd(df, k=3, iterations=2).collect()}
+    off = {(r.cid, r.dim): (r.c_q, r.n_members)
+           for r in kmeans_lloyd(df, k=3, iterations=2,
+                                 broadcast_state=False).collect()}
+    assert on == off and len(on) == 9
+
+
+def test_kmeans_inertia_monotone_in_iterations(spark):
+    """Lloyd monotonicity, the loop's core invariant: the objective is
+    non-increasing iteration over iteration. Exact for real-valued
+    Lloyd; the truncating integer mean can perturb a centroid by <1
+    quantum per dimension, so allow that documented slack (dims *
+    (quantum/2)^2 * n is far below 1 distance unit at COORD_SCALE on
+    this data — assert plain non-increase)."""
+    rows = [
+        (i, ((i * 13 % 97) / 10.0, (i * 29 % 83) / 10.0, (i * 7 % 71) / 10.0))
+        for i in range(120)
+    ]
+    df = _vec_df(spark, rows)
+    inertias = []
+    for t in (1, 2, 3, 4):
+        cb = kmeans_lloyd(df, k=4, iterations=t)
+        inertias.append(kmeans_inertia(df, cb).collect()[0].inertia)
+    assert all(b <= a for a, b in zip(inertias, inertias[1:])), inertias
