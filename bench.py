@@ -195,6 +195,11 @@ HEADLINE = [
     # round-8 additions
     "kmeans_lloyd",
     "weighted_sample_aes",
+    # round-8 wave 2
+    "label_propagation",
+    "rrf_fusion",
+    "mmr_select",
+    "decayed_counts",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

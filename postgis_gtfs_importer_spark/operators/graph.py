@@ -671,3 +671,108 @@ def hits(
         )
     finally:
         e.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    color_mod: int = 2,
+    checkpoint_every: int = 1,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Semi-synchronous label propagation (LPA) community detection —
+    the seventh iterative-graph family member (pagerank/eigenvector/
+    hits rank nodes, kcore/sssp/triangles measure structure; LPA
+    PARTITIONS the graph into communities by majority vote: each node
+    adopts the label most common among its neighbors).
+
+    Fully synchronous LPA famously 2-cycles on bipartite graphs (both
+    sides swap labels forever). The published fix (Cordasco & Gargano
+    2012, semi-synchronous LPA) updates one COLOR CLASS per round; here
+    the color is ``node % color_mod``, which for the customer↔supplier
+    trade graph (trade_graph_edges: customers even, suppliers odd) is a
+    PERFECT 2-coloring, so every round is oscillation-free by
+    construction. Round ``i`` (1-based) updates nodes with
+    ``node % color_mod == i % color_mod``; other nodes keep their
+    label. Exact integer discipline: labels start as node ids and every
+    update is an argmax over (neighbor-label count DESC, label ASC) —
+    deterministic on any engine or partitioning, so a fixed-round run
+    unrolls into a DuckDB CTE oracle like the other iterative families.
+
+    ``edges`` must be the MIRRORED (undirected) edge list, deduplicated
+    ``(src, dst)`` pairs — neighbor votes are read from incoming edges,
+    so a one-directional list would vote asymmetrically.
+
+    Scale design (the pagerank/hits discipline): the edge list is
+    persisted once and is the only |E|-sized relation; per round the
+    |V|-sized label state broadcasts into the edge join
+    (``broadcast_state``; set False to fall back to sort-merge for node
+    sets beyond executor memory), the vote count is ONE map-side-
+    combined shuffle keyed (dst, label), the argmax is a groupBy-max
+    over the already-reduced votes (no window, no per-node sort), and
+    lineage is cut with an eager localCheckpoint per round (the
+    iterative-DataFrame nested-plan trap; measured in pagerank's
+    module docstring).
+
+    Returns ``(node, community)``: the final label per node. Nodes
+    sharing a community label are the detected communities; label
+    values are node ids (the community's "anchor" member under the
+    tie-break, not a rank).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"]).persist()
+    hint = F.broadcast if broadcast_state else (lambda df: df)
+    nodes = None
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        labels = nodes.select("node", F.col("node").alias("label"))
+        for i in range(1, int(iterations) + 1):
+            active = i % int(color_mod)
+            votes = (
+                e.join(
+                    hint(labels.withColumnRenamed("node", "src")), "src"
+                )
+                .filter(F.col("dst") % color_mod == active)
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count("*").alias("c"))
+            )
+            # argmax (count DESC, label ASC) == max of (c, -label):
+            # labels are non-negative node ids, so negation inverts
+            # their order inside the struct comparison. groupBy-max
+            # over the reduced votes — no per-node sort window.
+            best = votes.groupBy("node").agg(
+                F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+                .alias("_b")
+            ).select("node", (-F.col("_b.nl")).alias("_new"))
+            labels = (
+                labels.join(hint(best), "node", "left")
+                .select(
+                    "node",
+                    F.when(
+                        (F.col("node") % color_mod == active)
+                        & F.col("_new").isNotNull(),
+                        F.col("_new"),
+                    )
+                    .otherwise(F.col("label"))
+                    .alias("label"),
+                )
+            )
+            if i % checkpoint_every == 0 or i == iterations:
+                # eager: see pagerank's in-loop note — an un-cut
+                # iterative plan nests every round's joins, and the
+                # final round must be cut because the edge cache is
+                # dropped on return.
+                labels = labels.localCheckpoint(eager=True)
+        return labels.select("node", F.col("label").alias("community"))
+    finally:
+        e.unpersist()
+        if nodes is not None:
+            nodes.unpersist()

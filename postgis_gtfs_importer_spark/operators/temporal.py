@@ -632,3 +632,83 @@ def asof_join_nearest(
         F.col(f"_f.{c}").alias(c) for c in value_cols
     ] + [F.col("_f._r_ts").alias(asof_ts_col)]
     return chosen.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def half_life_decay(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    unit_seconds: int = 604_800,
+    max_buckets: int = 20,
+    value_digits: int = 2,
+) -> DataFrame:
+    """Recency-weighted (half-life-decayed) engagement per key — the
+    aggregation sibling of ``time_weighted_avg`` (TWAP weights by
+    DURATION; this weights by AGE): every event contributes
+    ``2^(-age_buckets)`` of its weight, where ``age_buckets`` is whole
+    ``unit_seconds`` units (default: weeks) before the NEWEST event in
+    the input. The standard recency feature for ranking/user models,
+    usually approximated in floats; here it is EXACT.
+
+    Exactness trick: half-life weights are powers of two, so scaling by
+    ``2^max_buckets`` makes every contribution the integer
+    ``1 << (max_buckets - min(age, max_buckets))`` — binary-exact in
+    any engine, exactly summable in any order (float ``exp(-λt)`` decay
+    is neither). Events older than ``max_buckets`` units saturate at
+    weight 1 (i.e. 2^-max_buckets of the newest event's weight — below
+    that the contribution is sub-resolution noise by construction).
+
+    Returns one row per key: ``n_events``, ``decayed_count_s`` (sum of
+    scaled weights; divide by 2^max_buckets for the decayed count) and,
+    when ``value_col`` is given, ``decayed_value_s`` (sum of
+    fixed-point values × scaled weights). Overflow bound:
+    2^max_buckets=2^20 × value ≤ 1e8 cents × rows ≤ 1e9 stays well
+    under 2^63 at any realistic shard size; at 100 TB the aggregate is
+    ONE map-side-combined shuffle on the key, and the anchor (global
+    max timestamp) is a 1-row broadcast — the trend_by_type scalar
+    pattern, whitelisted in plan hygiene.
+
+    NULL policy (the sketch-family discipline, pinned in tests): rows
+    with a NULL key or NULL timestamp are EXCLUDED up front — an
+    unattributable or undatable event has no decay age; a NULL
+    ``value_col`` contributes to the count sums but not the value sum
+    (Spark and DuckDB both skip NULL products in SUM).
+    """
+    if int(max_buckets) < 0 or int(max_buckets) > 62:
+        raise ValueError(
+            f"half_life_decay needs 0 <= max_buckets <= 62, got"
+            f" {max_buckets} (the scaled weight is a shifted BIGINT)"
+        )
+    if int(unit_seconds) <= 0:
+        raise ValueError(
+            f"half_life_decay needs unit_seconds > 0, got {unit_seconds}"
+        )
+    keep = F.col(ts_col).isNotNull()
+    for c in key_cols:
+        keep = keep & F.col(c).isNotNull()
+    ev = events.filter(keep)
+    anchor = ev.agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("_anchor")
+    )
+    age_sql = (
+        f"((_anchor - unix_timestamp({ts_col})) div {int(unit_seconds)})"
+    )
+    w = F.expr(
+        f"cast(shiftleft(1, cast({int(max_buckets)}"
+        f" - least({age_sql}, {int(max_buckets)}) as int)) as bigint)"
+    )
+    agg_cols = [
+        F.count("*").alias("n_events"),
+        F.sum(w).alias("decayed_count_s"),
+    ]
+    if value_col is not None:
+        v_c = F.floor(
+            F.col(value_col) * (10 ** int(value_digits)) + F.lit(0.5)
+        ).cast("long")
+        agg_cols.append(F.sum(v_c * w).alias("decayed_value_s"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(*agg_cols)
+    )

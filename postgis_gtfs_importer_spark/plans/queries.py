@@ -99,16 +99,32 @@ _ADDITIONS_R8: list[str] = [
     "weighted_sample_aes",
 ]
 
+#: Round-8 second wave (continuing the "keep additions coming"
+#: directive): semi-synchronous label-propagation communities (the
+#: seventh iterative-graph family), reciprocal-rank fusion + MMR
+#: diversified selection (the hybrid-retrieval pair the LLM stack runs
+#: between bm25_topk and the ANN family), and exact half-life-decayed
+#: engagement (the recency-weighting sibling of time_weighted_avg).
+#: Never driver-verified -> window-resident; the 4 slots come from the
+#: r4 rotation tail (those 4 rejoin the r9 rotation head).
+_ADDITIONS_R8B: list[str] = [
+    "label_propagation",
+    "rrf_fusion",
+    "mmr_select",
+    "decayed_counts",
+]
+
 #: Freshness rotation (VERDICT r7 item 1): with the stale set + the
-#: additions at 16 entries, the remaining 34 slots go to the entries
+#: additions at 20 entries, the remaining 30 slots go to the entries
 #: with the OLDEST green driver rows, last-green-round ascending from
-#: the ledger: all 9 r2 rows, all 11 r3 rows, then 14 of the 20 r4
-#: rows (name order; the 6 r4 leftovers — promo_revenue_share,
-#: revenue_forecast, shipping_priority, supplier_part_counts,
-#: top_supplier, trend_by_type — head the r9 rotation). After this
-#: round no driver row predates r4. These are VERIFIED entries filling
-#: spare capacity, not stale ones: the ledger attests their digests
-#: unchanged since their recorded rows.
+#: the ledger: all 9 r2 rows, all 11 r3 rows, then 10 of the 20 r4
+#: rows (name order; the 10 r4 leftovers — important_parts,
+#: min_cost_supplier, priority_shipment_buckets, product_type_profit,
+#: promo_revenue_share, revenue_forecast, shipping_priority,
+#: supplier_part_counts, top_supplier, trend_by_type — head the r9
+#: rotation). After this round no driver row predates r4. These are
+#: VERIFIED entries filling spare capacity, not stale ones: the ledger
+#: attests their digests unchanged since their recorded rows.
 _ROTATION_R8: list[str] = [
     # r2 (publish/GTFS-core)
     "composite_digest",
@@ -132,7 +148,7 @@ _ROTATION_R8: list[str] = [
     "trading_nations",
     "value_quantiles",
     "waiting_suppliers",
-    # r4 (first 15 by name)
+    # r4 (first 10 by name)
     "bulk_customers",
     "customer_order_distribution",
     "disjunctive_revenue",
@@ -143,10 +159,6 @@ _ROTATION_R8: list[str] = [
     "fuzzy_title_pairs",
     "hist_quantiles",
     "hopping_window_stats",
-    "important_parts",
-    "min_cost_supplier",
-    "priority_shipment_buckets",
-    "product_type_profit",
 ]
 
 #: No overflow this round: 13 stale + 2 additions fit with 35 slots to
@@ -156,11 +168,12 @@ _OVERFLOW_QUEUE: list[str] = []
 #: Human-readable subset of the ledger's stale set (changed-since rows
 #: + never-verified additions). Enforced against the ledger by
 #: tests/test_registry_ledger.py (both directions).
-_MUST_VERIFY: list[str] = [*_RESTALE_R8, *_ADDITIONS_R8]
+_MUST_VERIFY: list[str] = [*_RESTALE_R8, *_ADDITIONS_R8, *_ADDITIONS_R8B]
 
 _FRONT: list[str] = [
     *_RESTALE_R8,
     *_ADDITIONS_R8,
+    *_ADDITIONS_R8B,
     *_ROTATION_R8,
     *_OVERFLOW_QUEUE,
 ]
@@ -9693,4 +9706,337 @@ def kmeans_lloyd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return kmeans_lloyd(
         e, id_col="vec_id", vec_col="embedding", k=4, iterations=3,
+    )
+
+
+@register(
+    "label_propagation",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                      l.l_suppkey * 2 + 1 AS s_node
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    v1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           FROM edges e JOIN l0 l ON l.node = e.src
+           WHERE e.dst % 2 = 1 GROUP BY e.dst, l.label),
+    b1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM v1) WHERE rn = 1),
+    l1 AS (SELECT l.node,
+                  CASE WHEN l.node % 2 = 1 AND b.label IS NOT NULL
+                       THEN b.label ELSE l.label END AS label
+           FROM l0 l LEFT JOIN b1 b ON b.node = l.node),
+    v2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           FROM edges e JOIN l1 l ON l.node = e.src
+           WHERE e.dst % 2 = 0 GROUP BY e.dst, l.label),
+    b2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM v2) WHERE rn = 1),
+    l2 AS (SELECT l.node,
+                  CASE WHEN l.node % 2 = 0 AND b.label IS NOT NULL
+                       THEN b.label ELSE l.label END AS label
+           FROM l1 l LEFT JOIN b2 b ON b.node = l.node),
+    v3 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           FROM edges e JOIN l2 l ON l.node = e.src
+           WHERE e.dst % 2 = 1 GROUP BY e.dst, l.label),
+    b3 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM v3) WHERE rn = 1),
+    l3 AS (SELECT l.node,
+                  CASE WHEN l.node % 2 = 1 AND b.label IS NOT NULL
+                       THEN b.label ELSE l.label END AS label
+           FROM l2 l LEFT JOIN b3 b ON b.node = l.node),
+    v4 AS (SELECT e.dst AS node, l.label, count(*) AS c
+           FROM edges e JOIN l3 l ON l.node = e.src
+           WHERE e.dst % 2 = 0 GROUP BY e.dst, l.label),
+    b4 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM v4) WHERE rn = 1),
+    l4 AS (SELECT l.node,
+                  CASE WHEN l.node % 2 = 0 AND b.label IS NOT NULL
+                       THEN b.label ELSE l.label END AS label
+           FROM l3 l LEFT JOIN b4 b ON b.node = l.node)
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(label AS BIGINT) AS community
+    FROM l4
+    """,
+)
+def label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-synchronous label-propagation communities over the mirrored
+    customer↔supplier trade graph, 4 rounds (each parity class updated
+    twice) — operators/graph.py::label_propagation, the seventh
+    iterative family. Node parity is a perfect 2-coloring of the
+    bipartite graph (customers even, suppliers odd —
+    trade_graph_edges), so the semi-synchronous schedule is
+    oscillation-free by construction; labels are node ids and every
+    vote is an exact-integer argmax (count DESC, label ASC), so the
+    DuckDB oracle unrolls all 4 rounds bit-for-bit. Per-round plan: one
+    map-side-combined vote shuffle keyed (node, label) + a groupBy-max
+    argmax — no per-node sort window, state broadcast, lineage cut per
+    round (the pagerank discipline)."""
+    from ..operators.graph import label_propagation, trade_graph_edges
+
+    orders = spread(_t(spark, sf_dir, "orders"))
+    lineitem = spread(_t(spark, sf_dir, "lineitem"))
+    edges = trade_graph_edges(orders, lineitem)
+    return label_propagation(edges, iterations=4).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+@register(
+    "rrf_fusion",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 regexp_split_to_array(trim(text), '\\s+'),
+                 x -> lower(x))) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf_d
+      FROM toks WHERE tok IN ('join', 'vector', 'scan', 'window')
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t
+              FROM tf GROUP BY tok),
+    per_term AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * ((tf_d * 2.2) / (tf_d + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               * 1e6 + 0.5) AS BIGINT) AS s_e6
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN dfreq USING (tok)
+      CROSS JOIN corpus
+    ),
+    bm AS (
+      SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+      FROM per_term GROUP BY doc_id
+      ORDER BY score_e6 DESC, doc_id ASC
+      LIMIT 50
+    ),
+    lexr AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rank_lex
+      FROM bm
+    ),
+    vecr AS (
+      SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS rank_vec
+      FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e JOIN embeddings q
+          ON q.vec_id = 0 AND e.vec_id <> 0
+      ) WHERE rn <= 50
+    ),
+    fused AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             a.rank_lex, b.rank_vec,
+             CAST(coalesce(1000000000000 // (60 + a.rank_lex), 0)
+                  + coalesce(1000000000000 // (60 + b.rank_vec), 0)
+                  AS BIGINT) AS rrf_s
+      FROM lexr a FULL OUTER JOIN vecr b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_s
+    FROM fused ORDER BY rrf_s DESC, doc_id ASC LIMIT 20
+    """,
+)
+def rrf_fusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion
+    (operators/retrieval.py::rrf_fuse): the lexical top-50 (bm25_topk,
+    the 4-term fixed query) fused with the dense top-50 (brute-force
+    cosine against probe vector 0, the embedding_topk recipe) by
+    integer RRF — score = Σ 1e12 div (60 + rank), exact, scale-free (a
+    1e6-scaled BM25 and a [-1,1] cosine fuse with no calibration). The
+    producers are the existing scale paths; the fusion joins two
+    cutoff-sized lists and is O(depth). Docs retrieved by only one
+    ranker keep a NULL rank on the other side and contribute 0 from
+    it (full outer join, the standard RRF treatment)."""
+    from ..operators.indexing import bm25_topk
+    from ..operators.retrieval import rank_topk_list, rrf_fuse
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = rank_topk_list(
+        bm25_topk(
+            d, query_terms=["join", "vector", "scan", "window"],
+            id_col="doc_id", text_col="text", k1=1.2, b=0.75, k=50,
+        ),
+        [F.desc("score_e6"), F.asc("doc_id")],
+    ).select("doc_id", "rank")
+    vec = SIM.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(
+        F.col("vec_id").alias("doc_id"), F.col("rn").cast("long").alias("rank")
+    )
+    return rrf_fuse(lex, vec, id_col="doc_id", k=20).select(
+        "doc_id",
+        F.col("rank_a").alias("rank_lex"),
+        F.col("rank_b").alias("rank_vec"),
+        "rrf_s",
+    )
+
+
+@register(
+    "mmr_select",
+    """
+    WITH scored AS (
+      SELECT e.vec_id AS id,
+             CAST(floor(round(list_cosine_similarity(
+                    CAST(q.embedding AS DOUBLE[]),
+                    CAST(e.embedding AS DOUBLE[])), 6) * 1e6 + 0.5)
+                  AS BIGINT) AS rel,
+             e.embedding AS v
+      FROM embeddings e JOIN embeddings q
+        ON q.vec_id = 0 AND e.vec_id <> 0
+    ),
+    pool AS (SELECT id, rel, v FROM scored ORDER BY rel DESC, id ASC
+             LIMIT 30),
+    psim AS (
+      SELECT a.id AS ia, b.id AS ib,
+             CAST(floor(round(list_cosine_similarity(
+                    CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])), 6)
+                  * 1e6 + 0.5) AS BIGINT) AS s
+      FROM pool a JOIN pool b ON a.id <> b.id
+    ),
+    p1 AS (SELECT id, rel, CAST(0 AS BIGINT) AS red,
+                  CAST(7 * rel AS BIGINT) AS mmr
+           FROM pool ORDER BY 7 * rel DESC, id ASC LIMIT 1),
+    r2 AS (SELECT c.id, c.rel, s.s AS red
+           FROM pool c JOIN p1 ON c.id <> p1.id
+           JOIN psim s ON s.ia = c.id AND s.ib = p1.id),
+    p2 AS (SELECT id, rel, red,
+                  CAST(7 * rel - 3 * red AS BIGINT) AS mmr
+           FROM r2 ORDER BY 7 * rel - 3 * red DESC, id ASC LIMIT 1),
+    r3 AS (SELECT c.id, c.rel, greatest(c.red, s.s) AS red
+           FROM r2 c JOIN p2 ON c.id <> p2.id
+           JOIN psim s ON s.ia = c.id AND s.ib = p2.id),
+    p3 AS (SELECT id, rel, red,
+                  CAST(7 * rel - 3 * red AS BIGINT) AS mmr
+           FROM r3 ORDER BY 7 * rel - 3 * red DESC, id ASC LIMIT 1),
+    r4 AS (SELECT c.id, c.rel, greatest(c.red, s.s) AS red
+           FROM r3 c JOIN p3 ON c.id <> p3.id
+           JOIN psim s ON s.ia = c.id AND s.ib = p3.id),
+    p4 AS (SELECT id, rel, red,
+                  CAST(7 * rel - 3 * red AS BIGINT) AS mmr
+           FROM r4 ORDER BY 7 * rel - 3 * red DESC, id ASC LIMIT 1),
+    r5 AS (SELECT c.id, c.rel, greatest(c.red, s.s) AS red
+           FROM r4 c JOIN p4 ON c.id <> p4.id
+           JOIN psim s ON s.ia = c.id AND s.ib = p4.id),
+    p5 AS (SELECT id, rel, red,
+                  CAST(7 * rel - 3 * red AS BIGINT) AS mmr
+           FROM r5 ORDER BY 7 * rel - 3 * red DESC, id ASC LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS round, id AS vec_id, rel AS rel_e6,
+           red AS red_e6, mmr AS mmr_s FROM p1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), id, rel, red, mmr FROM p2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), id, rel, red, mmr FROM p3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), id, rel, red, mmr FROM p4
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), id, rel, red, mmr FROM p5
+    """,
+)
+def mmr_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified selection
+    (operators/retrieval.py::mmr_select): 5 greedy picks from the
+    top-30 pool retrieved for probe vector 0, λ = 7/10 — relevance
+    traded against max-similarity-to-selected, the standard reranker
+    for diverse few-shot selection. e6-quantized integer cosines make
+    every round's argmax exact, so the unrolled 5-round CTE (pairwise
+    pool similarities precomputed once) replays the greedy trace
+    bit-for-bit. Pool retrieval is the existing brute-force scale path;
+    the greedy is O(k·pool) with 1-row driver picks (the
+    greedy_set_cover class)."""
+    from ..operators.retrieval import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = SIM.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=30
+    )
+    pool = scored.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select(
+        "vec_id", "embedding",
+        F.floor(F.col("score") * 1_000_000 + F.lit(0.5))
+        .cast("long").alias("rel_e6"),
+    )
+    return mmr_select(pool, k=5, lam_num=7, lam_den=10).select(
+        "round", F.col("id").alias("vec_id"), "rel_e6", "red_e6", "mmr_s"
+    )
+
+
+@register(
+    "decayed_counts",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    anchor AS (SELECT max(es) AS a FROM ev),
+    w AS (
+      SELECT user_id, event_type, value,
+             CAST(CAST(1 AS BIGINT) << CAST(
+               20 - least((a - es) // 604800, 20) AS INTEGER)
+               AS BIGINT) AS wt
+      FROM ev CROSS JOIN anchor
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(wt) AS BIGINT) AS decayed_count_s,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * wt)
+                AS BIGINT) AS decayed_value_s
+    FROM w GROUP BY user_id, event_type
+    """,
+)
+def decayed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement per (user, event_type)
+    (operators/temporal.py::half_life_decay): every event contributes
+    2^(-age_weeks) of its weight relative to the newest event,
+    saturating at 20 weeks — the recency feature for ranking/user
+    models, EXACT here because power-of-two weights scaled by 2^20 are
+    integers (float exp-decay is neither exact nor
+    order-independent). Plan: one map-side-combined shuffle on the
+    group key; the anchor timestamp is a 1-row broadcast (the
+    trend_by_type scalar pattern)."""
+    from ..operators.temporal import half_life_decay
+
+    e = _t(spark, sf_dir, "events")
+    return half_life_decay(
+        e, key_cols=["user_id", "event_type"], ts_col="ts",
+        value_col="value", unit_seconds=604_800, max_buckets=20,
     )

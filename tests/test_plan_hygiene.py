@@ -61,6 +61,13 @@ BNLJ_OK = {
     "departures_at_station", # 1-row single-agency (count, name, tz)
                              # aggregate x fact — the omitted-agency_id
                              # timezone fill (arrivals_departures)
+    "rrf_fusion",            # inherits both producers' whitelisted
+                             # shapes: bm25's 1-row corpus-stats scalar
+                             # + the deliberate 1-probe broadcast
+                             # linear scan (embedding_topk class); the
+                             # fusion join itself is an equi SMJ
+    "decayed_counts",        # 1-row anchor (global max ts) x events —
+                             # the trend_by_type scalar pattern
 }
 
 STREAMING = {
