@@ -200,6 +200,10 @@ HEADLINE = [
     "rrf_fusion",
     "mmr_select",
     "decayed_counts",
+    # round-8 wave 3
+    "containment_pairs",
+    "degree_assortativity",
+    "poisson_bootstrap_ci",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

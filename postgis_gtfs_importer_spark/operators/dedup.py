@@ -916,3 +916,73 @@ def neardup_incremental(
         dup_ids = intra_pairs.select(F.col("id_b").alias("id")).distinct()
     survivors = no_index_match.join(dup_ids, "id", "left_anti")
     return matches, survivors
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram CONTAINMENT pairs: |A∩B| / |A| — the asymmetric
+    sibling of ngram_jaccard_pairs. Jaccard misses the near-superset
+    case dedup cares about most: a document QUOTED inside a much longer
+    one (or boilerplate-wrapped) has tiny Jaccard (union is the big
+    doc) but containment ≈ 1 from the small side — the Broder (1997)
+    containment measure built for exactly this.
+
+    Same inverted set-similarity join as ngram_jaccard_pairs (only
+    pairs sharing ≥1 shingle materialize; linear shuffles, AQE skew
+    case): the intersection count is computed once per unordered pair,
+    then BOTH directed containments are derived from it. A pair is
+    emitted when EITHER direction clears the threshold (the dedup
+    question is "is either doc mostly inside the other"), with both
+    directions reported so the caller can tell container from
+    contained. e6 fixed-point (floor(c*1e6+0.5)) keeps the ratio
+    engine-portable.
+
+    Output: (id_a, id_b, inter, sz_a, sz_b, cont_ab_e6, cont_ba_e6)
+    with id_a < id_b; cont_ab = |A∩B|/|A| (how much of A is in B).
+    ``threshold`` must be > 0: zero-overlap pairs are pruned by the
+    join itself (c > 0 ⟺ ≥1 shared shingle).
+    """
+    assert threshold > 0, "threshold must be > 0 (zero-overlap pairs are pruned)"
+    src = df.withColumnRenamed(block_col, "blk") if block_col != "blk" else df
+    sh = materialize(shingle_rows(src, id_col, text_col, n, extra_cols=["blk"]))
+    sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inv = sh.join(sz, "id")
+
+    a, b = inv.alias("a"), inv.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    t_e6 = int(threshold * 1e6)
+    return (
+        pair_inter.withColumn(
+            "cont_ab_e6", _jaccard_e6(F.col("inter"), F.col("sz_a"))
+        )
+        .withColumn(
+            "cont_ba_e6", _jaccard_e6(F.col("inter"), F.col("sz_b"))
+        )
+        .filter(
+            (F.col("cont_ab_e6") >= t_e6) | (F.col("cont_ba_e6") >= t_e6)
+        )
+        .select(
+            "id_a", "id_b", "inter", "sz_a", "sz_b",
+            "cont_ab_e6", "cont_ba_e6",
+        )
+    )

@@ -776,3 +776,62 @@ def label_propagation(
         e.unpersist()
         if nodes is not None:
             nodes.unpersist()
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree-assortativity summary of a directed edge list: does the
+    graph wire high-degree nodes to high-degree nodes (r > 0, social
+    graphs) or hubs to leaves (r < 0, web/biology/trade)? Newman
+    (2002): the Pearson correlation of (out-degree(src),
+    in-degree(dst)) over edges.
+
+    The moment sums are EXACT BIGINTs from one aggregate over the
+    degree-joined edge list; only the FINAL combination touches doubles
+    — the cross terms (n·sxy, sx·sy ~ 1e20 on a 1M-edge graph) overflow
+    int64, so they are formed from the double-cast moments instead, a
+    fixed tree of correctly-rounded IEEE ops (cast, multiply, subtract,
+    sqrt, divide) that evaluates bit-identically in every engine. The
+    casts themselves are exact while the moments stay < 2^53 (holds
+    through ~1e14-scale moments); beyond that the statistic carries
+    double rounding in the last place while the REPORTED moments remain
+    exact — which is why they are in the output.
+
+    Plan: two degree aggregates (one shuffle each over |E|), both
+    |V|-sized and broadcast into the edge join, then one
+    map-side-combined global aggregate — no |E|-keyed shuffle at all.
+    Output: 1 row (n_edges, sx, sy, sxy, sx2, sy2, assortativity_e6).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    outd = e.groupBy("src").agg(F.count("*").alias("x"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("y"))
+    joined = (
+        e.join(F.broadcast(outd), "src")
+        .join(F.broadcast(ind), "dst")
+        .select(F.col("x").cast("long").alias("x"),
+                F.col("y").cast("long").alias("y"))
+    )
+    m = joined.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    nd = F.col("n_edges").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    vx = nd * F.col("sx2").cast("double") - sxd * sxd
+    vy = nd * F.col("sy2").cast("double") - syd * syd
+    r = num / (F.sqrt(vx) * F.sqrt(vy))
+    return m.select(
+        "n_edges", "sx", "sy", "sxy", "sx2", "sy2",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(r * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("assortativity_e6"),
+    )

@@ -415,3 +415,130 @@ def winsorized_stats(
         .cast("long")
         .alias("n_clamped_hi"),
     )
+
+
+#: Cumulative Poisson(1) probabilities P(X <= k), k = 0..6: the inverse-
+#: CDF thresholds for deterministic Poisson resample weights. Fixed
+#: decimal literals so every engine parses the identical doubles; mass
+#: beyond k=7 is ~1e-5 and is folded into the top bucket.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    b: int = 16,
+    value_digits: int = 2,
+    salt: str = "pb",
+) -> DataFrame:
+    """Deterministic Poisson bootstrap: per-group uncertainty for the
+    mean without a second pass or a row blow-up — THE bootstrap that
+    scales (Chamandy et al. 2012, "Estimating uncertainty for massive
+    data streams": resampling n-of-n with replacement is impossible
+    when no node sees all n, but per-row independent Poisson(1) counts
+    approximate multinomial resample weights to O(1/n)).
+
+    Determinism: resample r gives row i the weight
+    ``k = Poisson1_invCDF(u(salt, r, i))`` with u the md5-uniform of
+    (salt, r, id) — the A-ES recipe (curation.weighted_sample_aes), so
+    every engine replays the identical resamples; the CDF thresholds
+    are fixed decimal literals (no transcendental evaluated at
+    runtime). Values are fixed-point cents; every resample mean is a
+    truncating integer division — the whole trace is exact.
+
+    Scale shape — the reason this form and not explode×B: the B
+    resamples become 2·B extra AGGREGATE COLUMNS (Σk_r, Σv·k_r) in the
+    ONE map-side-combined groupBy, so the input is scanned once and
+    nothing is replicated B-fold through a shuffle; the per-group
+    resample means are then an in-row array sort over B values. At
+    100 TB with B=16 this costs one exchange of |groups|·33 longs.
+
+    Returns per group: ``n_rows``, ``mean_c`` (full-sample truncating
+    mean), ``n_boot`` (resamples with ≥1 sampled row), and the exact
+    rank-selected resample means ``boot_lo_c`` (2nd smallest),
+    ``boot_med_c`` (lower median), ``boot_hi_c`` (2nd largest) — at
+    B=16 approximately the 10th/50th/90th percentiles of the sampling
+    distribution. Rows with a NULL group key, NULL id, or NULL value
+    are EXCLUDED up front (a NULL value would hit Σv·k but not Σk,
+    silently biasing every resample mean — the fail-loudly discipline).
+    """
+    if int(b) < 2:
+        raise ValueError(f"poisson_bootstrap_ci needs b >= 2, got {b}")
+    from .sketches import KEY_SPACE
+
+    keep = F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    vc = F.floor(
+        F.col(value_col) * (10 ** int(value_digits)) + F.lit(0.5)
+    ).cast("long")
+
+    def weight(r: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}{r}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h + F.lit(1).cast("long")).cast("double") / F.lit(KEY_SPACE)
+        k = F.when(u < F.lit(POISSON1_CDF[0]), F.lit(0))
+        for i in range(1, len(POISSON1_CDF)):
+            k = k.when(u < F.lit(POISSON1_CDF[i]), F.lit(i))
+        return k.otherwise(F.lit(len(POISSON1_CDF))).cast("long")
+
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(vc).alias("_sv"),
+    ]
+    for r in range(int(b)):
+        w = weight(r)
+        aggs.append(F.sum(w).alias(f"_sk{r}"))
+        aggs.append(F.sum(vc * w).alias(f"_svk{r}"))
+    g = df.filter(keep).groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+    means = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.expr(f"case when _sk{r} > 0 then _svk{r} div _sk{r} end")
+                    for r in range(int(b))
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    g = g.withColumn("_ms", means).withColumn(
+        "_nb", F.size("_ms").cast("int")
+    )
+    return g.filter(F.col("_nb") >= 1).select(
+        *group_cols,
+        "n_rows",
+        F.expr("_sv div n_rows").alias("mean_c"),
+        F.col("_nb").cast("long").alias("n_boot"),
+        F.element_at("_ms", F.least(F.lit(2), F.col("_nb"))).alias(
+            "boot_lo_c"
+        ),
+        F.element_at(
+            "_ms", F.expr("(_nb + 1) div 2").cast("int")
+        ).alias("boot_med_c"),
+        F.element_at(
+            "_ms", F.greatest(F.col("_nb") - 1, F.lit(1))
+        ).alias("boot_hi_c"),
+    )

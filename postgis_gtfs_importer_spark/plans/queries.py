@@ -112,13 +112,21 @@ _ADDITIONS_R8B: list[str] = [
     "rrf_fusion",
     "mmr_select",
     "decayed_counts",
+    # wave 3: asymmetric n-gram containment (the near-superset dedup
+    # case Jaccard misses), degree assortativity (exact-integer graph
+    # moments), and the deterministic Poisson bootstrap (per-group CI
+    # without a row blow-up — the bootstrap that scales).
+    "containment_pairs",
+    "degree_assortativity",
+    "poisson_bootstrap_ci",
 ]
 
 #: Freshness rotation (VERDICT r7 item 1): with the stale set + the
-#: additions at 20 entries, the remaining 30 slots go to the entries
+#: additions at 23 entries, the remaining 27 slots go to the entries
 #: with the OLDEST green driver rows, last-green-round ascending from
-#: the ledger: all 9 r2 rows, all 11 r3 rows, then 10 of the 20 r4
-#: rows (name order; the 10 r4 leftovers — important_parts,
+#: the ledger: all 9 r2 rows, all 11 r3 rows, then 7 of the 20 r4
+#: rows (name order; the 13 r4 leftovers — fuzzy_title_pairs,
+#: hist_quantiles, hopping_window_stats, important_parts,
 #: min_cost_supplier, priority_shipment_buckets, product_type_profit,
 #: promo_revenue_share, revenue_forecast, shipping_priority,
 #: supplier_part_counts, top_supplier, trend_by_type — head the r9
@@ -148,7 +156,7 @@ _ROTATION_R8: list[str] = [
     "trading_nations",
     "value_quantiles",
     "waiting_suppliers",
-    # r4 (first 10 by name)
+    # r4 (first 7 by name)
     "bulk_customers",
     "customer_order_distribution",
     "disjunctive_revenue",
@@ -156,9 +164,6 @@ _ROTATION_R8: list[str] = [
     "event_transitions",
     "events_json_stats",
     "excess_shippers",
-    "fuzzy_title_pairs",
-    "hist_quantiles",
-    "hopping_window_stats",
 ]
 
 #: No overflow this round: 13 stale + 2 additions fit with 35 slots to
@@ -10039,4 +10044,198 @@ def decayed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return half_life_decay(
         e, key_cols=["user_id", "event_type"], ts_col="ts",
         value_col="value", unit_seconds=604_800, max_buckets=20,
+    )
+
+
+@register(
+    "containment_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t))
+             END AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM toks
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             CAST(len(a.sh) AS BIGINT) AS sz_a,
+             CAST(len(b.sh) AS BIGINT) AS sz_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ),
+    c AS (
+      SELECT id_a, id_b, inter, sz_a, sz_b,
+             CAST(floor(inter * 1.0 / greatest(sz_a, 1) * 1e6 + 0.5)
+                  AS BIGINT) AS cont_ab_e6,
+             CAST(floor(inter * 1.0 / greatest(sz_b, 1) * 1e6 + 0.5)
+                  AS BIGINT) AS cont_ba_e6
+      FROM p
+    )
+    SELECT id_a, id_b, inter, sz_a, sz_b, cont_ab_e6, cont_ba_e6
+    FROM c WHERE cont_ab_e6 >= 300000 OR cont_ba_e6 >= 300000
+    """,
+)
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs |A∩B|/|A| ≥ 0.3 (either
+    direction), blocked by language — the near-superset dedup case
+    (quoted/boilerplate-wrapped documents) whose Jaccard is tiny
+    because the union is the big document
+    (operators/dedup.py::containment_pairs, Broder 1997). Same
+    inverted set-similarity join as ngram_jaccard_pairs: only pairs
+    sharing a shingle materialize, shuffles linear in corpus + output,
+    hot-shingle skew is AQE's case; both directed ratios derive from
+    one intersection count."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(
+        d, id_col="doc_id", text_col="text", block_col="lang",
+        n=3, threshold=0.3,
+    )
+
+
+@register(
+    "degree_assortativity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                      l.l_suppkey * 2 + 1 AS s_node
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst FROM pairs
+    ),
+    outd AS (SELECT src, count(*) AS x FROM edges GROUP BY src),
+    ind AS (SELECT dst, count(*) AS y FROM edges GROUP BY dst),
+    j AS (
+      SELECT CAST(o.x AS BIGINT) AS x, CAST(i.y AS BIGINT) AS y
+      FROM edges e JOIN outd o ON o.src = e.src
+      JOIN ind i ON i.dst = e.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sx2,
+             CAST(sum(y * y) AS BIGINT) AS sy2
+      FROM j
+    )
+    SELECT n_edges, sx, sy, sxy, sx2, sy2,
+           CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n_edges AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN CAST(floor(
+                  (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n_edges AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT)
+           END AS assortativity_e6
+    FROM m
+    """,
+)
+def degree_assortativity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the mirrored trade graph
+    (operators/graph.py::degree_assortativity): Pearson correlation of
+    (out-degree(src), in-degree(dst)) over edges — negative for
+    hub-and-spoke topologies like customer↔supplier. Moments are exact
+    BIGINTs from one map-side-combined aggregate (degrees broadcast
+    into the edge join — no |E|-keyed shuffle); only the final
+    correlation is a fixed tree of correctly-rounded IEEE double ops,
+    identical in every engine."""
+    from ..operators.graph import degree_assortativity, trade_graph_edges
+
+    orders = spread(_t(spark, sf_dir, "orders"))
+    lineitem = spread(_t(spark, sf_dir, "lineitem"))
+    return degree_assortativity(trade_graph_edges(orders, lineitem))
+
+
+def _poisson_ci_oracle(b: int = 16, salt: str = "pb") -> str:
+    """DuckDB twin of operators/scoring.py::poisson_bootstrap_ci over
+    the events table: the B resample weights are CASE ladders over the
+    same md5-uniforms, summed as 2·B aggregate columns, and the
+    rank-selected resample means come from a sorted DuckDB list — the
+    same no-row-blow-up shape as the Spark plan."""
+    cdf = (
+        "0.36787944117144233", "0.7357588823428846", "0.9196986029286058",
+        "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+        "0.9999167588507119",
+    )
+    ks, sums, means = [], [], []
+    for r in range(b):
+        u = (
+            f"((CAST(('0x' || substr(md5('{salt}{r}:' ||"
+            f" CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)"
+            f" / 1152921504606846976.0)"
+        )
+        case = (
+            "CASE "
+            + " ".join(f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(cdf))
+            + " ELSE 7 END"
+        )
+        ks.append(f"CAST({case} AS BIGINT) AS k{r}")
+        sums.append(f"CAST(sum(k{r}) AS BIGINT) AS sk{r}")
+        sums.append(f"CAST(sum(vc * k{r}) AS BIGINT) AS svk{r}")
+        means.append(f"CASE WHEN sk{r} > 0 THEN svk{r} // sk{r} END")
+    return f"""
+    WITH ev AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+      WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type, vc, {', '.join(ks)}
+      FROM ev
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(vc) AS BIGINT) AS sv, {', '.join(sums)}
+      FROM w GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n_rows, sv // n_rows AS mean_c,
+             list_sort(list_filter(
+               list_value({', '.join(means)}), x -> x IS NOT NULL)) AS ms
+      FROM g
+    )
+    SELECT event_type, n_rows, mean_c,
+           CAST(len(ms) AS BIGINT) AS n_boot,
+           ms[least(2, len(ms))] AS boot_lo_c,
+           ms[(len(ms) + 1) // 2] AS boot_med_c,
+           ms[greatest(len(ms) - 1, 1)] AS boot_hi_c
+    FROM m WHERE len(ms) >= 1
+    """
+
+
+@register("poisson_bootstrap_ci", _poisson_ci_oracle())
+def poisson_bootstrap_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean event value per
+    event_type, B=16 resamples
+    (operators/scoring.py::poisson_bootstrap_ci, Chamandy et al. 2012)
+    — per-row Poisson(1) weights from the A-ES md5-uniform recipe, so
+    every engine replays identical resamples. Scale shape: the B
+    resamples are 2·B extra columns in the ONE map-side-combined
+    aggregate (input scanned once, nothing replicated B-fold through a
+    shuffle); resample means are exact truncating integer divisions,
+    CI bounds exact rank selections over the in-row sorted array."""
+    from ..operators.scoring import poisson_bootstrap_ci
+
+    e = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        e, group_cols=["event_type"], value_col="value",
+        id_col="event_id", b=16,
     )
