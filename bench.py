@@ -204,6 +204,9 @@ HEADLINE = [
     "containment_pairs",
     "degree_assortativity",
     "poisson_bootstrap_ci",
+    # round-8 wave 4
+    "local_clustering",
+    "calibration_bins",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -542,3 +542,55 @@ def poisson_bootstrap_ci(
             "_ms", F.greatest(F.col("_nb") - 1, F.lit(1))
         ).alias("boot_hi_c"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    pos_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a scored, labeled relation: does a
+    classifier's score track the observed positive rate? The standard
+    ML-eval companion to score_documents (whose scores feed corpus
+    keep/drop gates — a miscalibrated gate silently shifts the corpus
+    mixture).
+
+    ``bins`` equal-WIDTH buckets over the observed integer score range
+    [min, max] — equal-width (not quantile) because the bounds are a
+    1-row broadcast (the tvd_drift scalar pattern) and the binning
+    stays a pure map-side expression; quantile binning would need a
+    global rank pass. All arithmetic is integer: bucket =
+    least(bins−1, (score−lo)·bins div (hi−lo+1)), per-bin mean a
+    truncating division, positive rate e6 fixed-point. Returns
+    (bin, n_docs, mean_score_e3, pos_rate_e6) — one exchange for the
+    grouped aggregate.
+
+    Rows with a NULL score or NULL label are EXCLUDED up front (a NULL
+    label would count in n_docs but not the positive sum, silently
+    deflating the observed rate).
+    """
+    if int(bins) < 1:
+        raise ValueError(f"calibration_bins needs bins >= 1, got {bins}")
+    src = df.filter(
+        F.col(score_col).isNotNull() & F.col(pos_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(pos_col).cast("long").alias("_p"),
+    )
+    bounds = src.agg(F.min("_s").alias("_lo"), F.max("_s").alias("_hi"))
+    binned = src.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(int(bins) - 1),
+            F.expr(f"((_s - _lo) * {int(bins)}) div greatest(_hi - _lo + 1, 1)"),
+        ).cast("long").alias("bin"),
+        "_s",
+        "_p",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(_s) div count(*)").cast("long").alias("mean_score_e3"),
+        F.expr("(sum(_p) * 1000000) div count(*)")
+        .cast("long")
+        .alias("pos_rate_e6"),
+    )

@@ -119,15 +119,21 @@ _ADDITIONS_R8B: list[str] = [
     "containment_pairs",
     "degree_assortativity",
     "poisson_bootstrap_ci",
+    # wave 4: per-node clustering coefficient (triangle_count's
+    # node-level refinement) and classifier reliability bins (the
+    # ML-eval companion of score_documents' corpus gate).
+    "local_clustering",
+    "calibration_bins",
 ]
 
 #: Freshness rotation (VERDICT r7 item 1): with the stale set + the
-#: additions at 23 entries, the remaining 27 slots go to the entries
+#: additions at 25 entries, the remaining 25 slots go to the entries
 #: with the OLDEST green driver rows, last-green-round ascending from
-#: the ledger: all 9 r2 rows, all 11 r3 rows, then 7 of the 20 r4
-#: rows (name order; the 13 r4 leftovers — fuzzy_title_pairs,
-#: hist_quantiles, hopping_window_stats, important_parts,
-#: min_cost_supplier, priority_shipment_buckets, product_type_profit,
+#: the ledger: all 9 r2 rows, all 11 r3 rows, then 5 of the 20 r4
+#: rows (name order; the 15 r4 leftovers — events_json_stats,
+#: excess_shippers, fuzzy_title_pairs, hist_quantiles,
+#: hopping_window_stats, important_parts, min_cost_supplier,
+#: priority_shipment_buckets, product_type_profit,
 #: promo_revenue_share, revenue_forecast, shipping_priority,
 #: supplier_part_counts, top_supplier, trend_by_type — head the r9
 #: rotation). After this round no driver row predates r4. These are
@@ -156,14 +162,12 @@ _ROTATION_R8: list[str] = [
     "trading_nations",
     "value_quantiles",
     "waiting_suppliers",
-    # r4 (first 7 by name)
+    # r4 (first 5 by name)
     "bulk_customers",
     "customer_order_distribution",
     "disjunctive_revenue",
     "dormant_customers",
     "event_transitions",
-    "events_json_stats",
-    "excess_shippers",
 ]
 
 #: No overflow this round: 13 stale + 2 additions fit with 35 slots to
@@ -10238,4 +10242,130 @@ def poisson_bootstrap_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_ci(
         e, group_cols=["event_type"], value_col="value",
         id_col="event_id", b=16,
+    )
+
+
+@register(
+    "local_clustering",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM e ab
+      JOIN e bc ON bc.a = ab.b
+      JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    tn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS tri
+      FROM (SELECT x AS node FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+           CASE WHEN d.deg >= 2 THEN
+             CAST(floor(2.0 * coalesce(t.tri, 0)
+                        / (d.deg * (d.deg - 1)) * 1e6 + 0.5) AS BIGINT)
+           END AS lcc_e6
+    FROM deg d LEFT JOIN tn t ON t.node = d.node
+    ORDER BY lcc_e6 DESC NULLS LAST, tri DESC, d.node ASC
+    LIMIT 100
+    """,
+)
+def local_clustering_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 part co-occurrence nodes by local clustering coefficient
+    (operators/graph.py::local_clustering, Watts-Strogatz): which parts
+    sit inside tightly interconnected co-purchase neighborhoods vs
+    merely popular hubs. Engine plan: the degree-ORIENTED edge iterator
+    (out-adjacency O(sqrt(m)) under power-law skew — triangle_count's
+    machinery) with the common-neighbor set exploded once per triangle,
+    so the credit shuffle is 3·|triangles| rows; the oracle is the
+    independent a<b<c three-way self-join crediting all three corners,
+    proving the orientation credits each corner exactly once."""
+    from ..operators.graph import local_clustering, part_cooccurrence_edges
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    return local_clustering(part_cooccurrence_edges(li), k=100)
+
+
+@register(
+    "calibration_bins",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM toks
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2001 - 1000 AS w_e3
+      FROM b
+    ),
+    s AS (
+      SELECT doc_id AS id, CAST(sum(w_e3) AS BIGINT) AS score_e3
+      FROM w GROUP BY doc_id
+    ),
+    lab AS (
+      SELECT s.score_e3,
+             CAST(CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS BIGINT) AS pos
+      FROM s JOIN embeddings e ON e.vec_id = s.id
+    ),
+    bounds AS (SELECT min(score_e3) AS lo, max(score_e3) AS hi FROM lab),
+    binned AS (
+      SELECT least(9, ((score_e3 - lo) * 10) // greatest(hi - lo + 1, 1))
+               AS bin,
+             score_e3, pos
+      FROM lab CROSS JOIN bounds
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(score_e3) // count(*) AS BIGINT) AS mean_score_e3,
+           CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS pos_rate_e6
+    FROM binned GROUP BY bin
+    """,
+)
+def calibration_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the hashed-linear quality classifier
+    (operators/scoring.py::calibration_bins): 10 equal-width score bins
+    vs the observed positive rate (embedding label < 5 as the
+    deterministic ground truth, the knn_label_vote fixture) — the
+    ML-eval op that tells you whether a corpus keep/drop gate's scores
+    mean what they claim. Bin bounds are a 1-row broadcast (the
+    tvd_drift scalar pattern); binning is map-side integer arithmetic;
+    one grouped exchange."""
+    from ..operators.scoring import (
+        calibration_bins,
+        linear_weights,
+        score_documents,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = score_documents(
+        d, linear_weights(spark, dims=1024, seed="w"), "doc_id", "text",
+        dims=1024,
+    ).select(F.col("id").alias("doc_id"), "score_e3")
+    lab = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    return calibration_bins(
+        scored.join(lab, "doc_id"), score_col="score_e3", pos_col="pos",
+        bins=10,
     )

@@ -68,6 +68,9 @@ BNLJ_OK = {
                              # fusion join itself is an equi SMJ
     "decayed_counts",        # 1-row anchor (global max ts) x events —
                              # the trend_by_type scalar pattern
+    "calibration_bins",      # 1-row global (min,max) score bounds x
+                             # the scored relation — the tvd_drift
+                             # scalar pattern
 }
 
 STREAMING = {
