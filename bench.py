@@ -551,6 +551,22 @@ def main() -> None:
         gsmoke["hits_sec"] = round(time.monotonic() - t0, 3)
         assert mx == {"hub": 1_000_000, "auth": 1_000_000}, mx
         assert hub_top == [0], hub_top  # the celebrity node, uniquely
+        # label propagation (round-8 wave 2, the seventh iterative
+        # family) on the same skewed graph: the hub's label floods the
+        # whole component in round 1 (every node's plurality neighbor
+        # label is the hub's), so after 4 semi-synchronous rounds the
+        # graph must be ONE community — the analytic invariant at
+        # 100k-node volume under celebrity-node skew.
+        from postgis_gtfs_importer_spark.operators.graph import (
+            label_propagation,
+        )
+
+        t0 = time.monotonic()
+        lpa = label_propagation(directed.select("src", "dst"), iterations=4)
+        n_comm = lpa.select("community").distinct().count()
+        gsmoke["lpa_sec"] = round(time.monotonic() - t0, 3)
+        assert n_comm == 1, n_comm
+        gsmoke["lpa_communities"] = n_comm
         detail["scale_smoke_graph"] = gsmoke
         print(f"# scale_smoke_graph: {gsmoke}", flush=True)
     except Exception as e:

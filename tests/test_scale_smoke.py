@@ -1052,3 +1052,40 @@ def test_normalized_iterative_families_skew_and_linearity(spark):
     assert t_ht4 < 10 * max(t_ht1, 0.5), (
         f"hits superlinear: {t_ht1:.2f}s -> {t_ht4:.2f}s"
     )
+
+
+def test_lpa_skew_and_linearity(spark):
+    """label_propagation (round-8 wave 2, the seventh iterative family)
+    gets the same volume pin as the other normalized iterative families:
+    on the hub+path graph the hub's label floods the whole component
+    (round 1: every updated node's plurality-with-min-tiebreak neighbor
+    label is the hub's; round 2: the rest follow), so 4 semi-synchronous
+    rounds must yield EXACTLY ONE community at both sizes — the analytic
+    invariant under celebrity-node skew (the hub's vote key carries
+    n-1 rows) — with ~linear growth (loose <10x bound at 4x nodes).
+    Wall-clock at the 100k size is recorded per round by bench.py under
+    scale_smoke_graph.lpa_sec.
+    """
+    import time
+
+    from postgis_gtfs_importer_spark.operators.graph import label_propagation
+
+    def run(n):
+        g = _hub_path_graph(spark, n)
+        und = g.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        directed = und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        t0 = time.monotonic()
+        lpa = label_propagation(directed, iterations=4)
+        comms = [
+            r.community
+            for r in lpa.select("community").distinct().collect()
+        ]
+        return comms, time.monotonic() - t0
+
+    run(2_000)  # warm codegen/shuffle paths
+    c1, t1 = run(25_000)
+    c4, t4 = run(100_000)
+    assert c1 == [0] and c4 == [0], (c1[:5], c4[:5])
+    assert t4 < 10 * max(t1, 0.5), f"lpa superlinear: {t1:.2f}s -> {t4:.2f}s"
