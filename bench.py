@@ -207,6 +207,8 @@ HEADLINE = [
     # round-8 wave 4
     "local_clustering",
     "calibration_bins",
+    # round-8 wave 5
+    "headway_stats",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -124,13 +124,17 @@ _ADDITIONS_R8B: list[str] = [
     # ML-eval companion of score_documents' corpus gate).
     "local_clustering",
     "calibration_bins",
+    # wave 5: headway profile — the service-frequency consumer of the
+    # staged C11 fact (fifth consumer of the C17 materialization).
+    "headway_stats",
 ]
 
 #: Freshness rotation (VERDICT r7 item 1): with the stale set + the
-#: additions at 25 entries, the remaining 25 slots go to the entries
+#: additions at 26 entries, the remaining 24 slots go to the entries
 #: with the OLDEST green driver rows, last-green-round ascending from
-#: the ledger: all 9 r2 rows, all 11 r3 rows, then 5 of the 20 r4
-#: rows (name order; the 15 r4 leftovers — events_json_stats,
+#: the ledger: all 9 r2 rows, all 11 r3 rows, then 4 of the 20 r4
+#: rows (name order; the 16 r4 leftovers — event_transitions,
+#: events_json_stats,
 #: excess_shippers, fuzzy_title_pairs, hist_quantiles,
 #: hopping_window_stats, important_parts, min_cost_supplier,
 #: priority_shipment_buckets, product_type_profit,
@@ -162,12 +166,11 @@ _ROTATION_R8: list[str] = [
     "trading_nations",
     "value_quantiles",
     "waiting_suppliers",
-    # r4 (first 5 by name)
+    # r4 (first 4 by name)
     "bulk_customers",
     "customer_order_distribution",
     "disjunctive_revenue",
     "dormant_customers",
-    "event_transitions",
 ]
 
 #: No overflow this round: 13 stale + 2 additions fit with 35 slots to
@@ -10368,4 +10371,45 @@ def calibration_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(
         scored.join(lab, "doc_id"), score_col="score_e3", pos_col="pos",
         bins=10,
+    )
+
+
+@register(
+    "headway_stats",
+    _AD_SYNTH_CTES + """
+    , deps AS (
+      SELECT route_id, stop_id, svc_date, t_departure_epoch AS te
+      FROM ad WHERE t_departure_epoch IS NOT NULL
+    ),
+    gaps AS (
+      SELECT route_id, stop_id,
+             te - lag(te) OVER (PARTITION BY route_id, stop_id, svc_date
+                                ORDER BY te) AS gap
+      FROM deps
+    )
+    SELECT route_id, stop_id,
+           CAST(count(*) AS BIGINT) AS n_departures,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_sec,
+           CAST(max(gap) AS BIGINT) AS max_gap_sec,
+           CAST(CASE WHEN count(gap) > 0 THEN sum(gap) // count(gap) END
+                AS BIGINT) AS mean_gap_sec
+    FROM gaps GROUP BY route_id, stop_id
+    """,
+)
+def headway_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headway (consecutive-departure gap) profile per (route, stop)
+    over the synthetic GTFS feed — the service-frequency view derived
+    from the C11 arrivals_departures fact, and the FIFTH consumer of
+    the staged C17 materialization (operators/derivations.py::
+    headway_stats). Gaps are absolute-epoch differences, so both 2024
+    Europe/Berlin DST transitions in the fixture are wall-running-time
+    correct by construction; the oracle replays the lag/aggregate over
+    the same ad CTE."""
+    from ..operators.derivations import headway_stats
+
+    ad = _synthetic_ad(spark, sf_dir)
+    return headway_stats(
+        ad, keys=["route_id", "stop_id"], date_col="date",
+        ts_col="t_departure",
     )

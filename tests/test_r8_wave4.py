@@ -91,3 +91,41 @@ def test_calibration_negative_scores_and_single_bin(spark):
     assert r["bin"] == 0 and r["n_docs"] == 3
     assert r["mean_score_e3"] == -5  # (-16) div 3 truncates toward zero
     assert r["pos_rate_e6"] == 666_666
+
+
+def test_headway_stats_contract(spark):
+    import datetime as dt
+
+    from postgis_gtfs_importer_spark.operators.derivations import (
+        headway_stats,
+    )
+
+    d1, d2 = dt.date(2024, 3, 1), dt.date(2024, 3, 2)
+    t = lambda day, h, m: dt.datetime(2024, 3, day, h, m)
+    rows = [
+        # route 1 stop 10 day 1: 10:00, 10:30, 10:45 -> gaps 1800, 900
+        (1, 10, d1, t(1, 10, 0)),
+        (1, 10, d1, t(1, 10, 30)),
+        (1, 10, d1, t(1, 10, 45)),
+        # same key day 2: single departure -> contributes NO gap, and
+        # the overnight jump must NOT appear as a gap (dates partition)
+        (1, 10, d2, t(2, 9, 0)),
+        # route 2: single departure only -> NULL gap stats
+        (2, 10, d1, t(1, 8, 0)),
+        # NULL departure -> excluded entirely
+        (1, 10, d1, None),
+    ]
+    ad = spark.createDataFrame(
+        rows, "route_id long, stop_id long, date date, t_departure timestamp"
+    )
+    got = {
+        (r["route_id"], r["stop_id"]): r
+        for r in headway_stats(ad).collect()
+    }
+    r1 = got[(1, 10)]
+    assert r1["n_departures"] == 4 and r1["n_gaps"] == 2
+    assert (r1["min_gap_sec"], r1["max_gap_sec"]) == (900, 1800)
+    assert r1["mean_gap_sec"] == 1350
+    r2 = got[(2, 10)]
+    assert r2["n_departures"] == 1 and r2["n_gaps"] == 0
+    assert r2["min_gap_sec"] is None and r2["mean_gap_sec"] is None
