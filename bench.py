@@ -209,6 +209,9 @@ HEADLINE = [
     "calibration_bins",
     # round-8 wave 5
     "headway_stats",
+    # round-8 wave 6
+    "vocab_coverage",
+    "knn_graph",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

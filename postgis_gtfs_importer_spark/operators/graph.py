@@ -862,7 +862,10 @@ def local_clustering(edges: DataFrame, k: int = 100) -> DataFrame:
     """
     from .dedup import materialize
 
-    edges = materialize(edges)
+    # project to the two key columns up front: extra input columns
+    # would both widen every shuffle below and collide with the
+    # internal names (deg/da/db/nbrs/nu/nw)
+    edges = materialize(edges.select("a", "b"))
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))

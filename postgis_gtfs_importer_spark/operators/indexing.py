@@ -739,3 +739,87 @@ def dup_ngram_coverage(
             "CASE WHEN n_tok > 0 THEN covered_tok * 1000000L div n_tok END"
         ).alias("dup_ppm"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    targets: tuple[int, ...] = (50, 75, 90, 99),
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Vocabulary coverage curve: the smallest vocabulary (token types,
+    taken in frequency order) covering each target percentage of all
+    token OCCURRENCES — the decision curve behind every "what vocab
+    size / min-frequency cutoff" tokenizer choice (Zipf makes it
+    brutally concave; this measures exactly where).
+
+    Scale shape: the cumulative-frequency scan is the sweep.py
+    two-phase prefix form (bucket totals + broadcast offset cascade +
+    within-bucket running frame — NO global single-task window),
+    generalized to carry BOTH running measures (occurrence sum and
+    type rank) through one bucket pass. The prefix axis is the
+    integral ``-frequency`` (truncating div is monotone on it, so
+    bucket ids are non-decreasing along the (freq DESC, token ASC)
+    sort); the grand total is a 1-row broadcast and the per-target
+    thresholds are a conditional min-aggregate over the exploded
+    targets — everything after the token count is vocabulary-sized,
+    never corpus-sized.
+
+    Exactness: occurrences and cumulative sums are BIGINTs; the
+    threshold test is ``cum * 100 >= p * total`` (pure integer — no
+    percentage division anywhere). Empty tokens are excluded (the
+    bm25/token_topk tokenization contract). Returns one row per
+    target: (coverage_pct, vocab_size, covered_tokens), where
+    covered_tokens is the cumulative occurrence count AT that vocab
+    size (monotone, so the conditional min lands on the same row).
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import token_rows
+
+    tf = (
+        token_rows(df, id_col, text_col)
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    with_b = tf.withColumn(
+        "_bkt", F.expr(f"(-f) div {int(bucket_width)}")
+    )
+    totals = with_b.groupBy("_bkt").agg(
+        F.sum("f").alias("_tf"), F.count("*").alias("_tc")
+    )
+    w_off = W.orderBy("_bkt")
+    offsets = totals.select(
+        "_bkt",
+        (F.sum("_tf").over(w_off) - F.col("_tf")).alias("_offf"),
+        (F.sum("_tc").over(w_off) - F.col("_tc")).alias("_offc"),
+    )
+    w_in = (
+        W.partitionBy("_bkt")
+        .orderBy(F.desc("f"), F.asc("tok"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = (
+        with_b.join(F.broadcast(offsets), "_bkt")
+        .select(
+            (F.col("_offf") + F.sum("f").over(w_in)).cast("long").alias("cum"),
+            (F.col("_offc") + F.count("*").over(w_in)).cast("long").alias("rnk"),
+        )
+    )
+    total = tf.agg(F.sum("f").cast("long").alias("_tot"))
+    p = F.explode(
+        F.array(*[F.lit(int(t)).cast("long") for t in targets])
+    ).alias("coverage_pct")
+    hit = F.col("cum") * 100 >= F.col("coverage_pct") * F.col("_tot")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(p, "cum", "rnk", "_tot")
+        .groupBy("coverage_pct")
+        .agg(
+            F.min(F.when(hit, F.col("rnk"))).cast("long").alias("vocab_size"),
+            F.min(F.when(hit, F.col("cum"))).cast("long")
+            .alias("covered_tokens"),
+        )
+    )

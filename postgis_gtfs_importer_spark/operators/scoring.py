@@ -474,6 +474,18 @@ def poisson_bootstrap_ci(
     """
     if int(b) < 2:
         raise ValueError(f"poisson_bootstrap_ci needs b >= 2, got {b}")
+    reserved = {
+        "n_rows", "n_boot", "mean_c", "boot_lo_c", "boot_med_c",
+        "boot_hi_c",
+    } & set(group_cols)
+    if reserved:
+        # a group key named like an output aggregate would silently
+        # produce duplicate columns (the asof-family lesson: loud
+        # ValueError, not a downstream surprise)
+        raise ValueError(
+            f"poisson_bootstrap_ci group_cols collide with output"
+            f" column names {sorted(reserved)} — rename them first"
+        )
     from .sketches import KEY_SPACE
 
     keep = F.col(id_col).isNotNull() & F.col(value_col).isNotNull()

@@ -698,3 +698,79 @@ def int8_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "qdot", "rn")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Bulk k-nearest-neighbor GRAPH over the whole corpus, IVF-blocked:
+    every vector is assigned map-side to its nearest centroid (the
+    deterministic sampled quantizer unless a trained one is passed —
+    the ivf_topk machinery), then each cell computes its EXACT pairwise
+    cosine top-k locally. This is the all-vectors sibling of ivf_topk's
+    query-time search and the precursor both SemDeDup (cluster, then
+    dedup within cluster) and kNN-based clustering/agreement checks
+    consume — the blocked construction is the standard answer to the
+    O(n²) all-pairs wall.
+
+    Approximation contract (same as SemDeDup): neighbors are found
+    WITHIN the own cell only; a vector's true neighbor sitting across
+    a centroid boundary is missed. The oracle replays the identical
+    assignment + per-cell top-k, so the green row proves the blocked
+    computation against its own definition; recall vs the unblocked
+    graph is a measured property (tests), not a parity claim.
+
+    Scale: the assignment is a map-side broadcast scan (no corpus
+    shuffle); the self-join shuffles the corpus ONCE keyed by cell.
+    Size ``n_centroids`` ~ sqrt(N) so cells stay ~sqrt(N)-sized and
+    the per-cell quadratic work totals ~N^1.5 bounded per task; a hot
+    cell is AQE's skew-join case and the signal to retrain/split the
+    quantizer (list balance via assign_to_centroids). Ties break on
+    (score DESC, neighbor id ASC); output (vec_id, nbr_id, score, rn),
+    rn <= k.
+    """
+    from .dedup import materialize
+
+    cent = F.broadcast(
+        _centroid_table(corpus, n_centroids, id_col, vec_col, centroids)
+    )
+    side = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        V.l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    assigned = materialize(_assign(side, cent))
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("nbr_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.join(b, "cid").filter(F.col("vec_id") != F.col("nbr_id"))
+    scored = pairs.withColumn(
+        "score",
+        F.round(
+            V.dot(F.col("a_emb"), F.col("b_emb"))
+            / (F.col("a_nrm") * F.col("b_nrm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("vec_id", "nbr_id", "score", F.col("rn").cast("long").alias("rn"))
+    )

@@ -684,6 +684,15 @@ def half_life_decay(
         raise ValueError(
             f"half_life_decay needs unit_seconds > 0, got {unit_seconds}"
         )
+    if "_anchor" in events.columns:
+        # the asof-family lesson (r7 ADVICE): the anchor cross join
+        # would make every _anchor reference ambiguous — fail loudly
+        # up front, not with a late AnalysisException
+        raise ValueError(
+            "half_life_decay input carries the reserved column name"
+            " '_anchor' — rename it first (it is the internal"
+            " max-timestamp scalar)"
+        )
     keep = F.col(ts_col).isNotNull()
     for c in key_cols:
         keep = keep & F.col(c).isNotNull()

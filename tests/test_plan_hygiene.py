@@ -71,6 +71,9 @@ BNLJ_OK = {
     "calibration_bins",      # 1-row global (min,max) score bounds x
                              # the scored relation — the tvd_drift
                              # scalar pattern
+    "vocab_coverage",        # 1-row grand-total scalar x the
+                             # vocabulary-sized ranked relation
+                             # (lexical_rarity's n_docs pattern)
 }
 
 STREAMING = {

@@ -129,3 +129,145 @@ def test_headway_stats_contract(spark):
     r2 = got[(2, 10)]
     assert r2["n_departures"] == 1 and r2["n_gaps"] == 0
     assert r2["min_gap_sec"] is None and r2["mean_gap_sec"] is None
+
+
+def test_vocab_coverage_contract(spark):
+    from postgis_gtfs_importer_spark.operators.indexing import vocab_coverage
+
+    # 10 'a', 5 'b', 3 'c', 1 'd', 1 'e' -> total 20.
+    #   50% (10): vocab 1 (cum 10); 75% (15): vocab 2 (cum 15);
+    #   90% (18): vocab 3 (cum 18); 99% (19.8 -> cum*100 >= 1980):
+    #   cum 19 at rank 4 is 1900 < 1980 -> rank 5 (cum 20).
+    text = " ".join(["a"] * 10 + ["b"] * 5 + ["c"] * 3 + ["d", "e"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["coverage_pct"]: (r["vocab_size"], r["covered_tokens"])
+        for r in vocab_coverage(df).collect()
+    }
+    assert got == {50: (1, 10), 75: (2, 15), 90: (3, 18), 99: (5, 20)}
+
+
+def test_vocab_coverage_two_phase_matches_native_window(spark):
+    # the two-phase prefix must equal the single-window definition on
+    # a many-bucket vocabulary (ties across bucket boundaries included)
+    import random
+
+    rng = random.Random(7)
+    words = []
+    for i in range(300):
+        words += [f"w{i}"] * rng.randint(1, 40)
+    rng.shuffle(words)
+    docs = [
+        (i, " ".join(words[i * 100:(i + 1) * 100]))
+        for i in range(len(words) // 100 + 1)
+    ]
+    from postgis_gtfs_importer_spark.operators.indexing import vocab_coverage
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["coverage_pct"]: (r["vocab_size"], r["covered_tokens"])
+        for r in vocab_coverage(df, bucket_width=3).collect()
+    }
+    # native single-window replay on the driver
+    from collections import Counter
+
+    cnt = Counter(w for _, t in docs for w in t.split() if w)
+    total = sum(cnt.values())
+    items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for p in (50, 75, 90, 99):
+        cum = 0
+        for r, (tok, f) in enumerate(items, start=1):
+            cum += f
+            if cum * 100 >= p * total:
+                assert got[p] == (r, cum), (p, got[p], (r, cum))
+                break
+
+
+def test_reserved_name_guards_round8(spark):
+    """The r7 ADVICE reserved-name discipline, applied to the round-8
+    continuation operators: internal scratch names on INPUTS fail
+    loudly up front, not with a late AnalysisException or silent
+    duplicate columns."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from postgis_gtfs_importer_spark.operators.scoring import (
+        poisson_bootstrap_ci,
+    )
+    from postgis_gtfs_importer_spark.operators.temporal import (
+        half_life_decay,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "e", dt.datetime(2024, 1, 1), 1.0, 5)],
+        "user_id long, event_type string, ts timestamp, value double,"
+        " _anchor long",
+    )
+    with _pytest.raises(ValueError, match="_anchor"):
+        half_life_decay(ev, key_cols=["user_id"])
+    ev2 = spark.createDataFrame(
+        [(1, "e", 1.0)], "n_rows long, event_type string, value double"
+    )
+    with _pytest.raises(ValueError, match="n_rows"):
+        poisson_bootstrap_ci(
+            ev2, group_cols=["n_rows"], value_col="value",
+            id_col="event_type",
+        )
+
+
+def test_local_clustering_ignores_extra_input_columns(spark):
+    from postgis_gtfs_importer_spark.operators.graph import local_clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2, 99), (1, 3, 99), (2, 3, 99)], "a long, b long, deg long"
+    )
+    rows = local_clustering(edges, k=10).collect()
+    assert {(r["node"], r["lcc_e6"]) for r in rows} == {
+        (1, 1_000_000), (2, 1_000_000), (3, 1_000_000)
+    }
+
+
+def test_knn_graph_contract_and_recall(spark):
+    """knn_graph: (a) within a planted cluster the neighbors are the
+    cluster mates (exact per-cell top-k), (b) recall vs the unblocked
+    brute-force graph is measured and high on cluster-structured data
+    (the SemDeDup premise: near-duplicates share a cell)."""
+    import math
+
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        brute_force_topk,
+        knn_graph,
+    )
+
+    # 4 tight clusters of 10 vectors around orthogonal-ish anchors.
+    # Ids INTERLEAVE clusters (id % 4 == cluster) so the sampled
+    # quantizer (the n_centroids smallest ids) picks one centroid per
+    # cluster — the seeding contract _centroid_table documents.
+    rows = []
+    for j in range(10):
+        for c in range(4):
+            base = [0.0] * 8
+            base[c * 2] = 1.0
+            base[c * 2 + 1] = 0.01 * j  # tiny within-cluster spread
+            rows.append((j * 4 + c, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = knn_graph(emb, k=3, n_centroids=4).collect()
+    by_vec = {}
+    for r in g:
+        by_vec.setdefault(r["vec_id"], []).append(r["nbr_id"])
+    assert len(by_vec) == 40
+    for v, nbrs in by_vec.items():
+        assert len(nbrs) == 3
+        # neighbors come from the same planted cluster
+        assert all(n % 4 == v % 4 for n in nbrs), (v, nbrs)
+    # recall vs unblocked brute force over the same corpus
+    bf = brute_force_topk(emb, emb, k=3).collect()
+    truth = {}
+    for r in bf:
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(
+        len(set(by_vec[v]) & truth[v]) for v in truth
+    )
+    total = sum(len(s) for s in truth.values())
+    assert hits / total >= 0.95, (hits, total)
