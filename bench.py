@@ -212,6 +212,8 @@ HEADLINE = [
     # round-8 wave 6
     "vocab_coverage",
     "knn_graph",
+    # round-8 wave 7
+    "path_mining",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -56,3 +56,86 @@ def sessionize(
             F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).alias("duration_sec"),
     )
+
+
+def path_mining(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most frequent n-step paths WITHIN sessions — the sequence
+    question behind every product-analytics "path analysis" view
+    (event_transitions answers the one-step Markov version; this mines
+    the literal n-grams of the session event stream).
+
+    Sessions are tagged inline with the sessionize recipe (gap >
+    ``gap_sec`` starts a new one; ordering ties broken on the event id,
+    so the numbering is total). Each session's ordered event-type
+    sequence is assembled ONCE per session (collect_list of
+    (epoch, id, type) structs + array_sort — struct ordering gives the
+    same total order as the window), and the n-grams are emitted
+    MAP-SIDE from the array (the shingle_rows slice recipe — no
+    positional self-join). Per-session arrays are bounded by session
+    length, which the gap rule bounds by construction — a pathological
+    never-idle user is a data-quality signal, not a plan hazard.
+
+    Plan: the session window's one user-keyed sort, one grouped
+    collect per session, one map-side n-gram explode, one
+    map-side-combined path count, then a distributed TakeOrdered for
+    the top-k (count DESC, path ASC — deterministic at the boundary).
+    Rows with a NULL user, timestamp, type, or id are EXCLUDED up
+    front (the sessions-family policy pinned in r7: an unattributable
+    event belongs to no session).
+    """
+    if int(n) < 2:
+        raise ValueError(f"path_mining needs n >= 2, got {n}")
+    keep = (
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    flagged = events.filter(keep).select(
+        F.col(user_col).alias("_u"),
+        epoch.alias("_te"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_ty"),
+        F.when(epoch - F.lag(epoch).over(w) > gap_sec, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    w_run = (
+        Window.partitionBy("_u")
+        .orderBy("_te", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = flagged.withColumn("_sid", F.sum("_new").over(w_run))
+    seqs = (
+        sid.groupBy("_u", "_sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_te", "_id", "_ty"))
+            ).alias("_seq")
+        )
+        .select(F.expr("transform(_seq, x -> x._ty)").alias("_t"))
+    )
+    gram = F.expr(
+        f"transform(slice(_t, 1, greatest(size(_t) - {int(n) - 1}, 0)),"
+        " (x, i) -> concat_ws(' > ', "
+        + ", ".join(f"_t[i + {j}]" for j in range(int(n)))
+        + "))"
+    )
+    return (
+        seqs.select(F.explode(gram).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(int(k))
+    )

@@ -132,13 +132,17 @@ _ADDITIONS_R8B: list[str] = [
     # IVF-blocked bulk kNN graph (the SemDeDup/cluster precursor).
     "vocab_coverage",
     "knn_graph",
+    # wave 7: session path mining (the n-step sequence view next to
+    # event_transitions' one-step Markov counts).
+    "path_mining",
 ]
 
 #: Freshness rotation (VERDICT r7 item 1): with the stale set + the
-#: additions at 28 entries, the remaining 22 slots go to the entries
+#: additions at 29 entries, the remaining 21 slots go to the entries
 #: with the OLDEST green driver rows, last-green-round ascending from
-#: the ledger: all 9 r2 rows, all 11 r3 rows, then 2 of the 20 r4
-#: rows (name order; the 18 r4 leftovers — disjunctive_revenue,
+#: the ledger: all 9 r2 rows, all 11 r3 rows, then 1 of the 20 r4
+#: rows (name order; the 19 r4 leftovers — customer_order_distribution,
+#: disjunctive_revenue,
 #: dormant_customers,
 #: event_transitions,
 #: events_json_stats,
@@ -173,9 +177,8 @@ _ROTATION_R8: list[str] = [
     "trading_nations",
     "value_quantiles",
     "waiting_suppliers",
-    # r4 (first 2 by name)
+    # r4 (first 1 by name)
     "bulk_customers",
-    "customer_order_distribution",
 ]
 
 #: No overflow this round: 13 stale + 2 additions fit with 35 slots to
@@ -10518,3 +10521,56 @@ def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(
         emb, k=5, n_centroids=16, id_col="vec_id", vec_col="embedding"
     )
+
+
+@register(
+    "path_mining",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS te
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, event_type, event_id, te,
+             CASE WHEN te - lag(te) OVER (PARTITION BY user_id
+                                          ORDER BY te, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+    ),
+    sid AS (
+      SELECT user_id, event_type, event_id, te,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY te, event_id
+                               ROWS UNBOUNDED PRECEDING) AS s
+      FROM flagged
+    ),
+    seqs AS (
+      SELECT user_id, s, list(event_type ORDER BY te, event_id) AS t
+      FROM sid GROUP BY user_id, s
+    ),
+    grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' > ' || t[i+1] || ' > ' || t[i+2])) AS path
+      FROM seqs
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY path
+    ORDER BY n DESC, path ASC LIMIT 20
+    """,
+)
+def path_mining_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step session paths over the event stream
+    (operators/sessions.py::path_mining): sessions tagged with the
+    30-minute-gap sessionize recipe, each session's ordered event-type
+    sequence assembled once, n-grams emitted map-side (the shingle
+    slice recipe — no positional self-join), counts map-side-combined,
+    top-k via distributed TakeOrdered with a deterministic
+    (count DESC, path ASC) boundary. The n-step sequence view next to
+    event_transitions' one-step Markov counts."""
+    from ..operators.sessions import path_mining
+
+    e = _t(spark, sf_dir, "events")
+    return path_mining(e, n=3, k=20)

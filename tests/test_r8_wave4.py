@@ -271,3 +271,54 @@ def test_knn_graph_contract_and_recall(spark):
     )
     total = sum(len(s) for s in truth.values())
     assert hits / total >= 0.95, (hits, total)
+
+
+def test_path_mining_contract(spark):
+    import datetime as dt
+
+    from postgis_gtfs_importer_spark.operators.sessions import path_mining
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    m = lambda i: t0 + dt.timedelta(minutes=i)
+    rows = [
+        # user 1 session A: a -> b -> c -> b  (paths: a>b>c, b>c>b)
+        (1, m(0), "a", 1), (1, m(1), "b", 2), (1, m(2), "c", 3),
+        (1, m(3), "b", 4),
+        # gap > 30 min: session B: a -> b -> c again (a>b>c counted 2x)
+        (1, m(60), "a", 5), (1, m(61), "b", 6), (1, m(62), "c", 7),
+        # user 2: two events only -> no 3-gram
+        (2, m(0), "x", 8), (2, m(1), "y", 9),
+        # NULLs excluded
+        (None, m(0), "a", 10), (1, None, "a", 11), (1, m(5), None, 12),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {r["path"]: r["n"] for r in path_mining(ev, n=3, k=10).collect()}
+    assert got == {"a > b > c": 2, "b > c > b": 1}
+    # the session boundary is load-bearing: without it the cross-gap
+    # 3-grams (c>b>a, b>a>b) would appear
+    assert "b > a > b" not in got and "c > b > a" not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n >= 2"):
+        path_mining(ev, n=1)
+
+
+def test_path_mining_tie_and_ordering_determinism(spark):
+    import datetime as dt
+
+    from postgis_gtfs_importer_spark.operators.sessions import path_mining
+
+    t0 = dt.datetime(2024, 1, 1)
+    # same-timestamp events: event_id breaks the order deterministically
+    rows = [
+        (1, t0, "b", 2), (1, t0, "a", 1), (1, t0, "c", 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    a = path_mining(ev, n=3, k=5).collect()
+    b = path_mining(ev, n=3, k=5).collect()
+    assert a == b
+    assert [r["path"] for r in a] == ["a > b > c"]
