@@ -99,14 +99,16 @@ _ADDITIONS_R8: list[str] = [
     "weighted_sample_aes",
 ]
 
-#: Round-8 second wave (continuing the "keep additions coming"
+#: Round-8 continuation waves 2-7 (the "keep additions coming"
 #: directive): semi-synchronous label-propagation communities (the
 #: seventh iterative-graph family), reciprocal-rank fusion + MMR
 #: diversified selection (the hybrid-retrieval pair the LLM stack runs
-#: between bm25_topk and the ANN family), and exact half-life-decayed
-#: engagement (the recency-weighting sibling of time_weighted_avg).
-#: Never driver-verified -> window-resident; the 4 slots come from the
-#: r4 rotation tail (those 4 rejoin the r9 rotation head).
+#: between bm25_topk and the ANN family), exact half-life-decayed
+#: engagement (the recency-weighting sibling of time_weighted_avg),
+#: and the per-wave additions annotated inline below. All never
+#: driver-verified -> window-resident; their 13 slots come from the
+#: r4 rotation tail (those 13 rejoin the r9 rotation head — the
+#: rotation-list comment below carries the exact leftover list).
 _ADDITIONS_R8B: list[str] = [
     "label_propagation",
     "rrf_fusion",
