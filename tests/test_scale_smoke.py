@@ -1089,3 +1089,57 @@ def test_lpa_skew_and_linearity(spark):
     c4, t4 = run(100_000)
     assert c1 == [0] and c4 == [0], (c1[:5], c4[:5])
     assert t4 < 10 * max(t1, 0.5), f"lpa superlinear: {t1:.2f}s -> {t4:.2f}s"
+
+
+def test_poisson_bootstrap_volume_no_blowup(spark):
+    """poisson_bootstrap_ci's scale claim is that B resamples ride the
+    ONE map-side-combined aggregate as 2·B columns — no B-fold row
+    replication. Pin it at 1M rows × B=16 (the naive explode form
+    would shuffle 16M rows): the plan carries exactly one exchange,
+    the group count and per-group n_rows are exact, and every resample
+    mean of a constant-value column IS that constant (weights cancel —
+    an analytic invariant no approximate path would satisfy).
+    """
+    import time
+
+    from postgis_gtfs_importer_spark.operators.scoring import (
+        poisson_bootstrap_ci,
+    )
+
+    n = 1_000_000
+    ev = spark.range(n).selectExpr(
+        "id AS event_id",
+        "concat('t', CAST(id % 4 AS STRING)) AS event_type",
+        "CAST(7.25 AS DOUBLE) AS value",
+    )
+    t0 = time.monotonic()
+    df = poisson_bootstrap_ci(
+        ev, group_cols=["event_type"], value_col="value",
+        id_col="event_id", b=16,
+    )
+    rows = df.collect()
+    wall = time.monotonic() - t0
+    # AdaptiveSparkPlan.toString() prints BOTH the final and the
+    # initial plan; count the final section only or the one exchange
+    # double-counts
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange" in l and "ReusedExchange" not in l
+    )
+    assert exchanges == 1, plan[:1500]
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_rows"] == n // 4
+        assert r["n_boot"] == 16
+        # constant value: every resample mean is exactly 725 cents
+        assert (
+            r["mean_c"] == r["boot_lo_c"] == r["boot_med_c"]
+            == r["boot_hi_c"] == 725
+        )
+    # loose wall bound: the 16M-row explode form would not come close
+    assert wall < 120, f"bootstrap 1M-row smoke took {wall:.1f}s"
