@@ -472,7 +472,19 @@ def priority_sample(
     fall out of the rank).
 
     Returns input columns + ``rank`` (1-based within stratum).
+
+    Inputs carrying the scratch name ``_pri`` or the output name
+    ``rank`` are rejected loudly — the same guard its exact sibling
+    :func:`weighted_sample_aes` ships with (silent shadowing corrupts;
+    a late AnalysisException misleads).
     """
+    reserved = {"_pri", "rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"priority_sample input carries reserved column names"
+            f" {sorted(reserved)} — rename them first ('_pri' is the"
+            f" internal priority key, 'rank' is the output column)"
+        )
     from .sketches import KEY_SPACE
 
     h = F.conv(
@@ -625,8 +637,7 @@ def weighted_sample_aes(
     Inputs carrying the scratch name ``_ek`` or the output name
     ``rank`` are rejected loudly (the asof-family lesson: silent
     shadowing corrupts, a late AnalysisException misleads).
-    priority_sample predates this guard and gets the same check when
-    it next rotates through the verification window.
+    :func:`priority_sample` carries the same guard.
     """
     reserved = {"_ek", "rank"} & set(df.columns)
     if reserved:

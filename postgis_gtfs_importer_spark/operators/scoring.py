@@ -500,7 +500,11 @@ def poisson_bootstrap_ci(
             F.substring(
                 F.md5(
                     F.concat(
-                        F.lit(f"{salt}{r}:"), F.col(id_col).cast("string")
+                        # every seed component separated: with no
+                        # salt/r separator, ('pb1', id='5:x') and
+                        # ('pb15', id='x') would hash identically,
+                        # aliasing weights across resamples (r8 ADVICE)
+                        F.lit(f"{salt}:{r}:"), F.col(id_col).cast("string")
                     )
                 ),
                 1,

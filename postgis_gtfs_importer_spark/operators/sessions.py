@@ -101,7 +101,13 @@ def path_mining(
         & F.col(id_col).isNotNull()
     )
     epoch = F.unix_timestamp(F.col(ts_col))
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # the gap flags MUST be computed under the SAME total order they
+    # are later cumulated and sequenced in — (whole-second epoch, id),
+    # the w_run/array_sort/oracle order. Ordering the lag by the raw
+    # microsecond ts would let two same-second events whose sub-second
+    # order disagrees with their id order sum flags computed in one
+    # order under another, mis-assigning sessions (r8 ADVICE).
+    w = Window.partitionBy(user_col).orderBy(epoch, F.col(id_col))
     flagged = events.filter(keep).select(
         F.col(user_col).alias("_u"),
         epoch.alias("_te"),

@@ -703,9 +703,12 @@ def half_life_decay(
     age_sql = (
         f"((_anchor - unix_timestamp({ts_col})) div {int(unit_seconds)})"
     )
+    # shiftleft on an INT literal wraps at shift >= 31 (shift count is
+    # taken mod 32) — the weight must be shifted AS a BIGINT so the
+    # full validated range max_buckets <= 62 is exact (r8 ADVICE).
     w = F.expr(
-        f"cast(shiftleft(1, cast({int(max_buckets)}"
-        f" - least({age_sql}, {int(max_buckets)}) as int)) as bigint)"
+        f"shiftleft(cast(1 as bigint), cast({int(max_buckets)}"
+        f" - least({age_sql}, {int(max_buckets)}) as int))"
     )
     agg_cols = [
         F.count("*").alias("n_events"),

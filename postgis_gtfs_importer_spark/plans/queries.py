@@ -10193,7 +10193,7 @@ def _poisson_ci_oracle(b: int = 16, salt: str = "pb") -> str:
     ks, sums, means = [], [], []
     for r in range(b):
         u = (
-            f"((CAST(('0x' || substr(md5('{salt}{r}:' ||"
+            f"((CAST(('0x' || substr(md5('{salt}:{r}:' ||"
             f" CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)"
             f" / 1152921504606846976.0)"
         )
