@@ -136,36 +136,113 @@ def decontaminate(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 5,
+    n: int = 13,
     min_shared: int = 1,
+    drop_ppm: int = 0,
 ) -> DataFrame:
-    """Flag corpus docs sharing >= min_shared word n-grams with a benchmark.
+    """Benchmark decontamination with contaminated-token accounting —
+    the GPT-3 appendix-C procedure (Brown et al. 2020: remove training
+    documents sharing a 13-gram with any eval example; Dolma ships the
+    same pass) upgraded from a boolean flag to per-document damage
+    measurement, so the drop threshold is a POLICY knob instead of a
+    hardcoded rule.
 
-    The eval-set decontamination pass every pretraining pipeline needs:
-    any document that contains a benchmark n-gram is suspect (n=8..13 in
-    production; configurable). Returns one row per contaminated doc:
-    ``(id, n_shared_ngrams, n_bench_docs)`` — distinct shared shingles and
-    how many distinct benchmark docs they came from.
+    For every corpus doc sharing >= ``min_shared`` word n-grams with
+    the benchmark, returns ``(id, n_tok, n_shared_ngrams, n_bench_docs,
+    contaminated_tok, contam_ppm, drop_doc)``: ``contaminated_tok`` is
+    the size of the UNION of token spans covered by shared n-grams
+    (each hit at start s covers [s, s+n) — overlapping hits never
+    double-count, the dup_ngram_coverage span discipline via
+    :func:`..temporal.interval_union`), ``contam_ppm`` the exact BIGINT
+    token fraction, and ``drop_doc`` the gate ``contam_ppm >
+    drop_ppm`` (default 0: ANY contaminated token drops — the Brown et
+    al. rule; loosen it to keep long docs brushing a short eval
+    answer). Apply with ``corpus.join(out.filter("drop_doc"), id,
+    "left_anti")`` — clean docs are absent by construction (fraction
+    0).
 
-    Scale: the benchmark shingle index is tiny (benchmarks are MBs) and is
-    **broadcast**, so the TB-scale corpus side never shuffles for the
-    join; the only exchange is the final per-doc aggregate, keyed on doc
-    id (uniform — no skew). Corpus shingling is a generator expression,
-    not a materialized all-shingles table.
+    Scale: the benchmark shingle index is tiny (benchmarks are MBs) and
+    is **broadcast**, so the TB-scale corpus side never shuffles for
+    the join; corpus n-grams+positions are MAP-SIDE array expressions
+    (the pmi/skipgram slice trick — nothing materializes corpus-wide);
+    the only exchanges key on doc id (uniform — no skew): the per-doc
+    count aggregate and the interval-union window sort. A HOT benchmark
+    n-gram ("the answer is") multiplies nothing — hit rows are bounded
+    by corpus gram positions x matching bench DOCS, and the bench-doc
+    factor is capped by the benchmark itself. The hits relation feeds
+    two branches and is deliberately recomputed, not checkpointed: its
+    upstream is a narrow scan+explode+broadcast-join (the measured
+    dup_ngram_coverage negative result — checkpointing the exploded
+    relation costs more than recomputing it).
     """
-    corpus_sh = shingle_rows(corpus, id_col, text_col, n=n)
-    bench_sh = (
-        shingle_rows(benchmark, id_col, text_col, n=n)
-        .withColumnRenamed("id", "bench_id")
+    if int(n) < 1:
+        raise ValueError(f"decontaminate needs n >= 1, got {n}")
+    from ..functions import text as TX
+    from .temporal import interval_union
+
+    toks = corpus.select(
+        F.col(id_col).alias("_id"),
+        TX.lower_ws_tokens_nonempty(F.col(text_col)).alias("_t"),
     )
-    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
-    return (
-        hits.groupBy(F.col("id").alias(id_col))
+    starts = F.when(
+        F.size("_t") >= n, F.sequence(F.lit(1), F.size("_t") - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.concat_ws(" ", F.slice("_t", s, n)).alias("g"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(
+        "_id",
+        F.col("_p.s").cast("long").alias("_s"),
+        F.col("_p.g").alias("_g"),
+    )
+    bench_sh = shingle_rows(benchmark, id_col, text_col, n=n).select(
+        F.col("id").alias("_bid"), F.col("shingle").alias("_g")
+    )
+    hits = grams.join(F.broadcast(bench_sh), "_g")
+    counts = (
+        hits.groupBy("_id")
         .agg(
-            F.count_distinct("shingle").alias("n_shared_ngrams"),
-            F.count_distinct("bench_id").alias("n_bench_docs"),
+            F.count_distinct("_g").alias("n_shared_ngrams"),
+            F.count_distinct("_bid").alias("n_bench_docs"),
         )
-        .filter(F.col("n_shared_ngrams") >= min_shared)
+        .filter(F.col("n_shared_ngrams") >= int(min_shared))
+    )
+    spans = hits.select(
+        "_id", F.col("_s").alias("_lo"), (F.col("_s") + n).alias("_hi")
+    )
+    cov = (
+        interval_union(spans, "_id", "_lo", "_hi")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("hi") - F.col("lo")).cast("long").alias(
+                "contaminated_tok"
+            )
+        )
+    )
+    ntok = toks.select("_id", F.size("_t").cast("long").alias("n_tok"))
+    return (
+        counts.join(cov, "_id")
+        .join(ntok, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tok",
+            "n_shared_ngrams",
+            "n_bench_docs",
+            "contaminated_tok",
+            # a contaminated doc holds >= 1 full n-gram, so n_tok >= n > 0
+            F.expr("contaminated_tok * 1000000L div n_tok").alias(
+                "contam_ppm"
+            ),
+        )
+        .withColumn("drop_doc", F.col("contam_ppm") > F.lit(int(drop_ppm)))
     )
 
 

@@ -54,6 +54,14 @@ class CorpusConfig:
     text_col: str = "text"
     stratum_col: str = "lang"
     near_dup_threshold: float = 0.5
+    #: decontamination n-gram length. The operator's own default is the
+    #: published 13-gram rule; the pipeline keeps 5 (the pre-r9 pipeline
+    #: contract) because the synthetic fixtures top out near 5-gram
+    #: overlap — production corpora should raise it to 13.
+    decontaminate_n: int = 5
+    #: decontamination drop threshold (contam_ppm above this drops);
+    #: 0 = any contaminated token drops, the Brown et al. rule.
+    decontaminate_drop_ppm: int = 0
     min_quality_e6: int = 300_000  # quality_score * 1e6 gate
     allowed_langs: tuple[str, ...] = ()  # empty = keep all
     #: corpus-trained bigram-LM fluency floor (mean_cond_e6); None = off.
@@ -112,9 +120,14 @@ def curate_corpus(
 
     # 3. benchmark decontamination
     if benchmark is not None:
-        flagged = decontaminate(
-            near, benchmark, id_col=c.id_col, text_col=c.text_col
-        ).select(c.id_col)
+        flagged = (
+            decontaminate(
+                near, benchmark, id_col=c.id_col, text_col=c.text_col,
+                n=c.decontaminate_n, drop_ppm=c.decontaminate_drop_ppm,
+            )
+            .filter(F.col("drop_doc"))
+            .select(c.id_col)
+        )
         clean = near.join(flagged, c.id_col, "left_anti")
     else:
         clean = near

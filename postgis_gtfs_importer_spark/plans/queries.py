@@ -2283,47 +2283,67 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decontaminate",
     """
-    WITH toks AS (
+    WITH docs AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []
-                  ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                                      t -> lower(t)) END AS t
+             list_filter(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+               x -> x <> '') AS t
       FROM documents
     ),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(t) - 3, 0)),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
-                    || t[i+3])) AS sh
-      FROM toks
+    grams AS (
+      SELECT doc_id, s, array_to_string(t[s : s + 3], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS s FROM docs)
     ),
-    ce AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0),
-    be AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM sh
-           WHERE doc_id % 97 = 0)
-    SELECT ce.doc_id,
-           count(DISTINCT ce.shingle) AS n_shared_ngrams,
-           count(DISTINCT be.bench_id) AS n_bench_docs
-    FROM ce JOIN be USING (shingle)
-    GROUP BY ce.doc_id
-    HAVING count(DISTINCT ce.shingle) >= 1
+    ce AS (SELECT doc_id, s, g FROM grams WHERE doc_id % 97 <> 0),
+    be AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams
+           WHERE doc_id % 97 = 0),
+    hits AS (SELECT ce.doc_id, ce.s, ce.g, be.bench_id
+             FROM ce JOIN be USING (g)),
+    counts AS (
+      SELECT doc_id,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_shared_ngrams,
+             CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+      FROM hits GROUP BY doc_id
+      HAVING count(DISTINCT g) >= 1
+    ),
+    cov AS (
+      SELECT doc_id, CAST(count(DISTINCT s + k) AS BIGINT)
+               AS contaminated_tok
+      FROM (SELECT doc_id, s, unnest(range(0, 4)) AS k
+            FROM (SELECT DISTINCT doc_id, s FROM hits))
+      GROUP BY doc_id
+    ),
+    nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM docs)
+    SELECT counts.doc_id, nt.n_tok, counts.n_shared_ngrams,
+           counts.n_bench_docs, cov.contaminated_tok,
+           CAST(cov.contaminated_tok * 1000000 AS BIGINT) // nt.n_tok
+             AS contam_ppm,
+           (CAST(cov.contaminated_tok * 1000000 AS BIGINT) // nt.n_tok) > 0
+             AS drop_doc
+    FROM counts JOIN cov USING (doc_id) JOIN nt USING (doc_id)
     """,
 )
 def decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: corpus docs sharing 4-grams with a
-    held-out benchmark set (every 97th doc stands in for the eval set).
-
-    operators/curation.py::decontaminate — the benchmark shingle index is
-    broadcast (benchmarks are MBs, the corpus is TBs), so the corpus side
-    never shuffles for the join; the per-doc aggregate keys on doc_id
-    (uniform, skew-free). The canonical pre-training eval-leakage gate.
-    """
+    """Benchmark decontamination with contaminated-token accounting
+    (operators/curation.py::decontaminate): corpus docs sharing 4-grams
+    with a held-out benchmark set (every 97th doc stands in for the
+    eval set; the operator's own default is the published Brown et al.
+    13-gram rule, but the synthetic corpus's cross-doc overlap tops out
+    near 5 — n=4 keeps the parity set non-trivial). Per contaminated
+    doc: distinct shared n-grams, distinct benchmark docs hit, the
+    UNION of covered token spans (overlaps never double-count), the
+    exact contaminated-token ppm, and the drop gate (any contaminated
+    token drops). The benchmark shingle index is broadcast (benchmarks
+    are MBs, the corpus is TBs), so the corpus side never shuffles for
+    the join; the oracle replays coverage as count(DISTINCT covered
+    position) — a deliberately different algorithm than the Spark
+    side's interval-union, so agreement proves the span math."""
     from ..operators.curation import decontaminate
 
     d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    return decontaminate(corpus, bench, n=4, min_shared=1)
+    return decontaminate(corpus, bench, n=4, min_shared=1, drop_ppm=0)
 
 
 @register(

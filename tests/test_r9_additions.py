@@ -1,0 +1,119 @@
+"""Round-9 additions: decontaminate's contaminated-token accounting
+(the Brown et al. 13-gram procedure upgraded from flag to fraction +
+drop gate) and the later r9 waves' operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgis_gtfs_importer_spark.operators import curation as C
+
+
+# ------------------------------------------------- decontaminate upgrade
+
+
+def test_decontaminate_span_union_never_double_counts(spark):
+    """Two OVERLAPPING shared 4-grams ('a b c d' at 1, 'b c d e' at 2)
+    cover tokens 1..5 — contaminated_tok must be 5, not 8."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e x y z")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    out = C.decontaminate(corpus, bench, n=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_tok"] == 8
+    assert r["n_shared_ngrams"] == 2
+    assert r["contaminated_tok"] == 5
+    assert r["contam_ppm"] == 5 * 1_000_000 // 8
+    assert r["drop_doc"] is True
+
+
+def test_decontaminate_disjoint_spans_sum(spark):
+    """Two DISJOINT hits (positions 1 and 7) cover 2*n tokens."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d q r s t u a b c d")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    r = C.decontaminate(corpus, bench, n=4).collect()[0]
+    assert r["n_tok"] == 13
+    assert r["n_shared_ngrams"] == 1  # same gram twice, distinct count 1
+    assert r["contaminated_tok"] == 8  # [1,5) + [10,14)
+
+
+def test_decontaminate_drop_gate_threshold(spark):
+    """drop_ppm is a policy knob: the same doc flips from kept to
+    dropped as the threshold crosses its contam_ppm."""
+    corpus = spark.createDataFrame(
+        [(1, " ".join(["w"] * 36) + " a b c d")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    # 4 contaminated of 40 tokens = 100_000 ppm
+    strict = C.decontaminate(corpus, bench, n=4, drop_ppm=0).collect()[0]
+    loose = C.decontaminate(
+        corpus, bench, n=4, drop_ppm=100_000
+    ).collect()[0]
+    assert strict["contam_ppm"] == 100_000
+    assert strict["drop_doc"] is True
+    assert loose["drop_doc"] is False  # 100_000 > 100_000 is False
+
+
+def test_decontaminate_clean_docs_absent(spark):
+    corpus = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    out = C.decontaminate(corpus, bench, n=4).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_decontaminate_default_is_thirteen_gram(spark):
+    """The operator default is the published 13-gram rule: a 12-token
+    shared prefix must NOT flag, a full 13-gram match must."""
+    twelve = " ".join(f"t{i}" for i in range(12))
+    thirteen = " ".join(f"t{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [(1, twelve + " zzz"), (2, thirteen + " zzz")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, thirteen)], "doc_id long, text string"
+    )
+    out = C.decontaminate(corpus, bench).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["contaminated_tok"] == 13
+
+
+def test_decontaminate_hot_eval_gram_skew(spark):
+    """Skew smoke (VERDICT r8 item 2): ONE benchmark n-gram present in
+    EVERY corpus doc ('the answer is ...' boilerplate). Hit rows stay
+    bounded by corpus positions x matching bench docs — the broadcast
+    direction means the hot gram never keys a shuffle — and every doc
+    reports exactly its own span coverage."""
+    hot = "the answer is x"
+    n_docs = 2000
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} body text {hot} tail {i}") for i in range(n_docs)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9_000_001, hot), (9_000_002, f"unrelated bench {hot}")],
+        "doc_id long, text string",
+    )
+    out = C.decontaminate(corpus, bench, n=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench side broadcast, not shuffled
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r["contaminated_tok"] == 4 for r in rows)
+    assert all(r["n_bench_docs"] == 2 for r in rows)
