@@ -748,3 +748,157 @@ def weighted_sample_aes(
         .drop("_ek")
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public method): pick the ``k`` raw-corpus documents that look
+    most like a small TARGET domain, by importance weights from two
+    bag-of-hashed-n-grams models. The curation family's domain-match
+    stage: quality gate -> THIS -> pack/mix.
+
+    Features are unigrams + bigrams hashed into ``buckets`` buckets
+    (:func:`hash_bucket`, md5 — engine-portable). Both corpora fit a
+    Laplace-smoothed bucket distribution; a document's importance
+    log-weight is the sum over its gram occurrences of
+    ``ln(p_b) - ln(q_b)`` (target over raw), quantized per BUCKET to
+    exact e6 integers so the per-doc sum is order-independent — the
+    decayed_counts exact-integer discipline. Each ln's argument is one
+    IEEE division of two exact BIGINTs ((count+1) over (total+B)), so
+    both engines feed ln the identical double; ln itself is the A-ES
+    sub-ulp precedent, and the e6 floor only flips if ln's last ulp
+    straddles a .5 boundary (~2^-32 per bucket — the oracle-parity
+    gate would catch it loudly).
+
+    Selection is Gumbel-top-k — the log-space equivalent of the A-ES
+    exponential-key draw: key = logw_e6/1e6 - ln(-ln(u)) with u the
+    doc's md5-uniform, so the selected set follows the exact
+    without-replacement law proportional to exp(logw). Deterministic:
+    a pure function of (texts, ids, salt).
+
+    Scale shape: gram rows are MAP-SIDE array expressions (the
+    shingle_rows slice trick); the two bucket distributions are
+    B-bounded map-side-combined aggregates; totals are 1-row scalar
+    broadcasts (whitelisted); the B-row log-ratio table BROADCASTS to
+    score the raw side (the corpus never shuffles to meet it); the
+    per-doc weight sum is ONE doc-keyed map-side-combined aggregate;
+    the top-k is the WindowGroupLimit plan (map-local top-k before the
+    single shuffle). A hot bucket skews nothing — the join side with
+    the hot key has ONE row per bucket.
+
+    Returns ``(id, n_grams, logw_e6, rank)`` for the k selected docs
+    (rank 1 = most target-like draw). Docs with NULL id/text or no
+    tokens have no features and are excluded (the sketch-family
+    discipline: unscorable, not silently weight-0). Inputs carrying the
+    output names are rejected loudly.
+    """
+    if int(k) < 1:
+        raise ValueError(f"dsir_resample needs k >= 1, got {k}")
+    if int(buckets) < 2:
+        raise ValueError(f"dsir_resample needs buckets >= 2, got {buckets}")
+    reserved = {"n_grams", "logw_e6", "rank"} & {id_col}
+    if reserved:
+        raise ValueError(
+            f"dsir_resample id_col collides with output column names"
+            f" {sorted(reserved)} — rename it first"
+        )
+    from ..functions import text as TX
+    from .sketches import KEY_SPACE
+
+    b = int(buckets)
+
+    def gram_rows(df: DataFrame) -> DataFrame:
+        keep = F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+        d = df.filter(keep).select(
+            F.col(id_col).alias("_id"),
+            TX.lower_ws_tokens_nonempty(F.col(text_col)).alias("_t"),
+        )
+        grams = F.expr(
+            "concat(_t, transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+            " (x, i) -> concat_ws(' ', _t[i], _t[i + 1])))"
+        )
+        ex = d.select("_id", F.explode(grams).alias("_g"))
+        return ex.select(
+            "_id", hash_bucket("_g", salt=salt, buckets=b).alias("_b")
+        )
+
+    rg = gram_rows(raw)
+    tg = gram_rows(target)
+    q = rg.groupBy("_b").agg(F.count("*").alias("_cq"))
+    p = tg.groupBy("_b").agg(F.count("*").alias("_cp"))
+    tot = (
+        rg.agg(F.count("*").alias("_nq"))
+        .crossJoin(F.broadcast(tg.agg(F.count("*").alias("_np"))))
+    )
+    # only buckets PRESENT in the raw corpus can score a raw doc; a
+    # bucket unseen in the target smooths to (0 + 1)
+    ltab = (
+        q.join(p, "_b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce("_cp", F.lit(0)) + 1).cast("double")
+                        / (F.col("_np") + b).cast("double")
+                    )
+                    - F.log(
+                        (F.col("_cq") + 1).cast("double")
+                        / (F.col("_nq") + b).cast("double")
+                    )
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_l"),
+        )
+    )
+    scored = (
+        rg.join(F.broadcast(ltab), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("_l").alias("logw_e6"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:u:"), F.col("_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(KEY_SPACE)
+    gkey = F.col("logw_e6").cast("double") / 1e6 - F.log(-F.log(u))
+    # global top-k as orderBy+limit -> TakeOrderedAndProject (each task
+    # keeps its local k, one merge of k-row heaps — the path_mining
+    # shape; a bare global row_number window would move EVERY scored
+    # doc, one row per corpus document, to a single task). The rank
+    # window then runs over k rows only — bounded, not corpus-sized.
+    top = (
+        scored.withColumn("_gk", gkey)
+        .orderBy(F.desc("_gk"), F.asc("_id"))
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.desc("_gk"), F.asc("_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "logw_e6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

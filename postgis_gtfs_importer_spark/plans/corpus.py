@@ -74,6 +74,14 @@ class CorpusConfig:
     #: drop docs MORE compressible than this (ratio_e6 floor — low ratio
     #: = boilerplate/repetition); None = off.
     min_compression_ratio_e6: int | None = None
+    #: DSIR domain-match resampling (Xie et al. 2023): keep the dsir_k
+    #: surviving docs most like the ``dsir_target`` corpus passed to
+    #: curate_corpus; None = off. Runs AFTER the absolute gates (weights
+    #: should rank what quality already admitted) and BEFORE the
+    #: mixture (resampling changes stratum masses the mixture then
+    #: re-balances).
+    dsir_k: int | None = None
+    dsir_buckets: int = 1024
     balance_mixture: bool = True
     split_weights: dict[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -96,6 +104,7 @@ def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     cfg: CorpusConfig | None = None,
+    dsir_target: DataFrame | None = None,
 ) -> CorpusResult:
     """Run the full curation chain; see module docstring for ordering.
 
@@ -197,6 +206,20 @@ def curate_corpus(
         report["percentile_gated"] = gated.count()
 
     gated = gated.drop("_q")  # internal carry column, not an output
+
+    # 4d. DSIR domain-match resampling (flag-gated): keep the dsir_k
+    # docs most like the target domain by hashed-n-gram importance
+    # weights — after the absolute gates, before the mixture.
+    if c.dsir_k is not None and dsir_target is not None:
+        from ..operators.curation import dsir_resample
+
+        picked = dsir_resample(
+            gated, dsir_target, k=c.dsir_k, id_col=c.id_col,
+            text_col=c.text_col, buckets=c.dsir_buckets,
+            salt=c.salt + "-dsir",
+        ).select(c.id_col)
+        gated = gated.join(picked, c.id_col, "left_semi")
+        report["dsir_resampled"] = gated.count()
 
     # 5. balanced mixture over the stratum
     if c.balance_mixture:

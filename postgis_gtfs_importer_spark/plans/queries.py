@@ -10596,3 +10596,90 @@ def path_mining_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return path_mining(e, n=3, k=20)
+
+
+def _dsir_oracle(k: int = 40, buckets: int = 256, salt: str = "dsir") -> str:
+    """DuckDB twin of operators/curation.py::dsir_resample: the same
+    hashed unigram+bigram buckets, Laplace-smoothed e6-quantized bucket
+    log-ratios, per-doc integer weight sums, and Gumbel-top-k keys."""
+    bucket = (
+        f"CAST('0x' || substr(md5('{salt}' || CAST(g AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {buckets}"
+    )
+    uni = (
+        f"((CAST(('0x' || substr(md5('{salt}:u:' ||"
+        f" CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)"
+        f" / 1152921504606846976.0)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+               x -> x <> '') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    rg AS (
+      SELECT doc_id, {bucket} AS b
+      FROM (SELECT doc_id, unnest(list_concat(t,
+              list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1]))) AS g
+            FROM toks WHERE lang <> 'de')
+    ),
+    tg AS (
+      SELECT doc_id, {bucket} AS b
+      FROM (SELECT doc_id, unnest(list_concat(t,
+              list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1]))) AS g
+            FROM toks WHERE lang = 'de')
+    ),
+    q AS (SELECT b, CAST(count(*) AS BIGINT) AS cq FROM rg GROUP BY b),
+    p AS (SELECT b, CAST(count(*) AS BIGINT) AS cp FROM tg GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM rg) AS nq,
+                   (SELECT count(*) FROM tg) AS np),
+    ltab AS (
+      SELECT q.b,
+             CAST(floor((ln(CAST(coalesce(p.cp, 0) + 1 AS DOUBLE)
+                            / CAST(tot.np + {buckets} AS DOUBLE))
+                       - ln(CAST(q.cq + 1 AS DOUBLE)
+                            / CAST(tot.nq + {buckets} AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS l
+      FROM q LEFT JOIN p USING (b), tot
+    ),
+    scored AS (
+      SELECT rg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(l) AS BIGINT) AS logw_e6
+      FROM rg JOIN ltab USING (b) GROUP BY rg.doc_id
+    ),
+    keyed AS (
+      SELECT *, CAST(logw_e6 AS DOUBLE) / 1000000.0 - ln(-ln({uni})) AS gk
+      FROM scored
+    )
+    SELECT doc_id, n_grams, logw_e6, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT doc_id, n_grams, logw_e6,
+                 row_number() OVER (ORDER BY gk DESC, doc_id ASC) AS rank
+          FROM keyed)
+    WHERE rank <= {k}
+    """
+
+
+@register("dsir_resample", _dsir_oracle())
+def dsir_resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/curation.py::dsir_resample,
+    Xie et al. 2023): pick the 40 non-German documents whose hashed
+    unigram+bigram profile looks most German — target = lang='de' docs,
+    raw = the rest, 256 feature buckets. Bucket log-ratios are
+    e6-quantized integers (order-independent per-doc sums, the
+    decayed_counts discipline); selection is Gumbel-top-k, the
+    log-space A-ES. Scale shape: map-side gram explode, two B-bounded
+    count aggregates, 1-row totals broadcast, B-row ratio table
+    broadcast against the corpus, one doc-keyed map-side-combined sum,
+    WindowGroupLimit top-k."""
+    from ..operators.curation import dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_resample(
+        d.filter(F.col("lang") != "de"),
+        d.filter(F.col("lang") == "de"),
+        k=40, buckets=256, salt="dsir",
+    )

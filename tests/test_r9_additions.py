@@ -117,3 +117,99 @@ def test_decontaminate_hot_eval_gram_skew(spark):
     assert len(rows) == n_docs
     assert all(r["contaminated_tok"] == 4 for r in rows)
     assert all(r["n_bench_docs"] == 2 for r in rows)
+
+
+# ------------------------------------------------------- dsir_resample
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Raw corpus: 30 'cat'-flavored docs and 30 'dog'-flavored docs;
+    target is pure cat. The top-10 resample must be overwhelmingly
+    cat-side — importance weights dominate the Gumbel noise when the
+    distributions are this separated."""
+    cats = [(i, "cat feline whiskers purr meow tail") for i in range(30)]
+    dogs = [(100 + i, "dog canine bark fetch bone growl") for i in range(30)]
+    raw = spark.createDataFrame(cats + dogs, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, "cat feline purr meow") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = C.dsir_resample(raw, target, k=10, buckets=64).collect()
+    assert len(out) == 10
+    cat_picks = sum(1 for r in out if r["doc_id"] < 100)
+    assert cat_picks >= 9
+    # ranks are 1..k with no gaps
+    assert sorted(r["rank"] for r in out) == list(range(1, 11))
+
+
+def test_dsir_deterministic_and_weight_ordering(spark):
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(99, "alpha beta gamma")], "doc_id long, text string"
+    )
+    a = C.dsir_resample(raw, target, k=8, buckets=32).collect()
+    b = C.dsir_resample(raw, target, k=8, buckets=32).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a cat-side doc's logw must strictly exceed... here: every selected
+    # doc carries the gram count of its own text (5 unigrams + bigrams)
+    for r in a:
+        assert r["n_grams"] == 4 + 3
+
+
+def test_dsir_excludes_featureless_docs(spark):
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None), (None, "alpha beta")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(9, "alpha beta")], "doc_id long, text string"
+    )
+    out = C.dsir_resample(raw, target, k=10, buckets=16).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_dsir_validates_inputs(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k >= 1"):
+        C.dsir_resample(df, df, k=0)
+    with pytest.raises(ValueError, match="buckets >= 2"):
+        C.dsir_resample(df, df, k=1, buckets=1)
+    with pytest.raises(ValueError, match="collides"):
+        C.dsir_resample(
+            df.withColumnRenamed("doc_id", "rank"), df, k=1, id_col="rank"
+        )
+
+
+def test_dsir_in_corpus_pipeline(spark):
+    """Flag-gated stage 4d: with dsir_k set and a target given, the
+    curated output shrinks to <= dsir_k docs and the report records
+    the stage."""
+    from postgis_gtfs_importer_spark.plans.corpus import (
+        CorpusConfig,
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(f"w{i}x{j}" for j in range(12))
+                + f" shared tail {i}",
+                "en",
+            )
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    target = spark.createDataFrame(
+        [(900, "unique document body filler words")],
+        "doc_id long, text string",
+    )
+    cfg = CorpusConfig(min_quality_e6=0, dsir_k=12, dsir_buckets=64,
+                       balance_mixture=False)
+    res = curate_corpus(docs, cfg=cfg, dsir_target=target)
+    assert res.report["dsir_resampled"] == 12
+    assert res.report["mixed"] == 12
