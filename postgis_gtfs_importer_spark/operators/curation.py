@@ -902,3 +902,115 @@ def dsir_resample(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, published
+    heuristics; Dolma/RedPajama ship the same battery) as ONE pass of
+    pure column expressions — the rule-based complement of
+    ``functions/text.py::quality_score``'s scalar score. Every
+    threshold is an EXACT integer cross-multiplication (mean word
+    length in [3, 10] tests ``3·n <= chars <= 10·n``), so no float
+    boundary can disagree between engines.
+
+    Rules (keep iff ALL hold):
+      1. ``min_words <= n_words <= max_words`` (paper: 50..100k);
+      2. mean word length in [3, 10] characters;
+      3. symbol-to-word ratio <= 0.1 (symbols: ``#`` and ellipsis,
+         both ``...`` and the one-char form);
+      4. <= 90% of lines start with a bullet (``-``, ``*``, or the
+         bullet char);
+      5. <= 30% of lines end with an ellipsis;
+      6. >= 80% of words contain at least one alphabetic character;
+      7. >= 2 distinct words from the 8-word stop list {the, be, to,
+         of, and, that, have, with}.
+
+    Returns EVERY input doc with the raw counts (``n_words, n_lines,
+    word_chars, n_symbols, n_bullet_lines, n_ellipsis_lines,
+    n_alpha_words, n_stopwords``) and the ``keep`` verdict — counts
+    kept visible so a tightened policy can re-gate WITHOUT re-scanning
+    text. Scale: per-row array expressions only (JVM codegen, zero
+    shuffles, embarrassingly parallel); NULL text fails rule 1 at any
+    sane min_words and is returned with zero counts, never silently
+    dropped.
+    """
+    from ..functions import text as TX
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = TX.lower_ws_tokens_nonempty(txt)
+    lines = F.filter(
+        F.split(txt, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_words = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    word_chars = F.coalesce(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_uni_ell = F.length(txt) - F.length(
+        F.replace(txt, F.lit("…"), F.lit(""))
+    )
+    n_dot_ell = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_uni_ell + n_dot_ell).cast("long")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    ell_end = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...")
+            | F.rtrim(x).endswith("…"),
+        )
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(
+                *[
+                    F.lit(s)
+                    for s in ("the", "be", "to", "of", "and", "that",
+                              "have", "with")
+                ]
+            ),
+        )
+    ).cast("long")
+    out = df.select(
+        F.col(id_col).alias(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        word_chars.alias("word_chars"),
+        n_symbols.alias("n_symbols"),
+        bullet.alias("n_bullet_lines"),
+        ell_end.alias("n_ellipsis_lines"),
+        alpha_words.alias("n_alpha_words"),
+        stop.alias("n_stopwords"),
+    )
+    keep = (
+        (F.col("n_words") >= int(min_words))
+        & (F.col("n_words") <= int(max_words))
+        & (F.col("word_chars") >= 3 * F.col("n_words"))
+        & (F.col("word_chars") <= 10 * F.col("n_words"))
+        & (F.col("n_symbols") * 10 <= F.col("n_words"))
+        & (F.col("n_bullet_lines") * 10 <= F.col("n_lines") * 9)
+        & (F.col("n_ellipsis_lines") * 10 <= F.col("n_lines") * 3)
+        & (F.col("n_alpha_words") * 5 >= F.col("n_words") * 4)
+        & (F.col("n_stopwords") >= 2)
+    )
+    return out.withColumn("keep", keep)

@@ -57,146 +57,116 @@ def register(name: str, oracle: str | None):
 #: failure. Run `python -m postgis_gtfs_importer_spark.plans.ledger
 #: refresh` at round start, before any edit.
 
-#: Round-8 window (VERDICT r7 item 1 — freshness rotation). The r7
-#: window landed 50/50 green (CORRECTNESS_r07); after the round-start
-#: ledger refresh the stale set is eigenvector_centrality (its
-#: raw-matvec-checkpoint rewrite landed after the r7 window filled)
-#: plus the 12 re-stales from this round's ADVICE fixes (the temporal
-#: module's shared-validator edit reaches the whole as-of family; the
-#: skipgram id_col drop reaches indexing.py; winsorized/cusum are the
-#: other two fix sites). All 13 are oracle-parity green locally at
-#: sf0.01 post-fix (tests/test_oracle_parity.py; pins in
-#: tests/test_r8_advice_fixes.py).
-_RESTALE_R8: list[str] = [
-    # heads the window per VERDICT r7 "What's wrong" item 1
-    "eigenvector_centrality",
-    "winsorized_stats",
-    "asof_join",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "range_join",
-    "locf_resample",
-    "interval_union",
-    "interpolate_resample",
-    "time_weighted_avg",
-    "skipgram_pairs",
-    "dup_ngram_coverage",
-    "cusum_changepoints",
-    # not an ADVICE site: its old docstring contained the bare token
-    # "quer-ies", whose identifier-scan edge reached _FRONT, so the
-    # round-8 window rotation itself re-staled it. The docstring is
-    # reworded to break that edge permanently; fresh row this round.
-    "small_quantity_revenue",
-]
-
-#: Round-8 additions (VERDICT r7 item 4): the Lloyd k-means training
-#: loop (sixth iterative family; trains similarity.py's IVF quantizer)
-#: and A-ES exponential-key weighted sampling without replacement
-#: (completes the sampling family next to priority/temperature/
-#: stratified). Never driver-verified -> window-resident.
-_ADDITIONS_R8: list[str] = [
-    "kmeans_lloyd",
-    "weighted_sample_aes",
-]
-
-#: Round-8 continuation waves 2-7 (the "keep additions coming"
-#: directive): semi-synchronous label-propagation communities (the
-#: seventh iterative-graph family), reciprocal-rank fusion + MMR
-#: diversified selection (the hybrid-retrieval pair the LLM stack runs
-#: between bm25_topk and the ANN family), exact half-life-decayed
-#: engagement (the recency-weighting sibling of time_weighted_avg),
-#: and the per-wave additions annotated inline below. All never
-#: driver-verified -> window-resident; their 13 slots come from the
-#: r4 rotation tail (those 13 rejoin the r9 rotation head — the
-#: rotation-list comment below carries the exact leftover list).
-_ADDITIONS_R8B: list[str] = [
-    "label_propagation",
-    "rrf_fusion",
-    "mmr_select",
+#: Round-9 window (VERDICT r8 item 1 — continue the freshness
+#: rotation by last-green-round ascending). The r8 window landed 50/50
+#: green (CORRECTNESS_r08); the round-start ledger refresh folded all
+#: 50 rows in (stale set 0). The stale set below is what THIS round's
+#: work re-staled: the four r8 ADVICE fixes (half_life_decay's bigint
+#: shiftleft -> decayed_counts; path_mining's one-total-order gap
+#: flags; poisson_bootstrap_ci's separated seed components;
+#: priority_sample's reserved-name guard, which also re-touched its
+#: sibling weighted_sample_aes's docstring) plus the decontaminate
+#: upgrade (boolean flag -> contaminated-token fraction + drop gate,
+#: VERDICT r8 item 2). All are oracle-parity green locally at sf0.01
+#: post-change (tests/test_oracle_parity.py; pins in
+#: tests/test_r9_advice_fixes.py and tests/test_r9_additions.py).
+_RESTALE_R9: list[str] = [
     "decayed_counts",
-    # wave 3: asymmetric n-gram containment (the near-superset dedup
-    # case Jaccard misses), degree assortativity (exact-integer graph
-    # moments), and the deterministic Poisson bootstrap (per-group CI
-    # without a row blow-up — the bootstrap that scales).
-    "containment_pairs",
-    "degree_assortativity",
-    "poisson_bootstrap_ci",
-    # wave 4: per-node clustering coefficient (triangle_count's
-    # node-level refinement) and classifier reliability bins (the
-    # ML-eval companion of score_documents' corpus gate).
-    "local_clustering",
-    "calibration_bins",
-    # wave 5: headway profile — the service-frequency consumer of the
-    # staged C11 fact (fifth consumer of the C17 materialization).
-    "headway_stats",
-    # wave 6: vocabulary coverage curve — the tokenizer vocab-size
-    # decision op, the prefix-sum family's corpus consumer — and the
-    # IVF-blocked bulk kNN graph (the SemDeDup/cluster precursor).
-    "vocab_coverage",
-    "knn_graph",
-    # wave 7: session path mining (the n-step sequence view next to
-    # event_transitions' one-step Markov counts).
     "path_mining",
+    "poisson_bootstrap_ci",
+    "priority_sample",
+    "weighted_sample_aes",
+    "decontaminate",
 ]
 
-#: Freshness rotation (VERDICT r7 item 1): with the stale set + the
-#: additions at 29 entries, the remaining 21 slots go to the entries
-#: with the OLDEST green driver rows, last-green-round ascending from
-#: the ledger: all 9 r2 rows, all 11 r3 rows, then 1 of the 20 r4
-#: rows (name order; the 19 r4 leftovers — customer_order_distribution,
-#: disjunctive_revenue,
-#: dormant_customers,
-#: event_transitions,
-#: events_json_stats,
-#: excess_shippers, fuzzy_title_pairs, hist_quantiles,
-#: hopping_window_stats, important_parts, min_cost_supplier,
-#: priority_shipment_buckets, product_type_profit,
-#: promo_revenue_share, revenue_forecast, shipping_priority,
-#: supplier_part_counts, top_supplier, trend_by_type — head the r9
-#: rotation). After this round no driver row predates r4. These are
-#: VERIFIED entries filling spare capacity, not stale ones: the ledger
-#: attests their digests unchanged since their recorded rows.
-_ROTATION_R8: list[str] = [
-    # r2 (publish/GTFS-core)
-    "composite_digest",
-    "digest_mint",
-    "gc_candidates",
-    "lang_normalized",
-    "minimize_stoptimes",
-    "reconcile_imports",
-    "retention_topk",
-    "sessionize",
-    "translations_applied",
-    # r3 (derivations + early analytics)
-    "connections",
-    "corpus_report",
-    "frequencies_expanded",
-    "json_props_stats",
-    "late_orders",
-    "service_days",
-    "shapes_aggregated",
-    "stats_rollup",
-    "trading_nations",
-    "value_quantiles",
-    "waiting_suppliers",
-    # r4 (first 1 by name)
-    "bulk_customers",
+#: Round-9 additions (VERDICT r8 items 2-3 and the continuation
+#: waves). Never driver-verified -> window-resident.
+_ADDITIONS_R9: list[str] = [
+    # wave 1: DSIR importance resampling (Xie et al. 2023) — hashed
+    # unigram+bigram bucket models, e6-quantized integer log-ratio
+    # weights, Gumbel-top-k selection; composed into plans/corpus.py
+    # behind CorpusConfig.dsir_k.
+    "dsir_resample",
+    # wave 2: the published Gopher rule battery (Rae et al. 2021) as
+    # exact-integer column predicates — the rule-based complement of
+    # quality_score's scalar gate.
+    "gopher_quality_gate",
 ]
 
-#: No overflow this round: 13 stale + 2 additions fit with 35 slots to
-#: spare for rotation.
+#: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
+#: the entries with the OLDEST green driver rows, last-green-round
+#: ascending from the ledger: all 19 r4 leftovers (named in the r8
+#: rotation comment, now window-resident), then the r5 block headed by
+#: arrivals_departures_abs (C11, the flagship derivation) and
+#: continuing in name order as capacity allows. These are VERIFIED
+#: entries filling spare capacity, not stale ones: the ledger attests
+#: their digests unchanged since their recorded rows.
+_ROTATION_R9: list[str] = [
+    # r4 (all 19 leftovers)
+    "customer_order_distribution",
+    "disjunctive_revenue",
+    "dormant_customers",
+    "event_transitions",
+    "events_json_stats",
+    "excess_shippers",
+    "fuzzy_title_pairs",
+    "hist_quantiles",
+    "hopping_window_stats",
+    "important_parts",
+    "min_cost_supplier",
+    "priority_shipment_buckets",
+    "product_type_profit",
+    "promo_revenue_share",
+    "revenue_forecast",
+    "shipping_priority",
+    "supplier_part_counts",
+    "top_supplier",
+    "trend_by_type",
+    # r5 (flagship first, then name order)
+    "arrivals_departures_abs",
+    "active_trips_by_hour",
+    "ann_recall_at_k",
+    "association_rules",
+    "benford_audit",
+    "corr_components",
+    "equidepth_hist",
+    "first_touch_attribution",
+    "global_rank_distributed",
+    "grouping_sets_mix",
+    "item_similarity",
+    "kcore_membership",
+    "knn_label_vote",
+    "line_dedup",
+    "ntile_buckets",
+    "ols_trend",
+    "pagerank_trade",
+    "percent_rank_native",
+    "phrase_search",
+    "prefix_filter_jaccard",
+    "revenue_cube",
+    "revenue_pivot",
+    "robust_scale",
+]
+
+#: r5 entries that did NOT fit this round (window arithmetic: 6
+#: restale + additions + 19 r4 + the r5 prefix above = 50); they head
+#: the r10 rotation: skew_salted_join, split_leakage_audit, sssp_trade,
+#: stats_agency_route_stop_hour, stats_route_date,
+#: streaming_session_window, table_profile, time_rollup,
+#: topk_parts_per_nation, triangle_count, tvd_drift, unpivot_roundtrip,
+#: variant_extract_stats, wow_change, zorder_pruning_stats. Each new
+#: r9 addition wave trims the r5 prefix tail above by one slot.
 _OVERFLOW_QUEUE: list[str] = []
 
 #: Human-readable subset of the ledger's stale set (changed-since rows
 #: + never-verified additions). Enforced against the ledger by
 #: tests/test_registry_ledger.py (both directions).
-_MUST_VERIFY: list[str] = [*_RESTALE_R8, *_ADDITIONS_R8, *_ADDITIONS_R8B]
+_MUST_VERIFY: list[str] = [*_RESTALE_R9, *_ADDITIONS_R9]
 
 _FRONT: list[str] = [
-    *_RESTALE_R8,
-    *_ADDITIONS_R8,
-    *_ADDITIONS_R8B,
-    *_ROTATION_R8,
+    *_RESTALE_R9,
+    *_ADDITIONS_R9,
+    *_ROTATION_R9,
     *_OVERFLOW_QUEUE,
 ]
 
@@ -10683,3 +10653,64 @@ def dsir_resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("lang") == "de"),
         k=40, buckets=256, salt="dsir",
     )
+
+
+@register(
+    "gopher_quality_gate",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             coalesce(text, '') AS txt,
+             list_filter(list_transform(
+               regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+               x -> lower(x)), x -> x <> '') AS toks,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         x -> length(trim(x)) > 0) AS lines
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             AS BIGINT) AS word_chars,
+        CAST((length(txt) - length(replace(txt, '#', '')))
+           + (length(txt) - length(replace(txt, '…', '')))
+           + (length(txt) - length(replace(txt, '...', ''))) // 3
+           AS BIGINT) AS n_symbols,
+        CAST(len(list_filter(lines,
+          x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•'))) AS BIGINT)
+          AS n_bullet_lines,
+        CAST(len(list_filter(lines,
+          x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))
+          AS BIGINT) AS n_ellipsis_lines,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+          AS BIGINT) AS n_alpha_words,
+        CAST(len(list_intersect(list_distinct(toks),
+          ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+          AS BIGINT) AS n_stopwords
+      FROM feats
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+            AND n_symbols * 10 <= n_words
+            AND n_bullet_lines * 10 <= n_lines * 9
+            AND n_ellipsis_lines * 10 <= n_lines * 3
+            AND n_alpha_words * 5 >= n_words * 4
+            AND n_stopwords >= 2) AS keep
+    FROM counts
+    """,
+)
+def gopher_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher rule battery (Rae et al. 2021) over every
+    document (operators/curation.py::gopher_quality_gate): word-count
+    bounds, mean-word-length band, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word floor, stop-word floor — every threshold
+    an exact integer cross-multiplication, the raw counts kept visible
+    so policy changes re-gate without re-scanning text. Pure column
+    expressions: zero shuffles, embarrassingly parallel at any scale."""
+    from ..operators.curation import gopher_quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_gate(d)

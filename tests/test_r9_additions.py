@@ -213,3 +213,80 @@ def test_dsir_in_corpus_pipeline(spark):
     res = curate_corpus(docs, cfg=cfg, dsir_target=target)
     assert res.report["dsir_resampled"] == 12
     assert res.report["mixed"] == 12
+
+
+# -------------------------------------------------- gopher_quality_gate
+
+
+def _gopher(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return C.gopher_quality_gate(df, min_words=5, max_words=100).collect()[0]
+
+
+def test_gopher_passes_plain_prose(spark):
+    r = _gopher(
+        spark,
+        "the quick brown fox jumps over that lazy dog and runs with glee",
+    )
+    assert r["keep"] is True
+    assert r["n_words"] == 13
+    assert r["n_stopwords"] >= 2
+
+
+def test_gopher_word_count_bounds(spark):
+    assert _gopher(spark, "the of and")["keep"] is False  # < 5 words
+    long = "the of " + " ".join(["word"] * 120)
+    assert _gopher(spark, long)["keep"] is False  # > 100 words
+
+
+def test_gopher_mean_word_length_band(spark):
+    # mean length < 3: single-char words
+    r = _gopher(spark, "the of a b c d e f g h")
+    assert r["word_chars"] < 3 * r["n_words"]
+    assert r["keep"] is False
+    # mean length > 10
+    r2 = _gopher(
+        spark, "the of incomprehensibilities " + " ".join(
+            ["extraordinarily"] * 8
+        )
+    )
+    assert r2["keep"] is False
+
+
+def test_gopher_symbol_ratio(spark):
+    r = _gopher(spark, "the of alpha beta # # # gamma delta")
+    assert r["n_symbols"] == 3
+    assert r["keep"] is False  # 3 symbols * 10 > 8 words
+    # unicode and three-dot ellipses both count
+    r2 = _gopher(spark, "the of alpha… beta... gamma delta epsilon")
+    assert r2["n_symbols"] == 2
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    # words long enough that the 1-char "-" token keeps mean length >= 3
+    bline = "- itemized alphabet words the of"
+    bullets = "\n".join([bline] * 9 + ["plain line"])
+    r = _gopher(spark, bullets)
+    assert r["n_lines"] == 10
+    assert r["n_bullet_lines"] == 9
+    assert r["keep"] is True  # exactly 90% allowed (<=)
+    assert _gopher(spark, "\n".join([bline] * 10))["keep"] is False
+    ell = "\n".join(["this line trails off the of..."] * 2 + ["solid"] * 3)
+    r3 = _gopher(spark, ell)
+    assert r3["n_ellipsis_lines"] == 2
+    assert r3["keep"] is False  # 2/5 = 40% > 30%
+
+
+def test_gopher_alpha_and_stopword_rules(spark):
+    r = _gopher(spark, "the of 111 222 333 444 555 666 777 888")
+    assert r["n_alpha_words"] == 2
+    assert r["keep"] is False  # 2/10 alpha < 80%
+    r2 = _gopher(spark, "quick brown foxes jump over seven lazy dogs")
+    assert r2["n_stopwords"] < 2
+    assert r2["keep"] is False
+
+
+def test_gopher_null_text_returns_zeros(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = C.gopher_quality_gate(df).collect()[0]
+    assert r["n_words"] == 0 and r["keep"] is False
