@@ -945,3 +945,82 @@ def local_clustering(edges: DataFrame, k: int = 100) -> DataFrame:
         )
         .limit(int(k))
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    k: int = 100,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003): score every
+    NON-adjacent pair (u, v) by ``sum over common neighbors w of
+    1/ln(deg(w))`` — rare shared neighbors say more than hubs — and
+    return the top ``k`` predicted links. The corpus-graph question:
+    which two entities that never co-occur are most likely to (the
+    recommendation/knowledge-graph-completion primitive next to
+    item_similarity's cosine on explicit co-counts).
+
+    Plan — wedges enumerated MAP-SIDE from each center's neighbor
+    array, never a positional self-join: ONE edge-keyed aggregate
+    builds the per-center sorted adjacency, the a<b pairs flatten out
+    of the array (the part_cooccurrence_edges nested-transform trick),
+    each wedge carries its center's e6-quantized weight
+    ``floor(1e6/ln(deg) + 0.5)`` (an exact BIGINT, so pair sums are
+    order-independent; ln's sub-ulp cross-engine spread is the
+    documented A-ES class), one (u, v)-keyed map-side-combined sum,
+    an anti-join against the existing edge set, and a distributed
+    TakeOrdered for the top k.
+
+    Scale: the wedge term is ``sum of deg(w)^2`` — quadratic in HUB
+    degree. ``max_degree`` caps it: centers above the cap are skipped
+    ENTIRELY (documented, not silent — their per-wedge weight
+    1/ln(deg) is the score's smallest term by construction, which is
+    the standard justification for the cap; the result is exact FOR
+    THE DECLARED CAP and the oracle replays the same cap). At 100 TB
+    leave it set — an uncapped celebrity node with 10M neighbors would
+    emit 5·10^13 wedges.
+
+    Input: undirected edges (a, b), a < b, distinct. Output:
+    (a, b, common_nbrs, aa_e6), top k by (aa_e6 DESC, a ASC, b ASC).
+    Centers of degree < 2 form no wedge; degree-1-only pairs simply
+    never appear (no NULL policy needed).
+    """
+    if int(k) < 1:
+        raise ValueError(f"adamic_adar needs k >= 1, got {k}")
+    if max_degree is not None and int(max_degree) < 2:
+        raise ValueError(
+            f"adamic_adar needs max_degree >= 2 (or None), got {max_degree}"
+        )
+    edges = edges.select("a", "b")
+    bidir = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("_w"), F.col("b").alias("_n"))
+    centers = bidir.groupBy("_w").agg(
+        F.array_sort(F.collect_list("_n")).alias("_nbrs"),
+        F.count("*").cast("long").alias("_deg"),
+    )
+    centers = centers.filter(F.col("_deg") >= 2)
+    if max_degree is not None:
+        centers = centers.filter(F.col("_deg") <= int(max_degree))
+    weight = F.floor(
+        F.lit(1_000_000.0) / F.log(F.col("_deg").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    pairs = F.expr(
+        "flatten(transform(_nbrs, (x, i) ->"
+        " transform(slice(_nbrs, i + 2, size(_nbrs)),"
+        " y -> struct(x AS u, y AS v))))"
+    )
+    wedges = centers.select(
+        F.explode(pairs).alias("_p"), weight.alias("_wt")
+    ).select(
+        F.col("_p.u").alias("a"), F.col("_p.v").alias("b"), "_wt"
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("common_nbrs"),
+        F.sum("_wt").alias("aa_e6"),
+    )
+    return (
+        scored.join(edges, ["a", "b"], "left_anti")
+        .orderBy(F.desc("aa_e6"), F.asc("a"), F.asc("b"))
+        .limit(int(k))
+    )

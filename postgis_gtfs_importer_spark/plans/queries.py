@@ -91,6 +91,10 @@ _ADDITIONS_R9: list[str] = [
     # exact-integer column predicates — the rule-based complement of
     # quality_score's scalar gate.
     "gopher_quality_gate",
+    # wave 3: Adamic-Adar link prediction — map-side wedge flattening
+    # with e6-integer center weights, the non-adjacent-pair complement
+    # of item_similarity.
+    "adamic_adar",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -145,12 +149,12 @@ _ROTATION_R9: list[str] = [
     "prefix_filter_jaccard",
     "revenue_cube",
     "revenue_pivot",
-    "robust_scale",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: skew_salted_join, split_leakage_audit, sssp_trade,
+#: the r10 rotation: robust_scale, skew_salted_join,
+#: split_leakage_audit, sssp_trade,
 #: stats_agency_route_stop_hour, stats_route_date,
 #: streaming_session_window, table_profile, time_rollup,
 #: topk_parts_per_nation, triangle_count, tvd_drift, unpivot_roundtrip,
@@ -10714,3 +10718,52 @@ def gopher_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return gopher_quality_gate(d)
+
+
+@register(
+    "adamic_adar",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    bidir AS (
+      SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS deg,
+             CAST(floor(1000000.0 / ln(count(*)) + 0.5) AS BIGINT) AS wt
+      FROM bidir GROUP BY w HAVING count(*) >= 2
+    ),
+    wedges AS (
+      SELECT x.n AS a, y.n AS b, deg.wt
+      FROM bidir x JOIN bidir y ON x.w = y.w AND x.n < y.n
+      JOIN deg ON deg.w = x.w
+    ),
+    scored AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS common_nbrs,
+             CAST(sum(wt) AS BIGINT) AS aa_e6
+      FROM wedges GROUP BY a, b
+    )
+    SELECT s.a, s.b, s.common_nbrs, s.aa_e6
+    FROM scored s ANTI JOIN e ON e.a = s.a AND e.b = s.b
+    ORDER BY s.aa_e6 DESC, s.a ASC, s.b ASC
+    LIMIT 100
+    """,
+)
+def adamic_adar_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted links in the part co-occurrence graph by
+    Adamic-Adar score (operators/graph.py::adamic_adar): non-adjacent
+    part pairs ranked by sum of 1/ln(deg) over common neighbors.
+    Engine plan: wedges flatten MAP-SIDE out of each center's sorted
+    neighbor array (one edge-keyed aggregate, no positional self-join),
+    e6-integer weights summed in one map-side-combined (u,v) aggregate,
+    anti-join against the edge set, distributed TakeOrdered. The oracle
+    is the independent bidirectional SELF-JOIN wedge enumeration —
+    agreement proves the array flattening emits each wedge exactly
+    once."""
+    from ..operators.graph import adamic_adar, part_cooccurrence_edges
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    return adamic_adar(part_cooccurrence_edges(li), k=100)

@@ -290,3 +290,64 @@ def test_gopher_null_text_returns_zeros(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = C.gopher_quality_gate(df).collect()[0]
     assert r["n_words"] == 0 and r["keep"] is False
+
+
+# ------------------------------------------------------- adamic_adar
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Path graph 1-2-3 plus 2-4: non-adjacent pairs through center 2
+    (deg 3): (1,3), (1,4), (3,4) each score 1/ln(3); pair (1,3) also
+    has no other center. Centers 1, 3, 4 have deg 1 — no wedge."""
+    import math
+
+    from postgis_gtfs_importer_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "a long, b long"
+    )
+    out = {(r["a"], r["b"]): r for r in adamic_adar(edges, k=10).collect()}
+    w = int(math.floor(1_000_000.0 / math.log(3.0) + 0.5))
+    assert set(out) == {(1, 3), (1, 4), (3, 4)}
+    for r in out.values():
+        assert r["common_nbrs"] == 1 and r["aa_e6"] == w
+
+
+def test_adamic_adar_excludes_existing_edges_and_ranks(spark):
+    """Square 1-2-3-4-1: diagonals (1,3) and (2,4) each have two
+    common deg-2 neighbors; the existing edges never appear."""
+    import math
+
+    from postgis_gtfs_importer_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a long, b long"
+    )
+    out = adamic_adar(edges, k=10).collect()
+    w = int(math.floor(1_000_000.0 / math.log(2.0) + 0.5))
+    assert {(r["a"], r["b"]) for r in out} == {(1, 3), (2, 4)}
+    assert all(r["aa_e6"] == 2 * w and r["common_nbrs"] == 2 for r in out)
+
+
+def test_adamic_adar_max_degree_cap(spark):
+    """A hub center above the cap contributes NO wedges; the capped
+    result is exact for the declared cap."""
+    from postgis_gtfs_importer_spark.operators.graph import adamic_adar
+
+    hub = [(i, 100) for i in range(1, 6)]  # hub 100 with deg 5
+    path = [(200, 201), (201, 202)]  # center 201 with deg 2
+    edges = spark.createDataFrame(hub + path, "a long, b long")
+    capped = adamic_adar(edges, k=50, max_degree=4).collect()
+    assert {(r["a"], r["b"]) for r in capped} == {(200, 202)}
+    uncapped = adamic_adar(edges, k=50).collect()
+    assert len(uncapped) == 1 + 10  # hub wedges C(5,2) back
+
+
+def test_adamic_adar_validates(spark):
+    from postgis_gtfs_importer_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="k >= 1"):
+        adamic_adar(edges, k=0)
+    with pytest.raises(ValueError, match="max_degree >= 2"):
+        adamic_adar(edges, k=1, max_degree=1)
