@@ -199,3 +199,90 @@ def kmeans_inertia(
         F.count("*").cast("long").alias("n_points"),
         F.sum("d2").cast("long").alias("inertia"),
     )
+
+
+def simplified_silhouette(
+    points: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = COORD_SCALE,
+) -> DataFrame:
+    """Per-cluster simplified silhouette (Hruschka et al. 2004) against
+    a trained codebook — the cluster-QUALITY companion of
+    :func:`kmeans_inertia`'s objective value: for each point,
+    ``a`` = squared distance to its own (nearest) centroid, ``b`` = to
+    the second-nearest, ``s = (b - a) / max(a, b)`` in [0, 1] — high
+    mean s = tight, well-separated cluster; near 0 = boundary mush.
+    The centroid-based simplification is the published variant that
+    SCALES: the full silhouette needs all pairwise point distances
+    (quadratic); this needs one broadcast-codebook pass, exactly the
+    assignment plan.
+
+    Distances are the exact-integer quantized d² of the training loop
+    (same argmin, same cid tiebreak, so "own centroid" here IS the
+    training assignment); the ratio is e6 fixed-point via one
+    IEEE-deterministic double division of two exact BIGINTs (identical
+    operand order in the SQL twin), and per-cluster means are
+    truncating integer divisions of exact sums. A point equidistant at
+    0 from two centroids scores 0 (max(a,b)=0 guard).
+
+    Scale shape: points ⋈ broadcast(codebook) on the dim key (never
+    shuffled — the kmeans rule), one map-side-combined (id, cid)
+    distance sum, one id-keyed aggregate whose per-id collect is
+    bounded by k (the two smallest (d², cid) structs are sliced from a
+    k-length sorted array), one k-bounded cid aggregate. Requires >= 2
+    centroids — with one, ``b`` does not exist and the result is empty
+    (documented, not a fake score).
+
+    Returns (cid, n_points, silhouette_e6), one row per non-empty
+    cluster.
+    """
+    pts = quantize_points(points, id_col, vec_col, scale)
+    d2 = (
+        pts.join(
+            F.broadcast(
+                codebook.select("cid", "dim", F.col("c_q").alias("_c"))
+            ),
+            "dim",
+        )
+        .groupBy("id", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("_c")) * (F.col("q") - F.col("_c"))
+            ).alias("_d2")
+        )
+    )
+    two = d2.groupBy("id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("_d2", "cid"))), 1, 2
+        ).alias("_t")
+    )
+    per = two.filter(F.size("_t") == 2).select(
+        "id",
+        F.col("_t")[0]["cid"].alias("cid"),
+        F.col("_t")[0]["_d2"].alias("_a2"),
+        F.col("_t")[1]["_d2"].alias("_b2"),
+    )
+    g = F.greatest(F.col("_a2"), F.col("_b2"))
+    s = (
+        F.when(
+            g > 0,
+            F.floor(
+                (F.col("_b2") - F.col("_a2")).cast("double")
+                / g.cast("double")
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        per.withColumn("_s", s)
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.expr("sum(_s) div count(*)").alias("silhouette_e6"),
+        )
+    )

@@ -95,6 +95,11 @@ _ADDITIONS_R9: list[str] = [
     # with e6-integer center weights, the non-adjacent-pair complement
     # of item_similarity.
     "adamic_adar",
+    # wave 4: simplified silhouette (Hruschka et al. 2004) — the
+    # scale-safe cluster-quality score for kmeans_lloyd codebooks
+    # (full silhouette is quadratic; this is one broadcast-assignment
+    # pass).
+    "simplified_silhouette",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -148,12 +153,11 @@ _ROTATION_R9: list[str] = [
     "phrase_search",
     "prefix_filter_jaccard",
     "revenue_cube",
-    "revenue_pivot",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: robust_scale, skew_salted_join,
+#: the r10 rotation: revenue_pivot, robust_scale, skew_salted_join,
 #: split_leakage_audit, sssp_trade,
 #: stats_agency_route_stop_hour, stats_route_date,
 #: streaming_session_window, table_profile, time_rollup,
@@ -10767,3 +10771,70 @@ def adamic_adar_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spread(_t(spark, sf_dir, "lineitem"))
     return adamic_adar(part_cooccurrence_edges(li), k=100)
+
+
+@register(
+    "simplified_silhouette",
+    """
+    WITH pts AS (
+      SELECT vec_id AS id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid
+      FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT 4)
+    ),
+    c0 AS (SELECT s.cid, p.dim, p.q AS c
+           FROM seeds s JOIN pts p ON p.id = s.id),
+    d1 AS (SELECT p.id, c.cid, sum((p.q - c.c) * (p.q - c.c)) AS d2
+           FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY p.id, c.cid),
+    a1 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+                    ORDER BY d2 ASC, cid ASC) AS rn FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a.cid, p.dim, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+           FROM a1 a JOIN pts p ON p.id = a.id GROUP BY a.cid, p.dim),
+    d2_ AS (SELECT p.id, c.cid, sum((p.q - c.c) * (p.q - c.c)) AS d2
+            FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY p.id, c.cid),
+    a2 AS (SELECT id, cid FROM (
+             SELECT id, cid, row_number() OVER (PARTITION BY id
+                    ORDER BY d2 ASC, cid ASC) AS rn FROM d2_) WHERE rn = 1),
+    c2 AS (SELECT a.cid, p.dim, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+           FROM a2 a JOIN pts p ON p.id = a.id GROUP BY a.cid, p.dim),
+    dS AS (SELECT p.id, c.cid, sum((p.q - c.c) * (p.q - c.c)) AS d2
+           FROM pts p JOIN c2 c ON p.dim = c.dim GROUP BY p.id, c.cid),
+    rk AS (SELECT id, cid, d2, row_number() OVER (PARTITION BY id
+                  ORDER BY d2 ASC, cid ASC) AS rn FROM dS),
+    ab AS (SELECT a.id, a.cid, a.d2 AS a2, b.d2 AS b2
+           FROM rk a JOIN rk b ON a.id = b.id AND a.rn = 1 AND b.rn = 2),
+    sil AS (SELECT cid,
+                   CASE WHEN greatest(a2, b2) > 0 THEN
+                     CAST(floor(CAST(b2 - a2 AS DOUBLE)
+                                / CAST(greatest(a2, b2) AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END AS s
+            FROM ab)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(s) // count(*) AS BIGINT) AS silhouette_e6
+    FROM sil GROUP BY cid
+    """,
+)
+def simplified_silhouette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the k=4, 2-iteration Lloyd
+    codebook over the embeddings table
+    (operators/clustering.py::simplified_silhouette, Hruschka et al.
+    2004) — the scale-safe cluster-quality score (full silhouette is
+    quadratic in points; this is one broadcast-codebook assignment
+    pass). The oracle replays the two training rounds bit-for-bit
+    (the kmeans_lloyd unrolled-CTE recipe) and ranks a/b with an
+    independent row_number formulation against the Spark side's
+    sorted-array slice."""
+    from ..operators.clustering import kmeans_lloyd, simplified_silhouette
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = kmeans_lloyd(
+        e, id_col="vec_id", vec_col="embedding", k=4, iterations=2,
+    )
+    return simplified_silhouette(e, cb, id_col="vec_id", vec_col="embedding")

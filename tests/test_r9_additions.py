@@ -351,3 +351,68 @@ def test_adamic_adar_validates(spark):
         adamic_adar(edges, k=0)
     with pytest.raises(ValueError, match="max_degree >= 2"):
         adamic_adar(edges, k=1, max_degree=1)
+
+
+# ------------------------------------------------ simplified_silhouette
+
+
+def _sil_fixture(spark):
+    """Two tight planted clusters far apart in 2-D, plus a boundary
+    point. Centroids at ~(0,0) and ~(10,10)."""
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]),
+        (11, [10.0, 10.0]), (12, [10.1, 10.0]), (13, [10.0, 10.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_silhouette_tight_separated_clusters_score_high(spark):
+    from postgis_gtfs_importer_spark.operators.clustering import (
+        kmeans_lloyd,
+        simplified_silhouette,
+    )
+
+    pts = _sil_fixture(spark)
+    cb = kmeans_lloyd(pts, k=2, iterations=3)
+    out = simplified_silhouette(pts, cb).collect()
+    assert len(out) == 2
+    assert sum(r["n_points"] for r in out) == 6
+    for r in out:
+        assert r["silhouette_e6"] > 990_000  # near-perfect separation
+
+
+def test_silhouette_boundary_point_drags_mean(spark):
+    from postgis_gtfs_importer_spark.operators.clustering import (
+        kmeans_lloyd,
+        simplified_silhouette,
+    )
+
+    pts = _sil_fixture(spark)
+    mid = spark.createDataFrame(
+        [(99, [5.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    both = pts.union(mid)
+    cb = kmeans_lloyd(pts, k=2, iterations=3)  # train WITHOUT the midpoint
+    base = {r["cid"]: r for r in simplified_silhouette(pts, cb).collect()}
+    withmid = {
+        r["cid"]: r for r in simplified_silhouette(both, cb).collect()
+    }
+    # the midpoint lands in exactly one cluster and lowers its mean
+    changed = [
+        cid for cid in withmid
+        if withmid[cid]["n_points"] != base[cid]["n_points"]
+    ]
+    assert len(changed) == 1
+    cid = changed[0]
+    assert withmid[cid]["silhouette_e6"] < base[cid]["silhouette_e6"]
+
+
+def test_silhouette_single_centroid_yields_empty(spark):
+    from postgis_gtfs_importer_spark.operators.clustering import (
+        kmeans_lloyd,
+        simplified_silhouette,
+    )
+
+    pts = _sil_fixture(spark)
+    cb = kmeans_lloyd(pts, k=1, iterations=1)
+    assert simplified_silhouette(pts, cb).count() == 0
