@@ -774,3 +774,96 @@ def knn_graph(
         .filter(F.col("rn") <= int(k))
         .select("vec_id", "nbr_id", "score", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    slice_col: str,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Slice-wise embedding-distribution drift — the vector analog of
+    ``profiling.tvd_drift``'s categorical check: per slice (a source,
+    a time bucket, a label), how far has the slice's CENTROID moved
+    from the global centroid? The embedding-pipeline health question
+    behind re-embedding decisions and source-mix audits: a slice whose
+    centroid points away from the corpus (low cosine) or sits far from
+    it (high shift) is distributionally distinct.
+
+    Per slice: ``n_vecs``, ``cos_to_global_e6`` (cosine between the
+    slice centroid and the global centroid, e6 fixed-point; NULL when
+    either centroid is the zero vector), and ``shift_d2`` (exact BIGINT
+    squared L2 distance between the two centroids, in quantized-
+    coordinate units). Centroids are truncating integer means of
+    once-quantized coordinates (the kmeans_lloyd discipline), so both
+    engines derive identical integer centroids; the cosine is one
+    IEEE-deterministic double expression over exact BIGINTs (the
+    norm product exceeds BIGINT range, so it is computed as
+    ``sqrt(double(na2) * double(nb2))`` — both factors < 2^53, every
+    step identically rounded in identical order in the SQL twin).
+
+    Scale shape: one map-side quantize+explode, ONE (slice, dim)-keyed
+    map-side-combined sum (output rows = slices x dims, tiny), the
+    global centroid re-aggregated from per-slice sums (dims rows) and
+    broadcast back, one slice-keyed sum over dim-bounded groups. The
+    corpus is scanned once and never joins anything corpus-sized.
+    Rows with a NULL slice or NULL vector are excluded up front (the
+    sketch-family discipline). Ragged vectors are the caller's schema
+    bug: n_vecs reports the MAX per-dim observation count.
+    """
+    # inline quantize with the slice column carried through the
+    # explode — rejoining quantize_points' (id, dim, q) output back to
+    # the slice would cost a corpus-sized id-keyed join for nothing
+    pts = (
+        df.filter(
+            F.col(slice_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(
+            F.col(slice_col).alias("_sl"),
+            F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+        )
+        .select(
+            "_sl",
+            F.col("dim").cast("long").alias("dim"),
+            F.floor(
+                F.col("_x").cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    persl = pts.groupBy("_sl", "dim").agg(
+        F.sum("q").alias("_sq"), F.count("*").cast("long").alias("_n")
+    )
+    sc = persl.select(
+        "_sl", "dim", F.expr("_sq div _n").alias("_c"), "_n"
+    )
+    gc = (
+        persl.groupBy("dim")
+        .agg(F.expr("sum(_sq) div sum(_n)").alias("_g"))
+    )
+    j = sc.join(F.broadcast(gc), "dim")
+    agg = j.groupBy("_sl").agg(
+        F.max("_n").alias("n_vecs"),
+        F.sum(F.col("_c") * F.col("_g")).alias("_dot"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_na2"),
+        F.sum(F.col("_g") * F.col("_g")).alias("_nb2"),
+        F.sum(
+            (F.col("_c") - F.col("_g")) * (F.col("_c") - F.col("_g"))
+        ).alias("shift_d2"),
+    )
+    cos = F.when(
+        (F.col("_na2") > 0) & (F.col("_nb2") > 0),
+        F.floor(
+            F.col("_dot").cast("double")
+            / F.sqrt(F.col("_na2").cast("double") * F.col("_nb2").cast("double"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return agg.select(
+        F.col("_sl").alias(slice_col),
+        "n_vecs",
+        cos.alias("cos_to_global_e6"),
+        F.col("shift_d2").cast("long").alias("shift_d2"),
+    )

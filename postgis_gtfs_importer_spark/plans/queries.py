@@ -100,6 +100,10 @@ _ADDITIONS_R9: list[str] = [
     # (full silhouette is quadratic; this is one broadcast-assignment
     # pass).
     "simplified_silhouette",
+    # wave 5: slice-wise embedding-centroid drift — tvd_drift's vector
+    # analog (cosine-to-global + exact squared centroid shift per
+    # slice, one corpus scan).
+    "embedding_drift",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -152,13 +156,12 @@ _ROTATION_R9: list[str] = [
     "percent_rank_native",
     "phrase_search",
     "prefix_filter_jaccard",
-    "revenue_cube",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: revenue_pivot, robust_scale, skew_salted_join,
-#: split_leakage_audit, sssp_trade,
+#: the r10 rotation: revenue_cube, revenue_pivot, robust_scale,
+#: skew_salted_join, split_leakage_audit, sssp_trade,
 #: stats_agency_route_stop_hour, stats_route_date,
 #: streaming_session_window, table_profile, time_rollup,
 #: topk_parts_per_nation, triangle_count, tvd_drift, unpivot_roundtrip,
@@ -10838,3 +10841,54 @@ def simplified_silhouette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", vec_col="embedding", k=4, iterations=2,
     )
     return simplified_silhouette(e, cb, id_col="vec_id", vec_col="embedding")
+
+
+@register(
+    "embedding_drift",
+    """
+    WITH pts AS (
+      SELECT label AS sl,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    persl AS (
+      SELECT sl, dim, CAST(sum(q) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY sl, dim
+    ),
+    sc AS (SELECT sl, dim, sq // n AS c, n FROM persl),
+    gc AS (SELECT dim, CAST(sum(sq) // sum(n) AS BIGINT) AS g
+           FROM persl GROUP BY dim),
+    agg AS (
+      SELECT sc.sl, max(sc.n) AS n_vecs,
+             sum(sc.c * gc.g) AS dot,
+             sum(sc.c * sc.c) AS na2,
+             sum(gc.g * gc.g) AS nb2,
+             sum((sc.c - gc.g) * (sc.c - gc.g)) AS shift_d2
+      FROM sc JOIN gc USING (dim) GROUP BY sc.sl
+    )
+    SELECT sl AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           CASE WHEN na2 > 0 AND nb2 > 0 THEN
+             CAST(floor(CAST(dot AS DOUBLE)
+                        / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT)
+           END AS cos_to_global_e6,
+           CAST(shift_d2 AS BIGINT) AS shift_d2
+    FROM agg
+    """,
+)
+def embedding_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift vs the global centroid
+    (operators/similarity.py::embedding_drift) — the vector analog of
+    tvd_drift's categorical check: cosine of the slice centroid to the
+    corpus centroid (e6) plus the exact integer squared centroid
+    shift. One (slice, dim)-keyed map-side-combined sum over a single
+    corpus scan; the global centroid re-aggregates from the per-slice
+    sums (dims rows) and broadcasts back — nothing corpus-sized ever
+    joins or shuffles twice."""
+    from ..operators.similarity import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(e, slice_col="label")

@@ -416,3 +416,65 @@ def test_silhouette_single_centroid_yields_empty(spark):
     pts = _sil_fixture(spark)
     cb = kmeans_lloyd(pts, k=1, iterations=1)
     assert simplified_silhouette(pts, cb).count() == 0
+
+
+# ---------------------------------------------------- embedding_drift
+
+
+def test_embedding_drift_identical_slices_have_zero_shift(spark):
+    """Two slices with IDENTICAL point sets: both centroids equal the
+    global centroid -> shift 0, cosine 1e6."""
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    rows = []
+    for sl in (0, 1):
+        rows += [(sl * 10 + i, [1.0, 2.0, 3.0], sl) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["label"]: r for r in embedding_drift(df, "label").collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["n_vecs"] == 3
+        assert r["shift_d2"] == 0
+        assert r["cos_to_global_e6"] == 1_000_000
+
+
+def test_embedding_drift_opposed_slice_scores_negative_cosine(spark):
+    """Slice 0 along +x, slice 1 along -x with slightly different
+    magnitude so the global centroid is nonzero: the two slices'
+    cosines to the global centroid have opposite signs."""
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    rows = [(1, [1.0, 0.0], 0), (2, [-0.5, 0.0], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["label"]: r for r in embedding_drift(df, "label").collect()}
+    assert out[0]["cos_to_global_e6"] == 1_000_000
+    assert out[1]["cos_to_global_e6"] == -1_000_000
+    assert out[0]["shift_d2"] > 0 and out[1]["shift_d2"] > 0
+
+
+def test_embedding_drift_null_policy_and_zero_vector(spark):
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    rows = [
+        (1, [0.0, 0.0], 0),   # zero vector: cosine NULL, shift = |g|^2
+        (2, [2.0, 0.0], 1),
+        (3, None, 1),          # NULL vector excluded
+        (4, [9.0, 9.0], None),  # NULL slice excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["label"]: r for r in embedding_drift(df, "label").collect()}
+    assert set(out) == {0, 1}
+    assert out[1]["n_vecs"] == 1  # the NULL vector contributed nothing
+    assert out[0]["cos_to_global_e6"] is None  # zero slice centroid
