@@ -73,6 +73,11 @@ BNLJ_OK = {
                              # scalar pattern
     "vocab_coverage",        # 1-row grand-total scalar x the
                              # vocabulary-sized ranked relation
+    "dsir_resample",         # 1-row (nq x np) gram-total scalars x the
+                             # B-row bucket ratio table — the bm25
+                             # corpus-stats pattern; the corpus-side
+                             # joins are equi broadcast-hash on the
+                             # bucket key
                              # (lexical_rarity's n_docs pattern)
 }
 
