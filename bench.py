@@ -673,6 +673,108 @@ def main() -> None:
         print(f"# scale_smoke_kmeans: FAILED {type(e).__name__}: {e}", flush=True)
         detail["scale_smoke_kmeans"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # knn-graph scale smoke (VERDICT r8 item 6): the IVF-blocked bulk
+    # kNN graph on the SAME 160k-vector planted-cluster corpus the ANN
+    # smoke uses, with recall measured against exact brute-force truth
+    # for a 20-vector sample — wall + recall recorded per round next to
+    # ivf_sec. n_centroids=400 ~ sqrt(160k), the documented cell-sizing
+    # rule, so per-cell quadratic work totals ~N^1.5.
+    try:
+        from pyspark.sql import functions as SF
+
+        from postgis_gtfs_importer_spark.operators.similarity import (
+            brute_force_topk,
+            knn_graph,
+        )
+
+        n_vec, dim, n_cl = 160_000, 16, 16
+        nsmoke: dict = {"n_vectors": n_vec}
+        jseq = SF.sequence(SF.lit(0), SF.lit(dim - 1))
+        corpus = spark.range(n_vec).select(
+            SF.col("id").alias("vec_id"),
+            SF.transform(
+                jseq,
+                lambda jj: SF.when(
+                    jj.cast("bigint") == SF.col("id") % n_cl, SF.lit(1.0)
+                ).otherwise(SF.lit(0.0))
+                + ((SF.col("id") * 7 + jj) % 11 - 5).cast("double") / 500.0,
+            ).alias("embedding"),
+        )
+        t0 = time.monotonic()
+        sample_ids = set(range(1000, 1020))
+        g = knn_graph(corpus, k=10, n_centroids=400)
+        by_vec: dict = {}
+        for r in g.filter(SF.col("vec_id").isin(*sample_ids)).collect():
+            by_vec.setdefault(r.vec_id, set()).add(r.nbr_id)
+        nsmoke["knn_graph_sec"] = round(time.monotonic() - t0, 3)
+        sample = corpus.filter(SF.col("vec_id").isin(*sample_ids))
+        truth: dict = {}
+        for r in brute_force_topk(corpus, sample, k=10).collect():
+            truth.setdefault(r.q_id, set()).add(r.vec_id)
+        hits_n = sum(len(by_vec.get(v, set()) & s) for v, s in truth.items())
+        total = sum(len(s) for s in truth.values())
+        nsmoke["knn_graph_recall_at_10"] = round(hits_n / total, 4)
+        detail["scale_smoke_knn_graph"] = nsmoke
+        print(f"# scale_smoke_knn_graph: {nsmoke}", flush=True)
+    except Exception as e:
+        print(f"# scale_smoke_knn_graph: FAILED {type(e).__name__}: {e}",
+              flush=True)
+        detail["scale_smoke_knn_graph"] = {
+            "error": f"{type(e).__name__}: {e}"[:300]
+        }
+
+    # session-path scale smoke (VERDICT r8 item 6): path_mining over a
+    # 198k-user synthetic event stream with an ANALYTIC invariant —
+    # each user emits a 3-event session (a,b,c one minute apart), a
+    # 2-hour gap, then a 2-event session (d,e): the ONLY 3-gram is
+    # 'a > b > c', exactly once per user; any cross-gap or cross-user
+    # leakage would surface as extra paths or inflated counts.
+    try:
+        from pyspark.sql import functions as SF
+
+        from postgis_gtfs_importer_spark.operators.sessions import (
+            path_mining,
+        )
+
+        n_users = 198_000
+        psmoke: dict = {"n_users": n_users}
+        base = SF.to_timestamp(SF.lit("2024-01-01 12:00:00"))
+        offs = [(0, "a"), (60, "b"), (120, "c"), (7320, "d"), (7380, "e")]
+        ev = spark.range(n_users).select(
+            SF.col("id").alias("user_id"),
+            SF.explode(
+                SF.array(
+                    *[
+                        SF.struct(
+                            SF.lit(o).alias("off"), SF.lit(t).alias("ty")
+                        )
+                        for o, t in offs
+                    ]
+                )
+            ).alias("e"),
+        ).select(
+            "user_id",
+            (base + SF.make_interval(secs=SF.col("e.off"))).alias("ts"),
+            SF.col("e.ty").alias("event_type"),
+            SF.concat_ws("-", "user_id", "e.off").alias("event_id"),
+        )
+        t0 = time.monotonic()
+        paths = {
+            r["path"]: r["n"]
+            for r in path_mining(ev, n=3, k=5, gap_sec=1800).collect()
+        }
+        psmoke["path_mining_sec"] = round(time.monotonic() - t0, 3)
+        assert paths == {"a > b > c": n_users}, dict(list(paths.items())[:3])
+        psmoke["paths_ok"] = True
+        detail["scale_smoke_path_mining"] = psmoke
+        print(f"# scale_smoke_path_mining: {psmoke}", flush=True)
+    except Exception as e:
+        print(f"# scale_smoke_path_mining: FAILED {type(e).__name__}: {e}",
+              flush=True)
+        detail["scale_smoke_path_mining"] = {
+            "error": f"{type(e).__name__}: {e}"[:300]
+        }
+
     # Cross-round comparability (VERDICT r4 item 7): read the PREVIOUS
     # run's detail file BEFORE overwriting it and record per-query warm
     # deltas, so cold-vs-warm artifacts (e.g. r4's staged-fact
