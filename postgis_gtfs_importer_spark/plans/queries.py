@@ -104,6 +104,10 @@ _ADDITIONS_R9: list[str] = [
     # analog (cosine-to-global + exact squared centroid shift per
     # slice, one corpus scan).
     "embedding_drift",
+    # wave 6: dense-grid burst detection — trailing-mean rate spikes
+    # with all-integer thresholds (the zeros-included baseline a
+    # sparse-window formulation silently gets wrong).
+    "rate_spikes",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -155,12 +159,12 @@ _ROTATION_R9: list[str] = [
     "pagerank_trade",
     "percent_rank_native",
     "phrase_search",
-    "prefix_filter_jaccard",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: revenue_cube, revenue_pivot, robust_scale,
+#: the r10 rotation: prefix_filter_jaccard, revenue_cube,
+#: revenue_pivot, robust_scale,
 #: skew_salted_join, split_leakage_audit, sssp_trade,
 #: stats_agency_route_stop_hour, stats_route_date,
 #: streaming_session_window, table_profile, time_rollup,
@@ -10892,3 +10896,50 @@ def embedding_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_drift(e, slice_col="label")
+
+
+@register(
+    "rate_spikes",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600.0) AS BIGINT)
+               AS step
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    counts AS (SELECT event_type, step, CAST(count(*) AS BIGINT) AS n
+               FROM ev GROUP BY 1, 2),
+    span AS (SELECT event_type, min(step) AS lo, max(step) AS hi
+             FROM counts GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS step FROM span),
+    dense AS (SELECT g.event_type, g.step, coalesce(c.n, 0) AS n
+              FROM grid g LEFT JOIN counts c USING (event_type, step)),
+    tr AS (SELECT event_type, step, n,
+                  CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trailing_sum,
+                  CAST(count(*) OVER w AS BIGINT) AS w_actual
+           FROM dense
+           WINDOW w AS (PARTITION BY event_type ORDER BY step
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, CAST(step * 3600 AS BIGINT) AS bucket_start_epoch,
+           CAST(n AS BIGINT) AS n_events, trailing_sum, w_actual
+    FROM tr
+    WHERE w_actual >= 1 AND trailing_sum >= 1
+      AND n * 1 * w_actual > 2 * trailing_sum
+    """,
+)
+def rate_spikes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rate-spike detection per event type
+    (operators/temporal.py::rate_spikes): buckets whose count exceeds
+    2x the trailing 6-bucket mean over a DENSE grid — missing buckets
+    coalesce to zero so quiet periods cannot inflate the baseline (the
+    correctness hinge a sparse-window formulation silently gets wrong).
+    All-integer cross-multiplied threshold; one (key, bucket) count
+    aggregate, a bounded per-key sequence explode, one key-keyed window
+    sort."""
+    from ..operators.temporal import rate_spikes
+
+    e = _t(spark, sf_dir, "events")
+    return rate_spikes(
+        e, key_cols=["event_type"], ts_col="ts", bucket_seconds=3600,
+        window_buckets=6, factor_num=2, factor_den=1, min_baseline=1,
+    )

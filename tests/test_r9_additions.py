@@ -478,3 +478,79 @@ def test_embedding_drift_null_policy_and_zero_vector(spark):
     assert set(out) == {0, 1}
     assert out[1]["n_vecs"] == 1  # the NULL vector contributed nothing
     assert out[0]["cos_to_global_e6"] is None  # zero slice centroid
+
+
+# -------------------------------------------------------- rate_spikes
+
+
+def _spike_events(spark, counts_by_hour, key="k"):
+    """counts_by_hour: {hour_index: n_events} -> events DataFrame."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = []
+    eid = 0
+    for h, n in counts_by_hour.items():
+        for i in range(n):
+            rows.append(
+                (key, base + dt.timedelta(hours=h, seconds=i), eid)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+
+
+def test_rate_spikes_flags_burst_over_dense_baseline(spark):
+    """Hours 0-5 at 2/hour, hour 6 at 10 (5x mean -> spike), hour 7
+    back to 2 (under 2x the now-elevated mean -> quiet)."""
+    from postgis_gtfs_importer_spark.operators.temporal import rate_spikes
+
+    ev = _spike_events(
+        spark, {0: 2, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 10, 7: 2}
+    )
+    out = rate_spikes(
+        ev, key_cols=["event_type"], window_buckets=6,
+        factor_num=2, factor_den=1,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 10 and r["trailing_sum"] == 12
+    assert r["w_actual"] == 6
+
+
+def test_rate_spikes_dense_grid_zeros_suppress_false_negatives(spark):
+    """THE dense-grid hinge: 2 events at hour 0, silence for hours
+    1-5, then 3 events at hour 6. Trailing mean over the DENSE window
+    is (2+0+0+0+0+0)/6 = 1/3, so 3 events IS a spike; a sparse window
+    (only hour 0 visible) would compute mean 2 and miss it."""
+    from postgis_gtfs_importer_spark.operators.temporal import rate_spikes
+
+    ev = _spike_events(spark, {0: 2, 6: 3})
+    out = rate_spikes(
+        ev, key_cols=["event_type"], window_buckets=6,
+        factor_num=2, factor_den=1,
+    ).collect()
+    assert [(r["n_events"], r["trailing_sum"], r["w_actual"])
+            for r in out] == [(3, 2, 6)]
+
+
+def test_rate_spikes_cold_start_not_flagged(spark):
+    """The first bucket has no trailing window (w_actual=0) and the
+    second sees baseline 0 < min_baseline: neither flags."""
+    from postgis_gtfs_importer_spark.operators.temporal import rate_spikes
+
+    ev = _spike_events(spark, {0: 100})
+    assert rate_spikes(ev, key_cols=["event_type"]).count() == 0
+    ev2 = _spike_events(spark, {0: 0, 1: 100})  # hour 0 empty dict entry
+    assert rate_spikes(ev2, key_cols=["event_type"]).count() == 0
+
+
+def test_rate_spikes_validates(spark):
+    from postgis_gtfs_importer_spark.operators.temporal import rate_spikes
+
+    ev = _spike_events(spark, {0: 1})
+    with pytest.raises(ValueError, match="bucket_seconds > 0"):
+        rate_spikes(ev, key_cols=["event_type"], bucket_seconds=0)
+    with pytest.raises(ValueError, match="positive factor"):
+        rate_spikes(ev, key_cols=["event_type"], factor_num=0)
