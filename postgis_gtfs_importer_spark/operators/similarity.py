@@ -867,3 +867,59 @@ def embedding_drift(
         cos.alias("cos_to_global_e6"),
         F.col("shift_d2").cast("long").alias("shift_d2"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: the pairs that
+    are NEAR in embedding space but carry DIFFERENT labels — exactly
+    the negatives a contrastive/metric-learning objective learns most
+    from (easy negatives are already far; these are the boundary
+    cases). Built as :func:`knn_graph` (IVF-blocked exact per-cell
+    top-k) filtered to label disagreement.
+
+    Returns (vec_id, label, nbr_id, nbr_label, score, rn) for every
+    graph edge whose endpoint labels differ. ``rn`` is the neighbor's
+    rank in the FULL kNN graph, so gaps in rn per vec_id are
+    themselves a signal: rank-1 hard negatives sit closer than any
+    same-label neighbor (likely label noise — the knn_label_vote
+    complement), rank-5 ones are ordinary boundary pairs.
+
+    Scale: inherits knn_graph's ONE cell-keyed corpus shuffle; the two
+    label attachments are plain id-keyed hash joins of the k·N-row
+    graph against the N-row label relation (uniform keys, no skew).
+    Rows with a NULL label are excluded up front — an unlabeled vector
+    can be neither a positive nor a negative.
+    """
+    labeled = corpus.filter(F.col(label_col).isNotNull())
+    g = knn_graph(
+        labeled, k=k, n_centroids=n_centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    lab = labeled.select(
+        F.col(id_col).cast("long").alias("_lid"),
+        F.col(label_col).alias("_lbl"),
+    )
+    return (
+        g.join(
+            lab.select(
+                F.col("_lid").alias("vec_id"), F.col("_lbl").alias("label")
+            ),
+            "vec_id",
+        )
+        .join(
+            lab.select(
+                F.col("_lid").alias("nbr_id"),
+                F.col("_lbl").alias("nbr_label"),
+            ),
+            "nbr_id",
+        )
+        .filter(F.col("label") != F.col("nbr_label"))
+        .select("vec_id", "label", "nbr_id", "nbr_label", "score", "rn")
+    )

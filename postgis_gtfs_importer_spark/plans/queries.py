@@ -108,6 +108,10 @@ _ADDITIONS_R9: list[str] = [
     # with all-integer thresholds (the zeros-included baseline a
     # sparse-window formulation silently gets wrong).
     "rate_spikes",
+    # wave 7: hard-negative mining — knn_graph edges with label
+    # disagreement, the contrastive-training boundary pairs (rank gaps
+    # expose label noise).
+    "hard_negatives",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -158,12 +162,11 @@ _ROTATION_R9: list[str] = [
     "ols_trend",
     "pagerank_trade",
     "percent_rank_native",
-    "phrase_search",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: prefix_filter_jaccard, revenue_cube,
+#: the r10 rotation: phrase_search, prefix_filter_jaccard, revenue_cube,
 #: revenue_pivot, robust_scale,
 #: skew_salted_join, split_leakage_audit, sssp_trade,
 #: stats_agency_route_stop_hour, stats_route_date,
@@ -10942,4 +10945,60 @@ def rate_spikes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_spikes(
         e, key_cols=["event_type"], ts_col="ts", bucket_seconds=3600,
         window_buckets=6, factor_num=2, factor_den=1, min_baseline=1,
+    )
+
+
+@register(
+    "hard_negatives",
+    """
+    WITH labeled AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    cent AS (
+      SELECT vec_id AS cid, emb AS cemb
+      FROM labeled ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, emb, label, cid FROM (
+        SELECT s.vec_id, s.emb, s.label, c.cid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY round(list_cosine_similarity(s.emb, c.cemb), 6) DESC,
+                          c.cid ASC) AS crn
+        FROM labeled s CROSS JOIN cent c
+      ) WHERE crn = 1
+    ),
+    g AS (
+      SELECT vec_id, label, nbr_id, nbr_label, score, rn FROM (
+        SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS score,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC,
+                          b.vec_id ASC) AS rn
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      ) WHERE rn <= 5
+    )
+    SELECT vec_id, label, nbr_id, nbr_label, score,
+           CAST(rn AS BIGINT) AS rn
+    FROM g WHERE label <> nbr_label
+    """,
+)
+def hard_negatives_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the embedding corpus
+    (operators/similarity.py::hard_negatives): kNN-graph edges whose
+    endpoint labels DISAGREE — the boundary pairs contrastive training
+    learns most from; rank gaps expose likely label noise (a rank-1
+    hard negative sits closer than any same-label neighbor). Inherits
+    knn_graph's one cell-keyed corpus shuffle; labels attach by plain
+    id-keyed hash joins. The oracle replays assignment, per-cell
+    top-k, and the disagreement filter."""
+    from ..operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, k=5, n_centroids=16, id_col="vec_id",
+        vec_col="embedding", label_col="label",
     )

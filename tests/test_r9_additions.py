@@ -554,3 +554,61 @@ def test_rate_spikes_validates(spark):
         rate_spikes(ev, key_cols=["event_type"], bucket_seconds=0)
     with pytest.raises(ValueError, match="positive factor"):
         rate_spikes(ev, key_cols=["event_type"], factor_num=0)
+
+
+# ------------------------------------------------------ hard_negatives
+
+
+def test_hard_negatives_boundary_pairs_only(spark):
+    """Two tight clusters; one vector in cluster A carries cluster B's
+    label (planted label noise). Its same-cell neighbors are all
+    cross-label -> it dominates the output, at rank 1."""
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = []
+    # ids interleave so the sampled quantizer (2 smallest ids) seeds
+    # one centroid per cluster
+    for j in range(6):
+        for c in range(2):
+            base = [0.0] * 4
+            base[c * 2] = 1.0
+            base[c * 2 + 1] = 0.01 * j
+            rows.append((j * 2 + c, base, c))
+    # plant noise: vec 8 (cluster 0 geometry) gets label 1
+    rows = [
+        (vid, emb, 1 if vid == 8 else lbl) for vid, emb, lbl in rows
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives(df, k=3, n_centroids=2).collect()
+    # every returned pair disagrees on label
+    assert all(r["label"] != r["nbr_label"] for r in out)
+    # the planted-noise vector appears both as source and as neighbor
+    assert any(r["vec_id"] == 8 for r in out)
+    assert any(r["nbr_id"] == 8 for r in out)
+    # clean in-cluster pairs (both label 0, cluster 0) never appear
+    assert not any(
+        r["label"] == r["nbr_label"] for r in out
+    )
+
+
+def test_hard_negatives_null_labels_excluded(spark):
+    from postgis_gtfs_importer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 1),
+        (2, [0.98, 0.2], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives(df, k=2, n_centroids=1).collect()
+    ids = {r["vec_id"] for r in out} | {r["nbr_id"] for r in out}
+    assert 2 not in ids
+    assert len(out) == 2  # 0<->1 both directions
