@@ -112,6 +112,10 @@ _ADDITIONS_R9: list[str] = [
     # disagreement, the contrastive-training boundary pairs (rank gaps
     # expose label noise).
     "hard_negatives",
+    # wave 8: k-truss peeling — the eighth iterative graph family
+    # (cohesive cores k-core's degree bound cannot see), fixpoint
+    # early-exit proven parity-safe against the unrolled oracle.
+    "ktruss",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -161,12 +165,12 @@ _ROTATION_R9: list[str] = [
     "ntile_buckets",
     "ols_trend",
     "pagerank_trade",
-    "percent_rank_native",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: phrase_search, prefix_filter_jaccard, revenue_cube,
+#: the r10 rotation: percent_rank_native, phrase_search,
+#: prefix_filter_jaccard, revenue_cube,
 #: revenue_pivot, robust_scale,
 #: skew_salted_join, split_leakage_audit, sssp_trade,
 #: stats_agency_route_stop_hour, stats_route_date,
@@ -11002,3 +11006,60 @@ def hard_negatives_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=5, n_centroids=16, id_col="vec_id",
         vec_col="embedding", label_col="label",
     )
+
+
+@register(
+    "ktruss",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t0 AS (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM e0 ab
+      JOIN e0 bc ON bc.a = ab.b
+      JOIN e0 ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    s0 AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+        SELECT x AS a, y AS b FROM t0
+        UNION ALL SELECT x, z FROM t0
+        UNION ALL SELECT y, z FROM t0) GROUP BY a, b
+    ),
+    e1 AS (
+      SELECT e0.a, e0.b FROM e0 LEFT JOIN s0 USING (a, b)
+      WHERE coalesce(s0.sup, 0) >= 2
+    ),
+    t1 AS (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM e1 ab
+      JOIN e1 bc ON bc.a = ab.b
+      JOIN e1 ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    s1 AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+        SELECT x AS a, y AS b FROM t1
+        UNION ALL SELECT x, z FROM t1
+        UNION ALL SELECT y, z FROM t1) GROUP BY a, b
+    )
+    SELECT e1.a, e1.b, CAST(coalesce(s1.sup, 0) AS BIGINT) AS support
+    FROM e1 LEFT JOIN s1 USING (a, b)
+    WHERE coalesce(s1.sup, 0) >= 2
+    """,
+)
+def ktruss_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the part co-occurrence graph, 2 peeling rounds
+    (operators/graph.py::ktruss, Cohen 2008) — every surviving edge
+    closes >= 2 triangles among survivors; the cohesive-community
+    core k-core's degree bound cannot see (a star passes k-core with
+    zero triangles). Per round: the triangle_count orientation
+    machinery with an output-bounded 3·|triangles| edge-credit
+    explode, eager materialization, fixpoint early-exit (parity-safe:
+    at the fixpoint further rounds recompute identical support, which
+    is exactly what the unrolled 2-round oracle does)."""
+    from ..operators.graph import ktruss, part_cooccurrence_edges
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    return ktruss(part_cooccurrence_edges(li), k=4, max_rounds=2)

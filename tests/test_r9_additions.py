@@ -612,3 +612,68 @@ def test_hard_negatives_null_labels_excluded(spark):
     ids = {r["vec_id"] for r in out} | {r["nbr_id"] for r in out}
     assert 2 not in ids
     assert len(out) == 2  # 0<->1 both directions
+
+
+# ------------------------------------------------------------- ktruss
+
+
+def test_ktruss_peels_pendant_triangles(spark):
+    """K4 (every edge in 2 triangles) with a pendant triangle glued at
+    one vertex (each pendant edge in exactly 1): 4-truss keeps exactly
+    the K4, and the peel must CASCADE — removing the pendant edges in
+    round 1 leaves the glue edges' support intact (they were never in
+    the same triangles)."""
+    from postgis_gtfs_importer_spark.operators.graph import ktruss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 5), (4, 6), (5, 6)]
+    edges = spark.createDataFrame(k4 + pendant, "a long, b long")
+    out = ktruss(edges, k=4, max_rounds=5).collect()
+    got = {(r["a"], r["b"]): r["support"] for r in out}
+    assert set(got) == set(k4)
+    assert all(s == 2 for s in got.values())
+
+
+def test_ktruss_cascade_requires_iteration(spark):
+    """A triangle CHAIN (t1 shares an edge with t2, t2 with t3): in a
+    3-truss (support >= 1) everything survives; in a 4-truss
+    (support >= 2) only edges in 2+ triangles survive round 1, which
+    then starves the rest — the final 4-truss is EMPTY, and getting
+    there takes more than one round (single-round filtering would
+    leave the shared edges)."""
+    from postgis_gtfs_importer_spark.operators.graph import ktruss
+
+    chain = [
+        (1, 2), (1, 3), (2, 3),   # t1
+        (2, 4), (3, 4),           # t2 = (2,3,4) shares edge (2,3)
+        (3, 5), (4, 5),           # t3 = (3,4,5) shares edge (3,4)
+    ]
+    edges = spark.createDataFrame(chain, "a long, b long")
+    assert ktruss(edges, k=3, max_rounds=5).count() == len(chain)
+    out4 = ktruss(edges, k=4, max_rounds=5)
+    assert out4.count() == 0
+    # one round is NOT enough: the shared edges (2,3) and (3,4) have
+    # support 2 in the full graph and survive a single filter pass
+    one_round = ktruss(edges, k=4, max_rounds=1)
+    assert one_round.count() > 0
+
+
+def test_ktruss_fixpoint_early_exit_is_stable(spark):
+    """On an already-maximal truss, extra rounds change nothing."""
+    from postgis_gtfs_importer_spark.operators.graph import ktruss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(k4, "a long, b long")
+    a = sorted(map(tuple, ktruss(edges, k=4, max_rounds=1).collect()))
+    b = sorted(map(tuple, ktruss(edges, k=4, max_rounds=10).collect()))
+    assert a == b
+
+
+def test_ktruss_validates(spark):
+    from postgis_gtfs_importer_spark.operators.graph import ktruss
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss(edges, k=2)
+    with pytest.raises(ValueError, match="max_rounds >= 1"):
+        ktruss(edges, k=3, max_rounds=0)
