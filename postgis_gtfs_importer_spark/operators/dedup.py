@@ -986,3 +986,115 @@ def containment_pairs(
             "cont_ab_e6", "cont_ba_e6",
         )
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal, first occurrence wins — the
+    REMOVE side of the Lee et al. 2022 exact-substring result
+    (dup_ngram_coverage is the MEASURE side): every corpus-duplicated
+    token n-gram keeps only its globally-first occurrence (smallest
+    ``(doc id, position)`` — an arbitrary but total and deterministic
+    canonical order); every other occurrence's [s, s+n) span is
+    removed from its document, overlaps merged so removal never
+    double-counts. Approximates the suffix-array dedup at fixed span
+    length n (production: n≈50 tokens; Lee et al.'s motivation —
+    verbatim boilerplate repeated across docs — is exactly this).
+
+    Returns EVERY input document as ``(id, n_tok, removed_tok,
+    kept_text)``. ``kept_text`` is the TOKENIZED reconstruction
+    (lowercased, single-spaced — the shared-tokenizer normalization;
+    a dedup pipeline consumes tokens, not typography). Docs shorter
+    than n tokens pass through untouched; NULL ids/texts are excluded
+    up front.
+
+    Scale shape (the dup_ngram_coverage rationale, extended):
+    (1) n-gram starts are MAP-SIDE per-doc array expressions;
+    (2) the global first + occurrence count per gram is ONE map-side-
+        combinable aggregate (``min(struct(id, pos)), count``) — a
+        boilerplate gram with 10M sites collapses to one row per task
+        BEFORE the shuffle, so the hot key never concentrates;
+    (3) removal sites join BACK on the gram key — the dup side has
+        ONE row per distinct gram (skew-safe direction);
+    (4) spans merge per doc (interval_union, doc-keyed) and collect
+        into a per-doc interval array (bounded by doc length);
+    (5) the rebuild is a per-row array filter (tokens x intervals,
+        bounded per doc) — zero further shuffles.
+    """
+    from ..functions import text as TX
+    from .temporal import interval_union
+
+    toks = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        TX.lower_ws_tokens_nonempty(F.col(text_col)).alias("_t"),
+    )
+    starts = F.when(
+        F.size("_t") >= n, F.sequence(F.lit(1), F.size("_t") - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.concat_ws(" ", F.slice("_t", s, n)).alias("g"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(
+        "_id",
+        F.col("_p.s").cast("long").alias("_s"),
+        F.col("_p.g").alias("_g"),
+    )
+    firsts = grams.groupBy("_g").agg(
+        F.min(F.struct("_id", "_s")).alias("_first"),
+        F.count("*").alias("_cnt"),
+    ).filter(F.col("_cnt") >= int(min_dup))
+    removal = (
+        grams.join(firsts, "_g")
+        .filter(
+            (F.col("_id") != F.col("_first._id"))
+            | (F.col("_s") != F.col("_first._s"))
+        )
+        .select("_id", F.col("_s").alias("_lo"), (F.col("_s") + n).alias("_hi"))
+    )
+    ivs = (
+        interval_union(removal, "_id", "_lo", "_hi")
+        .groupBy("_id")
+        .agg(
+            F.collect_list(F.struct(F.col("lo"), F.col("hi"))).alias("_ivs")
+        )
+    )
+    joined = toks.join(ivs, "_id", "left").select(
+        "_id",
+        "_t",
+        F.coalesce(
+            "_ivs", F.expr("array()").cast("array<struct<lo:long,hi:long>>")
+        ).alias("_ivs"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_t"),
+            lambda x, i: F.struct(x.alias("x"), (i + 1).alias("idx")),
+        ),
+        lambda st: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (st["idx"] >= iv["lo"]) & (st["idx"] < iv["hi"]),
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_t").cast("long").alias("n_tok"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("removed_tok"),
+        F.array_join(
+            F.transform(kept, lambda st: st["x"]), " "
+        ).alias("kept_text"),
+    )

@@ -116,6 +116,10 @@ _ADDITIONS_R9: list[str] = [
     # (cohesive cores k-core's degree bound cannot see), fixpoint
     # early-exit proven parity-safe against the unrolled oracle.
     "ktruss",
+    # wave 9: exact duplicate-span REMOVAL, first occurrence wins —
+    # the Lee et al. remove side of dup_ngram_coverage's measure side,
+    # with the skew-safe min(struct)+count first-occurrence aggregate.
+    "dedup_spans",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -164,12 +168,11 @@ _ROTATION_R9: list[str] = [
     "line_dedup",
     "ntile_buckets",
     "ols_trend",
-    "pagerank_trade",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: percent_rank_native, phrase_search,
+#: the r10 rotation: pagerank_trade, percent_rank_native, phrase_search,
 #: prefix_filter_jaccard, revenue_cube,
 #: revenue_pivot, robust_scale,
 #: skew_salted_join, split_leakage_audit, sssp_trade,
@@ -11063,3 +11066,69 @@ def ktruss_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spread(_t(spark, sf_dir, "lineitem"))
     return ktruss(part_cooccurrence_edges(li), k=4, max_rounds=2)
+
+
+@register(
+    "dedup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+               x -> x <> '') AS t
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, s, array_to_string(t[s : s + 3], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS s FROM toks)
+    ),
+    firsts AS (
+      -- (doc_id, s) encoded into one BIGINT so min() is the
+      -- lexicographic first occurrence (positions < 2^20 here)
+      SELECT g, min(doc_id * 1048576 + s) AS fk, count(*) AS cnt
+      FROM grams GROUP BY g HAVING count(*) >= 2
+    ),
+    removal AS (
+      SELECT gr.doc_id, gr.s
+      FROM grams gr JOIN firsts f USING (g)
+      WHERE gr.doc_id * 1048576 + gr.s <> f.fk
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, s + k AS pos
+      FROM (SELECT doc_id, s, unnest(range(0, 4)) AS k FROM removal)
+    ),
+    tok_idx AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) AS idx
+      FROM toks
+    ),
+    kept AS (
+      SELECT ti.doc_id,
+             string_agg(ti.tok, ' ' ORDER BY ti.idx) AS kept_text,
+             count(*) AS kept_n
+      FROM tok_idx ti LEFT JOIN cov c
+        ON c.doc_id = ti.doc_id AND c.pos = ti.idx
+      WHERE c.pos IS NULL
+      GROUP BY ti.doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tok,
+           CAST(len(t.t) - coalesce(k.kept_n, 0) AS BIGINT) AS removed_tok,
+           coalesce(k.kept_text, '') AS kept_text
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def dedup_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal over the documents corpus, 4-token
+    spans, first occurrence wins (operators/dedup.py::dedup_spans —
+    the REMOVE side of Lee et al. 2022; dup_ngram_coverage is the
+    MEASURE side). The global first is one map-side-combinable
+    min(struct)+count aggregate (a 10M-site boilerplate gram collapses
+    per task BEFORE the shuffle), removal sites join back on the
+    one-row-per-gram side, spans merge per doc, and the rebuild is a
+    per-row array filter. The oracle independently encodes (doc, pos)
+    into a single BIGINT min and rebuilds by covered-position
+    anti-join — agreement proves the span-union rebuild."""
+    from ..operators.dedup import dedup_spans
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return dedup_spans(d, id_col="doc_id", text_col="text", n=4, min_dup=2)

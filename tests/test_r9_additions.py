@@ -677,3 +677,61 @@ def test_ktruss_validates(spark):
         ktruss(edges, k=2)
     with pytest.raises(ValueError, match="max_rounds >= 1"):
         ktruss(edges, k=3, max_rounds=0)
+
+
+# -------------------------------------------------------- dedup_spans
+
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    from postgis_gtfs_importer_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (1, "a b c d e unique one"),
+        (2, "x y a b c d e tail"),
+        (3, "fresh words only here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_spans(df, n=4).collect()}
+    # doc 1 holds the global first (smallest id) — untouched
+    assert out[1]["removed_tok"] == 0
+    assert out[1]["kept_text"] == "a b c d e unique one"
+    # doc 2 loses the merged 5-token span (two overlapping dup 4-grams)
+    assert out[2]["removed_tok"] == 5
+    assert out[2]["kept_text"] == "x y tail"
+    assert out[3]["removed_tok"] == 0
+
+
+def test_dedup_spans_within_doc_repeat(spark):
+    """A doc repeating its own 4-gram keeps the first copy only."""
+    from postgis_gtfs_importer_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "p q r s mid p q r s")], "doc_id long, text string"
+    )
+    r = dedup_spans(df, n=4).collect()[0]
+    assert r["n_tok"] == 9
+    assert r["removed_tok"] == 4
+    assert r["kept_text"] == "p q r s mid"
+
+
+def test_dedup_spans_total_removal_yields_empty_text(spark):
+    from postgis_gtfs_importer_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(df, n=4).collect()}
+    assert out[1]["kept_text"] == "a b c d"
+    assert out[2]["kept_text"] == ""
+    assert out[2]["removed_tok"] == 4
+
+
+def test_dedup_spans_short_docs_pass_through(spark):
+    from postgis_gtfs_importer_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(df, n=4).collect()}
+    assert all(r["removed_tok"] == 0 for r in out.values())
+    assert out[2]["kept_text"] == "too short"
