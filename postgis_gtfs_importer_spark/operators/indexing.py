@@ -823,3 +823,65 @@ def vocab_coverage(
             .alias("covered_tokens"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language fluency terciles (Wenzek et al. 2020):
+    score every document under the corpus-trained bigram LM
+    (:func:`bigram_lm_scores` — the transcendental-free perplexity
+    stand-in) and label it ``head`` / ``middle`` / ``tail`` WITHIN its
+    language — the published recipe for keeping cross-language quality
+    comparable (absolute perplexity is not comparable across
+    languages; per-language terciles are).
+
+    Tercile assignment is all-integer: rank r by (fluency DESC, id
+    ASC) within the language, size n; ``head`` iff ``r*3 <= n``,
+    ``middle`` iff ``r*3 <= 2n``, else ``tail`` — no float boundary,
+    and the two windows (rank + count) share one language-keyed
+    exchange. Exact-thirds consequence, stated not hidden: head gets
+    ``floor(n/3)`` slots, so a language with n < 3 docs has NO head
+    (and n < 2 no middle) — tiny strata degrade toward tail rather
+    than inflating head.
+
+    Caveat inherited from the ML bigram model (bigram_lm_scores
+    documents it): hapax bigrams score conditional probability 1, so
+    a doc of corpus-unique tokens reads as maximally fluent — run
+    AFTER dedup/oov gates, exactly where plans/corpus.py places the
+    fluency stage. Same caveat as percentile_gate, documented not hidden:
+    the cut depends on n, so a language's rows DO ship to one reducer
+    task; pre-split a language bigger than task memory with a salt and
+    union the per-salt terciles (the fraction is scale-free).
+
+    Docs with no bigrams (shorter than 2 tokens) are unscorable and
+    excluded (the bigram_lm_scores contract); docs with a NULL
+    language are excluded (no stratum to rank within). Returns
+    (id, lang, n_bigrams, mean_cond_e6, bucket).
+    """
+    scored = bigram_lm_scores(df, id_col=id_col, text_col=text_col)
+    lang = df.filter(F.col(lang_col).isNotNull()).select(
+        F.col(id_col), F.col(lang_col)
+    )
+    j = scored.join(lang, id_col)
+    w_rank = Window.partitionBy(lang_col).orderBy(
+        F.desc("mean_cond_e6"), F.asc(id_col)
+    )
+    w_all = Window.partitionBy(lang_col)
+    ranked = j.select(
+        "*",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count("*").over(w_all).alias("_n"),
+    )
+    bucket = (
+        F.when(F.col("_r") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_r") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        id_col, lang_col, "n_bigrams", "mean_cond_e6",
+        bucket.alias("bucket"),
+    )

@@ -120,6 +120,10 @@ _ADDITIONS_R9: list[str] = [
     # the Lee et al. remove side of dup_ngram_coverage's measure side,
     # with the skew-safe min(struct)+count first-occurrence aggregate.
     "dedup_spans",
+    # wave 10: CCNet per-language fluency terciles — head/middle/tail
+    # by all-integer rank cuts over the bigram-LM score, the published
+    # cross-language-comparable quality recipe.
+    "ccnet_buckets",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -167,12 +171,12 @@ _ROTATION_R9: list[str] = [
     "knn_label_vote",
     "line_dedup",
     "ntile_buckets",
-    "ols_trend",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: pagerank_trade, percent_rank_native, phrase_search,
+#: the r10 rotation: ols_trend, pagerank_trade, percent_rank_native,
+#: phrase_search,
 #: prefix_filter_jaccard, revenue_cube,
 #: revenue_pivot, robust_scale,
 #: skew_salted_join, split_leakage_audit, sssp_trade,
@@ -11132,3 +11136,79 @@ def dedup_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(_t(spark, sf_dir, "documents"))
     return dedup_spans(d, id_col="doc_id", text_col="text", n=4, min_dup=2)
+
+
+@register(
+    "ccnet_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, pos, tok
+      FROM (
+        SELECT doc_id,
+               generate_subscripts(t, 1) - 1 AS pos,
+               unnest(list_transform(t, x -> lower(x))) AS tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents)
+      ) WHERE tok <> ''
+    ),
+    occ AS (
+      SELECT a.doc_id, a.tok, b.tok AS tok2,
+             CAST(count(*) AS BIGINT) AS m
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id, a.tok, b.tok
+    ),
+    c12 AS (
+      SELECT tok, tok2, CAST(sum(m) AS BIGINT) AS c12
+      FROM occ GROUP BY tok, tok2
+    ),
+    c1 AS (
+      SELECT tok, CAST(sum(c12) AS BIGINT) AS c1
+      FROM c12 GROUP BY tok
+    ),
+    sc AS (
+      SELECT c12.tok, c12.tok2,
+             CAST(floor(CAST(c12.c12 AS DOUBLE) * 1e6 / c1.c1 + 0.5)
+                  AS BIGINT) AS p_e6
+      FROM c12 JOIN c1 ON c1.tok = c12.tok
+    ),
+    per_doc AS (
+      SELECT occ.doc_id,
+             CAST(sum(occ.m) AS BIGINT) AS n_bigrams,
+             CAST(floor(CAST(sum(occ.m * sc.p_e6) AS DOUBLE)
+                        / sum(occ.m) + 0.5) AS BIGINT) AS mean_cond_e6
+      FROM occ JOIN sc ON sc.tok = occ.tok AND sc.tok2 = occ.tok2
+      GROUP BY occ.doc_id
+    ),
+    withlang AS (
+      SELECT p.doc_id, d.lang, p.n_bigrams, p.mean_cond_e6
+      FROM per_doc p JOIN documents d USING (doc_id)
+      WHERE d.lang IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY mean_cond_e6 DESC, doc_id ASC) AS r,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM withlang
+    )
+    SELECT doc_id, lang, n_bigrams, mean_cond_e6,
+           CASE WHEN r * 3 <= n THEN 'head'
+                WHEN r * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language fluency terciles over the documents
+    corpus (operators/indexing.py::ccnet_buckets, Wenzek et al. 2020):
+    bigram-LM fluency (the transcendental-free perplexity stand-in),
+    head/middle/tail by all-integer rank cross-multiplication within
+    each language — the published recipe for cross-language-comparable
+    quality cuts. One language-keyed exchange serves both windows."""
+    from ..operators.indexing import ccnet_buckets
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return ccnet_buckets(d, id_col="doc_id", text_col="text",
+                         lang_col="lang")

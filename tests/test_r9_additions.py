@@ -735,3 +735,56 @@ def test_dedup_spans_short_docs_pass_through(spark):
     out = {r["doc_id"]: r for r in dedup_spans(df, n=4).collect()}
     assert all(r["removed_tok"] == 0 for r in out.values())
     assert out[2]["kept_text"] == "too short"
+
+
+# ------------------------------------------------------- ccnet_buckets
+
+
+def test_ccnet_terciles_are_exact_thirds_per_lang(spark):
+    """9 docs in one lang with strictly ordered fluency: exactly 3
+    head, 3 middle, 3 tail. Under the corpus-trained ML bigram model
+    hapax bigrams score probability 1, so the doc with the MOST
+    corpus-unique tokens is the most 'fluent' (the documented model
+    caveat) — doc 8 is head, doc 0 tail."""
+    from collections import Counter
+
+    from postgis_gtfs_importer_spark.operators.indexing import (
+        ccnet_buckets,
+    )
+
+    rows = []
+    for i in range(9):
+        body = ("go go " * (9 - i)) + " ".join(f"u{i}x{j}" for j in range(i + 1))
+        rows.append((i, body.strip(), "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
+    assert len(out) == 9
+    assert Counter(out.values()) == {"head": 3, "middle": 3, "tail": 3}
+    assert out[8] == "head" and out[0] == "tail"
+
+
+def test_ccnet_buckets_are_per_language(spark):
+    """Two languages with very different absolute fluency: each lang
+    still gets its own head — the cross-language comparability point."""
+    from postgis_gtfs_importer_spark.operators.indexing import (
+        ccnet_buckets,
+    )
+
+    rows = [
+        (1, "la la la la la la", "aa"),        # very fluent absolute
+        (2, "la la ra ta da pa", "aa"),
+        (3, "mixed words here one", "bb"),      # poor absolute fluency
+        (4, "other tokens there two", "bb"),
+        (5, None, "aa"),                        # unscorable: no bigram
+        (6, "solo", "bb"),                      # 1 token: no bigram
+        (7, "x y z w", None),                   # NULL lang excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # exact-thirds at n=2: head gets floor(2/3)=0 slots — each lang
+    # yields one middle and one tail, INDEPENDENTLY of the other
+    # lang's absolute fluency (the comparability point)
+    for pair in ((1, 2), (3, 4)):
+        got = sorted(out[d]["bucket"] for d in pair)
+        assert got == ["middle", "tail"], (pair, got)
