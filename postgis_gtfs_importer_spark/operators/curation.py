@@ -1014,3 +1014,123 @@ def gopher_quality_gate(
         & (F.col("n_stopwords") >= 2)
     )
     return out.withColumn("keep", keep)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    salt: str = "budget",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic per-source TOKEN-budget selection — the literal
+    "mix to N tokens: 30% web, 20% code, ..." allocator every
+    pretraining run executes (balanced_mixture equalizes DOC counts;
+    training budgets are token counts). For each source in
+    ``budgets``, keep a hash-random subset of its docs whose token
+    sum is maximal without EXCEEDING the budget (hard ceiling: the
+    doc that would cross it is dropped, so a budget is never
+    overshot). Sources absent from ``budgets`` are dropped —
+    selection is an explicit statement of the mixture.
+
+    Determinism: docs are "shuffled" by their md5-uniform (the
+    hash_bucket/A-ES discipline) — a pure function of (id, salt), so
+    re-runs, re-partitioning, and engine choice select the identical
+    set, and an incremental re-run with more docs changes the
+    selection only past the old boundary.
+
+    Two-phase cut — the vocab_coverage prefix-sum trick, so NO source
+    ever needs a source-sized single-task sort:
+    (1) docs land in ``buckets`` hash buckets; per-(source, bucket)
+        token totals aggregate map-side (output = sources x buckets
+        rows, tiny);
+    (2) a per-source prefix sum over the bucket totals (a
+        buckets-bounded window, broadcast back) gives each bucket its
+        tokens-before offset; each doc's global cumulative position is
+        then its bucket offset + an INTRA-bucket running sum — every
+        window sort is bucket-sized (~corpus/1024), and the filter
+        ``cum <= budget`` keeps inside-buckets whole, drops past
+        buckets entirely, and cuts the one boundary bucket exactly at
+        the (uniform, id) order.
+
+    Returns the selected rows as (id, source, n_tok). Docs with NULL
+    id/source/text or zero tokens are excluded up front (a zero-token
+    doc spends no budget but also trains nothing — excluded loudly by
+    policy, not silently kept).
+    """
+    if not budgets:
+        raise ValueError("token_budget_mix needs a non-empty budgets dict")
+    for s, b in budgets.items():
+        if int(b) < 0:
+            raise ValueError(
+                f"token_budget_mix budget for {s!r} must be >= 0, got {b}"
+            )
+    from ..functions import text as TX
+    from .sketches import KEY_SPACE
+
+    ntok = F.size(TX.lower_ws_tokens_nonempty(F.col(text_col))).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    budget_expr: Column | None = None
+    for s, b in budgets.items():
+        cond = F.col(source_col) == s
+        if budget_expr is None:
+            budget_expr = F.when(cond, F.lit(int(b)).cast("long"))
+        else:
+            budget_expr = budget_expr.when(cond, F.lit(int(b)).cast("long"))
+    docs = (
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(source_col).isNotNull()
+            & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(source_col).alias("_src"),
+            ntok.alias("n_tok"),
+            (h % buckets).alias("_b"),
+            ((h + F.lit(1).cast("long")).cast("double") / F.lit(KEY_SPACE))
+            .alias("_u"),
+            budget_expr.alias("_budget"),
+        )
+        .filter(F.col("_budget").isNotNull() & (F.col("n_tok") > 0))
+    )
+    bstats = docs.groupBy("_src", "_b").agg(
+        F.sum("n_tok").alias("_bt"), F.max("_budget").alias("_budget")
+    )
+    w_pre = (
+        Window.partitionBy("_src")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bstats.select(
+        "_src", "_b", "_bt", "_budget",
+        F.coalesce(F.sum("_bt").over(w_pre), F.lit(0)).cast("long").alias(
+            "_before"
+        ),
+    )
+    joined = docs.drop("_budget").join(
+        F.broadcast(bpre.select("_src", "_b", "_before", "_budget")),
+        ["_src", "_b"],
+    )
+    w_in = (
+        Window.partitionBy("_src", "_b")
+        .orderBy("_u", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.select(
+        "*",
+        (F.col("_before") + F.sum("n_tok").over(w_in)).alias("_cum"),
+    )
+    return cum.filter(F.col("_cum") <= F.col("_budget")).select(
+        F.col("_id").alias(id_col),
+        F.col("_src").alias(source_col),
+        "n_tok",
+    )

@@ -124,6 +124,10 @@ _ADDITIONS_R9: list[str] = [
     # by all-integer rank cuts over the bigram-LM score, the published
     # cross-language-comparable quality recipe.
     "ccnet_buckets",
+    # wave 11: per-source token-budget mixture selection — the literal
+    # "mix to N tokens" allocator, two-phase bucket prefix-sum cut so
+    # no window sort is ever source-sized.
+    "token_budget_mix",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -170,13 +174,12 @@ _ROTATION_R9: list[str] = [
     "kcore_membership",
     "knn_label_vote",
     "line_dedup",
-    "ntile_buckets",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: ols_trend, pagerank_trade, percent_rank_native,
-#: phrase_search,
+#: the r10 rotation: ntile_buckets, ols_trend, pagerank_trade,
+#: percent_rank_native, phrase_search,
 #: prefix_filter_jaccard, revenue_cube,
 #: revenue_pivot, robust_scale,
 #: skew_salted_join, split_leakage_audit, sssp_trade,
@@ -11212,3 +11215,63 @@ def ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_t(spark, sf_dir, "documents"))
     return ccnet_buckets(d, id_col="doc_id", text_col="text",
                          lang_col="lang")
+
+
+@register(
+    "token_budget_mix",
+    """
+    WITH docs AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)),
+               x -> x <> '')) AS BIGINT) AS n_tok,
+             CAST(('0x' || substr(md5('budget:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM documents
+      WHERE doc_id IS NOT NULL AND source IS NOT NULL AND text IS NOT NULL
+    ),
+    lim AS (SELECT * FROM (VALUES ('src0', 800), ('src1', 5000),
+                                  ('src2', 0), ('src3', 700))
+            AS t(source, budget)),
+    d2 AS (
+      SELECT d.doc_id, d.source, d.n_tok, d.h % 1024 AS b,
+             (d.h + 1) / 1152921504606846976.0 AS u,
+             CAST(l.budget AS BIGINT) AS budget
+      FROM docs d JOIN lim l USING (source) WHERE d.n_tok > 0
+    ),
+    bstats AS (SELECT source, b, CAST(sum(n_tok) AS BIGINT) AS bt
+               FROM d2 GROUP BY 1, 2),
+    bpre AS (
+      SELECT source, b,
+             CAST(coalesce(sum(bt) OVER (PARTITION BY source ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bef
+      FROM bstats
+    ),
+    cum AS (
+      SELECT d2.doc_id, d2.source, d2.n_tok, d2.budget,
+             bpre.bef + sum(d2.n_tok) OVER (
+               PARTITION BY d2.source, d2.b ORDER BY d2.u, d2.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d2 JOIN bpre ON bpre.source = d2.source AND bpre.b = d2.b
+    )
+    SELECT doc_id, source, n_tok FROM cum WHERE cum <= budget
+    """,
+)
+def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture selection
+    (operators/curation.py::token_budget_mix): src0 capped at 800
+    tokens (partial), src1 at 5000 (whole source fits), src2 at 0
+    (nothing), src3 at 700; every other source dropped by policy —
+    the literal 'mix to N tokens per source' allocator. Hash-random
+    deterministic order, hard budget ceiling, and the two-phase
+    bucket prefix-sum cut so every window sort is bucket-sized
+    (~corpus/1024), never source-sized."""
+    from ..operators.curation import token_budget_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_mix(
+        d, budgets={"src0": 800, "src1": 5000, "src2": 0, "src3": 700},
+        id_col="doc_id", source_col="source", text_col="text",
+        salt="budget",
+    )

@@ -788,3 +788,90 @@ def test_ccnet_buckets_are_per_language(spark):
     for pair in ((1, 2), (3, 4)):
         got = sorted(out[d]["bucket"] for d in pair)
         assert got == ["middle", "tail"], (pair, got)
+
+
+# --------------------------------------------------- token_budget_mix
+
+
+def test_token_budget_hard_ceiling_and_determinism(spark):
+    """10 docs x 10 tokens in one source, budget 35: exactly 3 docs
+    (30 tokens) — the 4th would cross the ceiling. Re-runs select the
+    identical set."""
+    from postgis_gtfs_importer_spark.operators.curation import (
+        token_budget_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(10)), "web")
+         for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    a = token_budget_mix(docs, {"web": 35}).collect()
+    b = token_budget_mix(docs, {"web": 35}).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 3
+    assert sum(r["n_tok"] for r in a) == 30
+
+
+def test_token_budget_whole_source_fits_and_unbudgeted_dropped(spark):
+    from postgis_gtfs_importer_spark.operators.curation import (
+        token_budget_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "web"),
+            (2, "d e", "web"),
+            (3, "f g h i", "code"),   # not in budgets -> dropped
+            (4, "", "web"),            # zero tokens -> excluded
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = token_budget_mix(docs, {"web": 100}).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert token_budget_mix(docs, {"web": 0}).count() == 0
+
+
+def test_token_budget_incremental_prefix_stability(spark):
+    """Adding MORE docs to the corpus never evicts an already-selected
+    doc whose hash position sits before the old boundary — the
+    incremental-pipeline property the hash order buys. (New docs can
+    land BEFORE the boundary and push late picks out; docs that
+    survive in the bigger corpus and existed before must be a superset
+    of the re-run intersection.)"""
+    from postgis_gtfs_importer_spark.operators.curation import (
+        token_budget_mix,
+    )
+
+    small = [(i, "one two three four five", "web") for i in range(20)]
+    big = small + [(100 + i, "six seven eight nine ten", "web")
+                   for i in range(20)]
+    d_small = spark.createDataFrame(
+        small, "doc_id long, text string, source string"
+    )
+    d_big = spark.createDataFrame(
+        big, "doc_id long, text string, source string"
+    )
+    sel_small = {r["doc_id"] for r in
+                 token_budget_mix(d_small, {"web": 50}).collect()}
+    sel_big = {r["doc_id"] for r in
+               token_budget_mix(d_big, {"web": 50}).collect()}
+    # both exactly fill 10 docs x 5 tokens
+    assert len(sel_small) == 10 and len(sel_big) == 10
+    # every big-corpus pick that existed in the small corpus was
+    # already picked there (the hash order is a fixed global sequence)
+    assert (sel_big & set(range(20))) <= sel_small
+
+
+def test_token_budget_validates(spark):
+    from postgis_gtfs_importer_spark.operators.curation import (
+        token_budget_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", "web")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="non-empty budgets"):
+        token_budget_mix(docs, {})
+    with pytest.raises(ValueError, match=">= 0"):
+        token_budget_mix(docs, {"web": -1})
