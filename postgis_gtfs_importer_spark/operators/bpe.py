@@ -299,3 +299,57 @@ def bpe_encode_reference(
             syms = new
         out.extend(syms)
     return out
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY — BPE tokens per word and per
+    character-symbol — the standard multilingual-tokenizer equity
+    report (a language whose fertility is 2x another's pays 2x the
+    context budget for the same text; the number every vocab-size and
+    merge-count decision is argued with).
+
+    Aggregates :func:`bpe_encode`'s per-document exact counts per
+    language: ``fertility_e6 = sum(tokens) * 1e6 / sum(words)`` and
+    ``tokens_per_char_e6`` likewise over pre-merge symbols, both as
+    EXACT integers via the div/mod decomposition ``(t div w)*1e6 +
+    ((t mod w)*1e6) div w`` — no float, and the intermediate stays in
+    BIGINT while a language's word count is < ~9.2e12 (beyond ~9
+    trillion words per language, pre-scale the sums; the bound is
+    documented, not silent).
+
+    Scale: bpe_encode is pure map-side; the lang attach is one
+    id-keyed hash join; the rollup is one lang-keyed map-side-combined
+    aggregate (|langs| rows out). Docs with zero words contribute
+    nothing (n_words > 0 filter — a NULL/empty doc has no fertility);
+    NULL languages are excluded.
+    """
+    enc = bpe_encode(df, merges, id_col=id_col, text_col=text_col)
+    lang = df.filter(F.col(lang_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col)
+    )
+    j = enc.join(lang, "doc_id").filter(F.col("n_words") > 0)
+    agg = j.groupBy(lang_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_symbols_char").cast("long").alias("n_symbols_char"),
+        F.sum("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+    )
+    def ratio_e6(num: str, den: str) -> "F.Column":
+        return F.expr(
+            f"({num} div {den}) * 1000000"
+            f" + (({num} % {den}) * 1000000) div {den}"
+        ).cast("long")
+
+    return agg.select(
+        lang_col, "n_docs", "n_words", "n_symbols_char", "n_tokens_bpe",
+        ratio_e6("n_tokens_bpe", "n_words").alias("fertility_e6"),
+        ratio_e6("n_tokens_bpe", "n_symbols_char").alias(
+            "tokens_per_char_e6"
+        ),
+    )

@@ -128,6 +128,9 @@ _ADDITIONS_R9: list[str] = [
     # "mix to N tokens" allocator, two-phase bucket prefix-sum cut so
     # no window sort is ever source-sized.
     "token_budget_mix",
+    # wave 12: per-language BPE fertility — tokens-per-word equity
+    # report, exact e6 integers via the div/mod decomposition.
+    "bpe_fertility",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -173,12 +176,11 @@ _ROTATION_R9: list[str] = [
     "item_similarity",
     "kcore_membership",
     "knn_label_vote",
-    "line_dedup",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: ntile_buckets, ols_trend, pagerank_trade,
+#: the r10 rotation: line_dedup, ntile_buckets, ols_trend, pagerank_trade,
 #: percent_rank_native, phrase_search,
 #: prefix_filter_jaccard, revenue_cube,
 #: revenue_pivot, robust_scale,
@@ -11275,3 +11277,37 @@ def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id", source_col="source", text_col="text",
         salt="budget",
     )
+
+
+@register(
+    "bpe_fertility",
+    f"""
+    WITH enc AS ({_bpe_encode_oracle_sql(_PINNED_BPE)})
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e.n_words) AS BIGINT) AS n_words,
+           CAST(sum(e.n_symbols_char) AS BIGINT) AS n_symbols_char,
+           CAST(sum(e.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+           CAST((sum(e.n_tokens_bpe) // sum(e.n_words)) * 1000000
+                + ((sum(e.n_tokens_bpe) % sum(e.n_words)) * 1000000)
+                  // sum(e.n_words) AS BIGINT) AS fertility_e6,
+           CAST((sum(e.n_tokens_bpe) // sum(e.n_symbols_char)) * 1000000
+                + ((sum(e.n_tokens_bpe) % sum(e.n_symbols_char)) * 1000000)
+                  // sum(e.n_symbols_char) AS BIGINT) AS tokens_per_char_e6
+    FROM enc e JOIN documents d USING (doc_id)
+    WHERE d.lang IS NOT NULL AND e.n_words > 0
+    GROUP BY d.lang
+    """,
+)
+def bpe_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE tokenizer fertility with the pinned 12-merge
+    table (operators/bpe.py::bpe_fertility): tokens-per-word and
+    tokens-per-symbol as exact e6 integers via the div/mod
+    decomposition — the multilingual tokenizer-equity report every
+    vocab-size decision consumes. Map-side encode, one id-keyed lang
+    attach, one |langs|-row rollup."""
+    from ..operators.bpe import PINNED_MERGES_12, bpe_fertility
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return bpe_fertility(d, merges=PINNED_MERGES_12, id_col="doc_id",
+                         text_col="text", lang_col="lang")

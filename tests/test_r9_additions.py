@@ -875,3 +875,52 @@ def test_token_budget_validates(spark):
         token_budget_mix(docs, {})
     with pytest.raises(ValueError, match=">= 0"):
         token_budget_mix(docs, {"web": -1})
+
+
+# ------------------------------------------------------- bpe_fertility
+
+
+def test_bpe_fertility_hand_computed(spark):
+    """One merge ('a','b'): 'ab ab' encodes 2 words x 1 symbol-pair
+    merged... verify against bpe_encode's own counts summed by lang,
+    and the exact e6 ratio decomposition."""
+    from postgis_gtfs_importer_spark.operators.bpe import (
+        bpe_encode,
+        bpe_fertility,
+    )
+
+    merges = [("a", "b")]
+    rows = [
+        (1, "ab ab ab", "xx"),
+        (2, "cd", "xx"),
+        (3, "ab", "yy"),
+        (4, None, "xx"),      # zero words -> excluded
+        (5, "ab", None),       # NULL lang -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    enc = {r["doc_id"]: r for r in
+           bpe_encode(df, merges, id_col="doc_id").collect()}
+    out = {r["lang"]: r for r in bpe_fertility(df, merges).collect()}
+    assert set(out) == {"xx", "yy"}
+    xx = out["xx"]
+    assert xx["n_docs"] == 2
+    assert xx["n_words"] == enc[1]["n_words"] + enc[2]["n_words"]
+    assert xx["n_tokens_bpe"] == enc[1]["n_tokens_bpe"] + enc[2]["n_tokens_bpe"]
+    t, w = xx["n_tokens_bpe"], xx["n_words"]
+    assert xx["fertility_e6"] == (t // w) * 1_000_000 + (t % w) * 1_000_000 // w
+
+
+def test_bpe_fertility_ranks_languages(spark):
+    """A lang whose words the merge table covers fully has lower
+    fertility than one it cannot compress at all."""
+    from postgis_gtfs_importer_spark.operators.bpe import bpe_fertility
+
+    merges = [("a", "b"), ("ab", "c")]
+    rows = [
+        (1, "abc abc abc abc", "compressible"),
+        (2, "xyz wvu qrs tuv", "opaque"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r["fertility_e6"] for r in
+           bpe_fertility(df, merges).collect()}
+    assert out["compressible"] < out["opaque"]
