@@ -131,6 +131,10 @@ _ADDITIONS_R9: list[str] = [
     # wave 12: per-language BPE fertility — tokens-per-word equity
     # report, exact e6 integers via the div/mod decomposition.
     "bpe_fertility",
+    # wave 13: trip-overtaking schedule QA — the sixth consumer of the
+    # staged C11 fact; strict order reversal between consecutive stop
+    # positions, schedule-density-bounded pair join.
+    "trip_overtaking",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -175,12 +179,12 @@ _ROTATION_R9: list[str] = [
     "grouping_sets_mix",
     "item_similarity",
     "kcore_membership",
-    "knn_label_vote",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: line_dedup, ntile_buckets, ols_trend, pagerank_trade,
+#: the r10 rotation: knn_label_vote, line_dedup, ntile_buckets,
+#: ols_trend, pagerank_trade,
 #: percent_rank_native, phrase_search,
 #: prefix_filter_jaccard, revenue_cube,
 #: revenue_pivot, robust_scale,
@@ -11311,3 +11315,50 @@ def bpe_fertility_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_t(spark, sf_dir, "documents"))
     return bpe_fertility(d, merges=PINNED_MERGES_12, id_col="doc_id",
                          text_col="text", lang_col="lang")
+
+
+@register(
+    "trip_overtaking",
+    _AD_SYNTH_CTES + """
+    , d AS (
+      SELECT route_id AS r, CAST(svc_date AS VARCHAR) AS dt, trip_id AS t,
+             CAST(stop_sequence AS BIGINT) AS s,
+             t_departure_epoch AS te
+      FROM ad WHERE t_departure_epoch IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.r, a.dt, a.s, a.t AS ta, a.te AS tea, b.t AS tb, b.te AS teb
+      FROM d a JOIN d b
+        ON a.r = b.r AND a.dt = b.dt AND a.s = b.s AND a.t < b.t
+    ),
+    j AS (
+      SELECT p.*, na.te AS tea2, nb.te AS teb2
+      FROM pairs p
+      JOIN d na ON na.r = p.r AND na.dt = p.dt AND na.s = p.s + 1
+               AND na.t = p.ta
+      JOIN d nb ON nb.r = p.r AND nb.dt = p.dt AND nb.s = p.s + 1
+               AND nb.t = p.tb
+    )
+    SELECT r AS route_id, dt AS svc_date, s AS seq_from,
+           CASE WHEN tea < teb THEN ta ELSE tb END AS trip_first,
+           CASE WHEN tea < teb THEN tb ELSE ta END AS trip_second,
+           CAST(CASE WHEN tea < teb THEN teb - tea ELSE tea - teb END
+                AS BIGINT) AS lead_sec_from,
+           CAST(CASE WHEN tea < teb THEN tea2 - teb2 ELSE teb2 - tea2 END
+                AS BIGINT) AS deficit_sec_to
+    FROM j
+    WHERE (tea < teb AND tea2 > teb2) OR (teb < tea AND teb2 > tea2)
+    """,
+)
+def trip_overtaking_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip-overtaking schedule QA over the synthetic GTFS feed
+    (operators/derivations.py::trip_overtaking) — same-route same-day
+    trip pairs whose departure order strictly reverses between
+    consecutive stop positions; the SIXTH consumer of the staged C11
+    fact. Absolute-epoch comparisons (DST-proof); the pair join is
+    bounded by schedule density (trips per stop position per day,
+    squared), never corpus-sized."""
+    from ..operators.derivations import trip_overtaking
+
+    ad = _synthetic_ad(spark, sf_dir)
+    return trip_overtaking(ad)

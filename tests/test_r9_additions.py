@@ -924,3 +924,75 @@ def test_bpe_fertility_ranks_languages(spark):
     out = {r["lang"]: r["fertility_e6"] for r in
            bpe_fertility(df, merges).collect()}
     assert out["compressible"] < out["opaque"]
+
+
+# ----------------------------------------------------- trip_overtaking
+
+
+def _ad_like(spark, rows):
+    import datetime as dt
+
+    base = dt.date(2024, 3, 1)
+    data = [
+        (t, "R1", s, dt.datetime(2024, 3, 1, 8, 0, 0)
+         + dt.timedelta(seconds=sec), base)
+        for (t, s, sec) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "trip_id string, route_id string, stop_sequence long,"
+        " t_departure timestamp, date date",
+    )
+
+
+def test_trip_overtaking_detects_strict_reversal(spark):
+    """t1 leads t2 by 60s at seq 1, trails by 30s at seq 2: one
+    overtake, attributed to the right pair and direction."""
+    from postgis_gtfs_importer_spark.operators.derivations import (
+        trip_overtaking,
+    )
+
+    ad = _ad_like(spark, [
+        ("t1", 1, 0), ("t2", 1, 60),
+        ("t1", 2, 330), ("t2", 2, 300),
+    ])
+    out = trip_overtaking(ad).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["trip_first"], r["trip_second"]) == ("t1", "t2")
+    assert r["seq_from"] == 1
+    assert r["lead_sec_from"] == 60 and r["deficit_sec_to"] == 30
+
+
+def test_trip_overtaking_ties_assert_nothing(spark):
+    """Same-second at either end is NOT an overtake (strict both
+    sides), and a stable order is never flagged."""
+    from postgis_gtfs_importer_spark.operators.derivations import (
+        trip_overtaking,
+    )
+
+    tie_from = _ad_like(spark, [
+        ("t1", 1, 0), ("t2", 1, 0),
+        ("t1", 2, 400), ("t2", 2, 300),
+    ])
+    assert trip_overtaking(tie_from).count() == 0
+    stable = _ad_like(spark, [
+        ("t1", 1, 0), ("t2", 1, 60),
+        ("t1", 2, 300), ("t2", 2, 360),
+    ])
+    assert trip_overtaking(stable).count() == 0
+
+
+def test_trip_overtaking_skips_gap_positions(spark):
+    """The comparison is between CONSECUTIVE positions only: a trip
+    missing seq 2 contributes no (1 -> 2) comparison."""
+    from postgis_gtfs_importer_spark.operators.derivations import (
+        trip_overtaking,
+    )
+
+    ad = _ad_like(spark, [
+        ("t1", 1, 0), ("t2", 1, 60),
+        ("t2", 2, 300),                  # t1 skips seq 2
+        ("t1", 3, 700), ("t2", 3, 600),
+    ])
+    assert trip_overtaking(ad).count() == 0
