@@ -1139,3 +1139,91 @@ def ktruss(
         cur = out.select("a", "b")
         n_cur = n_out
     return out
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    k_sources: int = 8,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Harmonic closeness centrality from a deterministic source
+    sample — the NINTH iterative family (rank, score, label, peel,
+    measure, cluster, community, truss — and now distance-centrality):
+    ``C(v) = sum over sampled sources s of 1/d(s, v)`` (harmonic form:
+    well-defined under disconnection, Boldi & Vigna 2014), the standard
+    scalable stand-in for exact closeness (all-pairs BFS is O(nm)).
+    EXACT for the declared sample: sources are the ``k_sources``
+    smallest node ids (the kmeans seeding rule — deterministic, no
+    RNG), distances are true BFS levels, and each contribution is the
+    exact integer ``1e6 div d``.
+
+    Synchronous multi-source BFS: state is the discovered (node,
+    source, dist) set; each round expands the whole frontier one hop
+    (frontier ⋈ edges, dedup, anti-join against discovered), stops at
+    ``max_rounds`` or an empty frontier (parity-safe early exit: an
+    exhausted frontier adds nothing, which is exactly what the
+    unrolled oracle's later rounds compute).
+
+    Scale: per round ONE (node, source)-keyed expansion join + one
+    anti-join; state is bounded by k_sources x |reached nodes| — k is
+    the knob that caps both state and shuffle width (the published
+    sampling trade: more sources, tighter estimate, linearly more
+    state). Eager per-round materialization keeps lineage one hop deep
+    (the pagerank lesson). The empty-frontier probe is the documented
+    1-value convergence collect.
+
+    Input: undirected edges (a, b), a < b, distinct. Returns
+    (node, n_reached, max_dist, harmonic_e6) for every node reached by
+    at least one source at distance >= 1 (a source's own d=0 row is
+    excluded from its harmonic, the standard convention).
+    """
+    if int(k_sources) < 1:
+        raise ValueError(
+            f"closeness_centrality needs k_sources >= 1, got {k_sources}"
+        )
+    if int(max_rounds) < 1:
+        raise ValueError(
+            f"closeness_centrality needs max_rounds >= 1, got {max_rounds}"
+        )
+    from .dedup import materialize
+
+    spark = edges.sparkSession
+    bidir = materialize(
+        edges.select("a", "b").union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(F.col("a").alias("_n"), F.col("b").alias("_m"))
+    )
+    src_ids = [
+        r["_n"]
+        for r in bidir.select("_n").distinct().orderBy("_n")
+        .limit(int(k_sources)).collect()
+    ]
+    state = materialize(
+        spark.createDataFrame(
+            [(s, s, 0) for s in src_ids], "node long, src long, dist long"
+        )
+    )
+    frontier = state
+    for r in range(1, int(max_rounds) + 1):
+        nxt = (
+            frontier.join(bidir, frontier["node"] == bidir["_n"])
+            .select(F.col("_m").alias("node"), "src")
+            .distinct()
+            .join(state.select("node", "src"), ["node", "src"], "left_anti")
+            .withColumn("dist", F.lit(r).cast("long"))
+        )
+        frontier = materialize(nxt)
+        if frontier.count() == 0:
+            break
+        state = materialize(state.unionByName(frontier))
+    return (
+        state.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.max("dist").cast("long").alias("max_dist"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias(
+                "harmonic_e6"
+            ),
+        )
+    )

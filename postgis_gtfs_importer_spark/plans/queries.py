@@ -135,6 +135,10 @@ _ADDITIONS_R9: list[str] = [
     # staged C11 fact; strict order reversal between consecutive stop
     # positions, schedule-density-bounded pair join.
     "trip_overtaking",
+    # wave 14: harmonic closeness from a deterministic source sample —
+    # the ninth iterative family (multi-source BFS, exact for the
+    # declared sample, 1e6 div d integer contributions).
+    "closeness_centrality",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -178,12 +182,12 @@ _ROTATION_R9: list[str] = [
     "global_rank_distributed",
     "grouping_sets_mix",
     "item_similarity",
-    "kcore_membership",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: knn_label_vote, line_dedup, ntile_buckets,
+#: the r10 rotation: kcore_membership, knn_label_vote, line_dedup,
+#: ntile_buckets,
 #: ols_trend, pagerank_trade,
 #: percent_rank_native, phrase_search,
 #: prefix_filter_jaccard, revenue_cube,
@@ -11362,3 +11366,60 @@ def trip_overtaking_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ad = _synthetic_ad(spark, sf_dir)
     return trip_overtaking(ad)
+
+
+@register(
+    "closeness_centrality",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b, a FROM e0),
+    srcs AS (
+      SELECT n AS src FROM (SELECT DISTINCT n FROM e ORDER BY n LIMIT 8)
+    ),
+    v0 AS (SELECT src AS node, src, CAST(0 AS BIGINT) AS dist FROM srcs),
+    f1 AS (
+      SELECT DISTINCT e.m AS node, v0.src, CAST(1 AS BIGINT) AS dist
+      FROM v0 JOIN e ON e.n = v0.node
+      WHERE NOT EXISTS (SELECT 1 FROM v0 x
+                        WHERE x.node = e.m AND x.src = v0.src)
+    ),
+    v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM f1),
+    f2 AS (
+      SELECT DISTINCT e.m AS node, f1.src, CAST(2 AS BIGINT) AS dist
+      FROM f1 JOIN e ON e.n = f1.node
+      WHERE NOT EXISTS (SELECT 1 FROM v1 x
+                        WHERE x.node = e.m AND x.src = f1.src)
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM f2),
+    f3 AS (
+      SELECT DISTINCT e.m AS node, f2.src, CAST(3 AS BIGINT) AS dist
+      FROM f2 JOIN e ON e.n = f2.node
+      WHERE NOT EXISTS (SELECT 1 FROM v2 x
+                        WHERE x.node = e.m AND x.src = f2.src)
+    ),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM f3)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(max(dist) AS BIGINT) AS max_dist,
+           CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
+    FROM v3 WHERE dist >= 1 GROUP BY node
+    """,
+)
+def closeness_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness from the 8 smallest-id sources, 3 BFS rounds,
+    over the part co-occurrence graph
+    (operators/graph.py::closeness_centrality, Boldi-Vigna harmonic
+    form) — the ninth iterative family; exact for the declared source
+    sample, contributions are exact integer 1e6 div d. Per round one
+    (node, source)-keyed expansion + anti-join with eager
+    materialization; the oracle unrolls the same three rounds with
+    NOT-EXISTS visited checks."""
+    from ..operators.graph import closeness_centrality, part_cooccurrence_edges
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    return closeness_centrality(
+        part_cooccurrence_edges(li), k_sources=8, max_rounds=3
+    )

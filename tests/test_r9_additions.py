@@ -996,3 +996,70 @@ def test_trip_overtaking_skips_gap_positions(spark):
         ("t1", 3, 700), ("t2", 3, 600),
     ])
     assert trip_overtaking(ad).count() == 0
+
+
+# ----------------------------------------------- closeness_centrality
+
+
+def test_closeness_path_graph_hand_computed(spark):
+    """Path 1-2-3-4-5, source = node 1 only: d(1,v) = v-1, so
+    harmonic_e6(v) = 1e6 div (v-1); node 5 unreached within 3 rounds."""
+    from postgis_gtfs_importer_spark.operators.graph import (
+        closeness_centrality,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    out = {r["node"]: r for r in
+           closeness_centrality(edges, k_sources=1, max_rounds=3).collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2]["harmonic_e6"] == 1_000_000
+    assert out[3]["harmonic_e6"] == 500_000
+    assert out[4]["harmonic_e6"] == 333_333
+    assert all(r["n_reached"] == 1 for r in out.values())
+
+
+def test_closeness_multi_source_sums(spark):
+    """Sources 1 and 2 on the path 1-2-3: node 3 gets 1e6/2 (from 1)
+    + 1e6/1 (from 2); each source reaches the other at d=1."""
+    from postgis_gtfs_importer_spark.operators.graph import (
+        closeness_centrality,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = {r["node"]: r for r in
+           closeness_centrality(edges, k_sources=2, max_rounds=3).collect()}
+    assert out[3]["harmonic_e6"] == 500_000 + 1_000_000
+    assert out[3]["n_reached"] == 2
+    assert out[1]["harmonic_e6"] == 1_000_000  # from source 2
+    assert out[2]["harmonic_e6"] == 1_000_000  # from source 1
+
+
+def test_closeness_early_exit_matches_exhaustive(spark):
+    """A triangle exhausts in 1 round; max_rounds=1 and max_rounds=10
+    must agree (the parity-safe early exit)."""
+    from postgis_gtfs_importer_spark.operators.graph import (
+        closeness_centrality,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    a = sorted(map(tuple, closeness_centrality(
+        edges, k_sources=3, max_rounds=1).collect()))
+    b = sorted(map(tuple, closeness_centrality(
+        edges, k_sources=3, max_rounds=10).collect()))
+    assert a == b
+
+
+def test_closeness_validates(spark):
+    from postgis_gtfs_importer_spark.operators.graph import (
+        closeness_centrality,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="k_sources >= 1"):
+        closeness_centrality(edges, k_sources=0)
+    with pytest.raises(ValueError, match="max_rounds >= 1"):
+        closeness_centrality(edges, max_rounds=0)
