@@ -522,3 +522,96 @@ def bloom_probe(
             (F.col("n_hits") == k_hashes).cast("long").alias("maybe_present"),
         )
     )
+
+
+def kmv_set_overlap(
+    df: DataFrame, set_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise set-OVERLAP estimates from KMV sketches (Beyer et al.
+    2007) — the sketch family's set-operation completion: union +
+    re-rank is the KMV merge (hll_merge_shards proves the union case);
+    this adds INTERSECTION and Jaccard, the estimates audience-overlap
+    / segment-similarity questions need without shuffling (setA x
+    setB) pairs.
+
+    For every pair of sets (a < b): build each set's k-min sketch,
+    take K = the k smallest keys of the sketch UNION, count
+    ``m = |K ∩ sketch(A) ∩ sketch(B)|``; then ``jaccard ≈ m / |K|``,
+    ``|A ∪ B|`` from K's own kth-min estimator, and ``|A ∩ B| ≈
+    jaccard × |A ∪ B|``. EXACT when both sets hold < k distinct keys
+    (the sketches are exhaustive — pinned in tests); otherwise the
+    published epsilon ~ 1/sqrt(k). All arithmetic is the documented
+    KMV discipline: md5-derived 60-bit keys, ONE shared IEEE division
+    for the union estimate, integer div for the ratios.
+
+    Scale: the corpus is scanned ONCE (map-side distinct + per-set
+    k-row window — the kmv_sketch shape); everything after operates on
+    k-row-per-set sketch tables, so the pairwise stage is
+    |sets|² × k rows — sketch-sized by construction, never
+    corpus-sized. NULL values excluded (the sketch-family policy).
+
+    Returns (set_a, set_b, n_union_keys, est_union, n_both,
+    jaccard_e6, est_intersection) for each unordered pair.
+    """
+    sk = kmv_sketch(df, [set_col], value_col, k).select(
+        F.col(set_col).alias("_s"), "h"
+    )
+    sets = sk.select("_s").distinct()
+    pairs = (
+        sets.select(F.col("_s").alias("set_a"))
+        .join(
+            sets.select(F.col("_s").alias("set_b")),
+            F.col("set_a") < F.col("set_b"),
+        )
+    )
+    ka = pairs.join(
+        sk.select(F.col("_s").alias("set_a"), "h"), "set_a"
+    ).select("set_a", "set_b", "h")
+    kb = pairs.join(
+        sk.select(F.col("_s").alias("set_b"), "h"), "set_b"
+    ).select("set_a", "set_b", "h")
+    union_keys = ka.union(kb).distinct()
+    w = Window.partitionBy("set_a", "set_b").orderBy(F.asc("h"))
+    topk = union_keys.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    flagged = (
+        topk.join(
+            ka.withColumn("_ina", F.lit(1)).select("set_a", "set_b", "h", "_ina"),
+            ["set_a", "set_b", "h"],
+            "left",
+        )
+        .join(
+            kb.withColumn("_inb", F.lit(1)).select("set_a", "set_b", "h", "_inb"),
+            ["set_a", "set_b", "h"],
+            "left",
+        )
+    )
+    agg = flagged.groupBy("set_a", "set_b").agg(
+        F.count("*").cast("long").alias("n_union_keys"),
+        F.max("h").alias("_kth"),
+        F.sum(
+            F.when(
+                F.col("_ina").isNotNull() & F.col("_inb").isNotNull(),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_union_keys") < k, F.col("n_union_keys")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1) * KEY_SPACE) / F.col("_kth").cast("double")
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return (
+        agg.withColumn("est_union", est_union)
+        .select(
+            "set_a", "set_b", "n_union_keys", "est_union", "n_both",
+            F.expr("n_both * 1000000 div n_union_keys").alias("jaccard_e6"),
+            F.expr("(n_both * est_union) div n_union_keys").alias(
+                "est_intersection"
+            ),
+        )
+    )

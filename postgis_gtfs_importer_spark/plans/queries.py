@@ -139,6 +139,10 @@ _ADDITIONS_R9: list[str] = [
     # the ninth iterative family (multi-source BFS, exact for the
     # declared sample, 1e6 div d integer contributions).
     "closeness_centrality",
+    # wave 15: KMV set-overlap — pairwise Jaccard/union/intersection
+    # estimates from k-min sketches (the sketch family's set-operation
+    # completion; exact below k, sketch-sized pairwise stage).
+    "kmv_set_overlap",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -181,13 +185,12 @@ _ROTATION_R9: list[str] = [
     "first_touch_attribution",
     "global_rank_distributed",
     "grouping_sets_mix",
-    "item_similarity",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: kcore_membership, knn_label_vote, line_dedup,
-#: ntile_buckets,
+#: the r10 rotation: item_similarity, kcore_membership, knn_label_vote,
+#: line_dedup, ntile_buckets,
 #: ols_trend, pagerank_trade,
 #: percent_rank_native, phrase_search,
 #: prefix_filter_jaccard, revenue_cube,
@@ -11423,3 +11426,66 @@ def closeness_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closeness_centrality(
         part_cooccurrence_edges(li), k_sources=8, max_rounds=3
     )
+
+
+@register(
+    "kmv_set_overlap",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS s, {_H60_SQL} AS h FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    r AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT s, h FROM r WHERE rn <= 64),
+    sets AS (SELECT DISTINCT s FROM sk),
+    pairs AS (SELECT a.s AS sa, b.s AS sb
+              FROM sets a JOIN sets b ON a.s < b.s),
+    uk AS (SELECT DISTINCT p.sa, p.sb, x.h
+           FROM pairs p JOIN sk x ON x.s = p.sa OR x.s = p.sb),
+    tk AS (SELECT sa, sb, h,
+                  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+           FROM uk),
+    kk AS (SELECT sa, sb, h FROM tk WHERE rn <= 64),
+    fl AS (
+      SELECT kk.sa, kk.sb, kk.h,
+             EXISTS (SELECT 1 FROM sk
+                     WHERE sk.s = kk.sa AND sk.h = kk.h) AS ina,
+             EXISTS (SELECT 1 FROM sk
+                     WHERE sk.s = kk.sb AND sk.h = kk.h) AS inb
+      FROM kk
+    ),
+    agg AS (
+      SELECT sa, sb, CAST(count(*) AS BIGINT) AS nuk, max(h) AS kth,
+             CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+               AS nboth
+      FROM fl GROUP BY sa, sb
+    ),
+    est AS (
+      SELECT sa, sb, nuk, nboth,
+             CASE WHEN nuk < 64 THEN nuk
+                  ELSE CAST(floor((63.0 * 1152921504606846976.0)
+                                  / CAST(kth AS DOUBLE) + 0.5) AS BIGINT)
+             END AS est_union
+      FROM agg
+    )
+    SELECT sa AS set_a, sb AS set_b, nuk AS n_union_keys, est_union,
+           nboth AS n_both,
+           CAST(nboth * 1000000 // nuk AS BIGINT) AS jaccard_e6,
+           CAST((nboth * est_union) // nuk AS BIGINT) AS est_intersection
+    FROM est
+    """,
+)
+def kmv_set_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimates between event types from
+    KMV sketches of their user sets
+    (operators/sketches.py::kmv_set_overlap, Beyer et al. 2007):
+    Jaccard, union and intersection estimates per unordered pair, all
+    from k=64-row sketch tables — the corpus is scanned once; the
+    pairwise stage is sketch-sized (|sets|² x 64 rows), never
+    corpus-sized. Exact when both sets hold < k distinct users."""
+    from ..operators.sketches import kmv_set_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_overlap(ev, set_col="event_type",
+                           value_col="user_id", k=64)

@@ -1063,3 +1063,62 @@ def test_closeness_validates(spark):
         closeness_centrality(edges, k_sources=0)
     with pytest.raises(ValueError, match="max_rounds >= 1"):
         closeness_centrality(edges, max_rounds=0)
+
+
+# ------------------------------------------------------ kmv_set_overlap
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Sets small enough that the sketches are exhaustive: Jaccard,
+    union and intersection are EXACT. A = {u0..u9}, B = {u5..u14}:
+    |A∪B| = 15, |A∩B| = 5, J = 1/3."""
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        kmv_set_overlap,
+    )
+
+    rows = [("A", f"u{i}") for i in range(10)]
+    rows += [("B", f"u{i}") for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "event_type string, user_id string")
+    out = kmv_set_overlap(df, "event_type", "user_id", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["set_a"], r["set_b"]) == ("A", "B")
+    assert r["n_union_keys"] == 15 and r["est_union"] == 15
+    assert r["n_both"] == 5
+    assert r["jaccard_e6"] == 5 * 1_000_000 // 15
+    assert r["est_intersection"] == 5
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        kmv_set_overlap,
+    )
+
+    rows = [("A", f"x{i}") for i in range(8)]
+    rows += [("B", f"y{i}") for i in range(8)]
+    rows += [("C", f"x{i}") for i in range(8)]  # identical to A
+    df = spark.createDataFrame(rows, "event_type string, user_id string")
+    out = {(r["set_a"], r["set_b"]): r for r in
+           kmv_set_overlap(df, "event_type", "user_id", k=64).collect()}
+    assert out[("A", "B")]["jaccard_e6"] == 0
+    assert out[("A", "B")]["est_intersection"] == 0
+    assert out[("A", "C")]["jaccard_e6"] == 1_000_000
+    assert out[("A", "C")]["est_intersection"] == 8
+    assert len(out) == 3  # all unordered pairs
+
+
+def test_kmv_overlap_estimate_quality_above_k(spark):
+    """2000-element sets with 50% true overlap, k=64: the Jaccard
+    estimate lands within the published ~1/sqrt(k) band (generous
+    3-sigma check), and union/intersection scale accordingly."""
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        kmv_set_overlap,
+    )
+
+    rows = [("A", f"u{i}") for i in range(2000)]
+    rows += [("B", f"u{i}") for i in range(1000, 3000)]
+    df = spark.createDataFrame(rows, "event_type string, user_id string")
+    r = kmv_set_overlap(df, "event_type", "user_id", k=64).collect()[0]
+    true_j = 1000 / 3000
+    assert abs(r["jaccard_e6"] / 1e6 - true_j) < 3 / (64 ** 0.5)
+    assert 1500 < r["est_union"] < 4500
