@@ -260,3 +260,77 @@ def cusum_changepoints(
             "peak_down_us",
         )
     )
+
+
+def mixture_concentration(
+    df: DataFrame,
+    group_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Per-group mixture-concentration report over a categorical
+    column — Shannon entropy and the Herfindahl-Hirschman index of the
+    category shares — the corpus-health dashboard numbers behind "is
+    split X's source mix collapsing?" (entropy falling, HHI rising =
+    one source taking over; tvd_drift answers the *pairwise* version,
+    this is the single-distribution summary).
+
+    Determinism discipline (the zero-float-sum-aggregates rule):
+    - HHI is all-integer: shares quantize to ``p = c*1e6 div n``
+      (documented quantization, exact in both engines) and
+      ``hhi_e6 = sum(p^2) div 1e6`` folds over the SORTED category
+      list — BIGINT arithmetic, order pinned, bound c < 9.2e12 rows
+      per (group, category).
+    - Entropy needs ln, so it cannot be integer — instead the float
+      work is ORDER-PINNED: ``sum(c·ln c)`` is a left fold seeded 0.0
+      over the category-sorted list (both engines run the identical
+      IEEE op sequence — an unordered SUM() would round differently
+      per partitioning), then one fixed op chain
+      ``(ln n - scl/n)·1e6 + 0.5, floor``.
+
+    Scale: one (group, category) count aggregate (map-side combined),
+    one group-keyed collect whose list is bounded by the category
+    cardinality (a mixture report over an unbounded category domain is
+    the caller's modeling bug). NULL group/category rows are excluded.
+    Returns (group, n_rows, n_categories, entropy_e6, hhi_e6);
+    single-category groups report entropy 0 and HHI ~1e6 exactly.
+    """
+    per = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(group_col, category_col)
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    agg = per.groupBy(group_col).agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_categories"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col(category_col).alias("s"), "_c"))
+        ).alias("_l"),
+    )
+    scl = F.aggregate(
+        F.transform(
+            "_l",
+            lambda x: x["_c"].cast("double")
+            * F.log(x["_c"].cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nd = F.col("n_rows").cast("double")
+    ent = F.floor(
+        (F.log(nd) - scl / nd) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    hhi = F.expr(
+        "aggregate(transform(_l,"
+        " x -> (x._c * 1000000L div n_rows)"
+        " * (x._c * 1000000L div n_rows)),"
+        " 0L, (acc, x) -> acc + x) div 1000000"
+    ).cast("long")
+    return agg.select(
+        group_col,
+        "n_rows",
+        "n_categories",
+        ent.alias("entropy_e6"),
+        hhi.alias("hhi_e6"),
+    )

@@ -143,6 +143,10 @@ _ADDITIONS_R9: list[str] = [
     # estimates from k-min sketches (the sketch family's set-operation
     # completion; exact below k, sketch-sized pairwise stage).
     "kmv_set_overlap",
+    # wave 16: mixture concentration — per-group source-mix entropy
+    # (order-pinned float fold) + all-integer HHI; the corpus-health
+    # single-distribution summary next to tvd_drift's pairwise check.
+    "mixture_concentration",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -184,12 +188,12 @@ _ROTATION_R9: list[str] = [
     "equidepth_hist",
     "first_touch_attribution",
     "global_rank_distributed",
-    "grouping_sets_mix",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: item_similarity, kcore_membership, knn_label_vote,
+#: the r10 rotation: grouping_sets_mix, item_similarity,
+#: kcore_membership, knn_label_vote,
 #: line_dedup, ntile_buckets,
 #: ols_trend, pagerank_trade,
 #: percent_rank_native, phrase_search,
@@ -11489,3 +11493,50 @@ def kmv_set_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return kmv_set_overlap(ev, set_col="event_type",
                            value_col="user_id", k=64)
+
+
+@register(
+    "mixture_concentration",
+    """
+    WITH per AS (
+      SELECT lang AS g, source AS s, CAST(count(*) AS BIGINT) AS c
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             list(c ORDER BY s) AS lst
+      FROM per GROUP BY g
+    )
+    SELECT g AS lang, n_rows, n_categories,
+           CAST(floor((ln(CAST(n_rows AS DOUBLE))
+                       - list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                             list_transform(lst,
+                               c -> CAST(c AS DOUBLE)
+                                    * ln(CAST(c AS DOUBLE)))),
+                           (acc, x) -> acc + x)
+                         / CAST(n_rows AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS entropy_e6,
+           CAST(list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(lst,
+                      c -> (c * 1000000 // n_rows)
+                           * (c * 1000000 // n_rows))),
+                  (acc, x) -> acc + x) // 1000000 AS BIGINT) AS hhi_e6
+    FROM agg
+    """,
+)
+def mixture_concentration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix concentration per language over the documents corpus
+    (operators/profiling.py::mixture_concentration): Shannon entropy
+    via an ORDER-PINNED left fold (both engines run the identical IEEE
+    op sequence — an unordered float SUM would round differently per
+    partitioning, the class the round-5 hive-layout sweep eliminated)
+    and all-integer HHI over e6-quantized shares. One count aggregate
+    + one category-bounded group collect."""
+    from ..operators.profiling import mixture_concentration
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_concentration(d, group_col="lang", category_col="source")

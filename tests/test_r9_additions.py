@@ -1122,3 +1122,52 @@ def test_kmv_overlap_estimate_quality_above_k(spark):
     true_j = 1000 / 3000
     assert abs(r["jaccard_e6"] / 1e6 - true_j) < 3 / (64 ** 0.5)
     assert 1500 < r["est_union"] < 4500
+
+
+# ----------------------------------------------- mixture_concentration
+
+
+def test_mixture_concentration_hand_computed(spark):
+    """Group 'en': sources 3:1 -> entropy = ln4 - (3ln3)/4, HHI =
+    (750000^2 + 250000^2)/1e6 = 625000. Group 'de': single source ->
+    entropy 0, HHI exactly 1e6."""
+    import math
+
+    from postgis_gtfs_importer_spark.operators.profiling import (
+        mixture_concentration,
+    )
+
+    rows = (
+        [(i, "en", "web") for i in range(3)]
+        + [(3, "en", "code")]
+        + [(4, "de", "web"), (5, "de", "web")]
+        + [(6, None, "web"), (7, "fr", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = {r["lang"]: r for r in
+           mixture_concentration(df, "lang", "source").collect()}
+    assert set(out) == {"en", "de"}
+    en = out["en"]
+    assert en["n_rows"] == 4 and en["n_categories"] == 2
+    want = math.floor((math.log(4.0) - (3.0 * math.log(3.0)) / 4.0)
+                      * 1_000_000 + 0.5)
+    assert en["entropy_e6"] == want
+    assert en["hhi_e6"] == (750_000**2 + 250_000**2) // 1_000_000
+    de = out["de"]
+    assert de["entropy_e6"] == 0 and de["hhi_e6"] == 1_000_000
+
+
+def test_mixture_concentration_uniform_maximizes_entropy(spark):
+    """Uniform over 4 sources: entropy = ln 4, HHI = 250000 exactly
+    (4 x 250000^2 / 1e6)."""
+    import math
+
+    from postgis_gtfs_importer_spark.operators.profiling import (
+        mixture_concentration,
+    )
+
+    rows = [(i, "en", f"s{i % 4}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    r = mixture_concentration(df, "lang", "source").collect()[0]
+    assert r["entropy_e6"] == math.floor(math.log(4.0) * 1e6 + 0.5)
+    assert r["hhi_e6"] == 4 * 250_000**2 // 1_000_000
