@@ -1098,3 +1098,60 @@ def dedup_spans(
             F.transform(kept, lambda st: st["x"]), " "
         ).alias("kept_text"),
     )
+
+
+def canonical_by_quality(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical election per near-dup cluster — the
+    production policy minhash_dedup's min-id election approximates:
+    when a cluster holds near-duplicates of unequal quality (longer,
+    cleaner, higher-scored), KEEP THE BEST ONE, not the one with the
+    smallest id. Standard in dedup pipelines (Dolma/RefinedWeb keep
+    longest-or-highest-scored representatives).
+
+    Election: per cluster, the member with the highest NUMERIC score;
+    ties break toward the smallest id; members with a NULL score can
+    never win but still receive their cluster's canonical (they are
+    members, just unscoreable). The argmax is ONE map-side-combinable
+    ``min(struct(score_is_null, -score, id))`` aggregate — no window,
+    no per-cluster sort, so a million-member cluster costs one
+    combine-friendly shuffle row per task (the dedup_spans
+    first-occurrence discipline applied to election).
+
+    Returns every member as (id, cluster, canonical_id, is_canonical)
+    — apply with ``filter(is_canonical)`` for the survivor set or use
+    the mapping to rewrite references.
+    """
+    j = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cl")
+    ).join(
+        scores.select(
+            F.col(id_col).alias("_id"),
+            F.col(score_col).cast("long").alias("_sc"),
+        ),
+        "_id",
+        "left",
+    )
+    best = j.groupBy("_cl").agg(
+        F.min(
+            F.struct(
+                F.col("_sc").isNull().alias("_nul"),
+                (-F.coalesce(F.col("_sc"), F.lit(0))).alias("_neg"),
+                F.col("_id").alias("_best"),
+            )
+        ).alias("_b")
+    ).select("_cl", F.col("_b._best").alias("canonical_id"))
+    return (
+        j.join(best, "_cl")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cl").alias(cluster_col),
+            "canonical_id",
+            (F.col("_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

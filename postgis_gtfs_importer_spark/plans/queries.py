@@ -147,6 +147,10 @@ _ADDITIONS_R9: list[str] = [
     # (order-pinned float fold) + all-integer HHI; the corpus-health
     # single-distribution summary next to tvd_drift's pairwise check.
     "mixture_concentration",
+    # wave 17: quality-aware canonical election per near-dup cluster
+    # (keep the longest/highest-scored member — the production policy;
+    # one map-side-combinable min(struct) argmax, no per-cluster sort).
+    "canonical_by_quality",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -187,12 +191,12 @@ _ROTATION_R9: list[str] = [
     "corr_components",
     "equidepth_hist",
     "first_touch_attribution",
-    "global_rank_distributed",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: grouping_sets_mix, item_similarity,
+#: the r10 rotation: global_rank_distributed, grouping_sets_mix,
+#: item_similarity,
 #: kcore_membership, knn_label_vote,
 #: line_dedup, ntile_buckets,
 #: ols_trend, pagerank_trade,
@@ -11540,3 +11544,51 @@ def mixture_concentration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return mixture_concentration(d, group_col="lang", category_col="source")
+
+
+@register(
+    "canonical_by_quality",
+    f"""
+    WITH comp AS ({_minhash_cc_oracle_sql()}),
+    sc AS (
+      SELECT comp.doc_id, comp.component, d.n_chars
+      FROM comp JOIN documents d USING (doc_id)
+    ),
+    best AS (
+      SELECT component, doc_id AS canonical_id FROM (
+        SELECT component, doc_id,
+               row_number() OVER (
+                 PARTITION BY component
+                 ORDER BY (n_chars IS NULL), coalesce(-n_chars, 0),
+                          doc_id) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    )
+    SELECT sc.doc_id, sc.component, best.canonical_id,
+           sc.doc_id = best.canonical_id AS is_canonical
+    FROM sc JOIN best USING (component)
+    """,
+)
+def canonical_by_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical election over the MinHash near-dup
+    clusters (operators/dedup.py::canonical_by_quality): each cluster
+    keeps its LONGEST member (n_chars as the quality score, ties to
+    the smallest id) — the production policy min-id election
+    approximates. The argmax is one map-side-combinable min(struct)
+    aggregate (the dedup_spans first-occurrence discipline applied to
+    election — no per-cluster window sort); the oracle replays the
+    recursive-CTE clustering and elects via an independent row_number
+    formulation."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8, threshold=0.5, seed=42,
+    )
+    comp = DD.connected_components(pairs)
+    from ..operators.dedup import canonical_by_quality
+
+    return canonical_by_quality(
+        comp.select(F.col("id").alias("doc_id"), "component"),
+        d.select("doc_id", "n_chars"),
+        id_col="doc_id", cluster_col="component", score_col="n_chars",
+    )

@@ -1171,3 +1171,49 @@ def test_mixture_concentration_uniform_maximizes_entropy(spark):
     r = mixture_concentration(df, "lang", "source").collect()[0]
     assert r["entropy_e6"] == math.floor(math.log(4.0) * 1e6 + 0.5)
     assert r["hhi_e6"] == 4 * 250_000**2 // 1_000_000
+
+
+# --------------------------------------------------- canonical_by_quality
+
+
+def test_canonical_election_highest_score_wins(spark):
+    from postgis_gtfs_importer_spark.operators.dedup import (
+        canonical_by_quality,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (8, 200)],
+        "id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (8, 5)], "id long, score long"
+    )
+    out = {r["id"]: r for r in
+           canonical_by_quality(clusters, scores).collect()}
+    assert all(out[i]["canonical_id"] == 2 for i in (1, 2, 3))
+    assert out[2]["is_canonical"] is True
+    assert out[1]["is_canonical"] is False
+    # tie in cluster 200 -> smallest id wins
+    assert out[7]["canonical_id"] == 7 and out[8]["canonical_id"] == 7
+
+
+def test_canonical_election_null_scores_cannot_win(spark):
+    from postgis_gtfs_importer_spark.operators.dedup import (
+        canonical_by_quality,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100)], "id long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(2, None)], "id long, score long"
+    )  # id 1 unscored (absent), id 2 NULL score
+    out = {r["id"]: r for r in
+           canonical_by_quality(clusters, scores).collect()}
+    # nobody has a score: smallest id wins deterministically
+    assert out[1]["canonical_id"] == 1 and out[2]["canonical_id"] == 1
+    # a scored member beats any unscored one
+    scores2 = spark.createDataFrame([(2, 1)], "id long, score long")
+    out2 = {r["id"]: r for r in
+            canonical_by_quality(clusters, scores2).collect()}
+    assert out2[1]["canonical_id"] == 2
