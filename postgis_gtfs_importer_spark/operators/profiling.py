@@ -334,3 +334,100 @@ def mixture_concentration(
         ent.alias("entropy_e6"),
         hhi.alias("hhi_e6"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group vs the global distribution
+    — THE production drift metric of scoring/risk pipelines:
+    ``PSI = sum_b (p_b - q_b) * ln(p_b / q_b)`` over ``n_buckets``
+    equal-width value buckets (group = actual, global = expected;
+    < 0.1 stable, 0.1-0.25 shifting, > 0.25 action). tvd_drift's
+    docstring names why this family was deferred — ln() is
+    transcendental — and mixture_concentration's order-pinned-fold
+    discipline is what makes it verifiable now: every float op runs in
+    the SAME order in both engines (bucket-sorted left fold seeded
+    0.0), with each ln fed one IEEE division of exact BIGINTs.
+
+    Buckets are Laplace-smoothed (+1 per bucket) so empty cells never
+    hit ln(0) — the standard PSI practice — which requires the DENSE
+    bucket spine: all ``n_buckets`` buckets per group participate,
+    present or not (a per-group sequence explode, n_buckets rows per
+    group). Bounds come from ONE 1-row global (min, max) broadcast
+    (the tvd_drift scalar pattern); a degenerate span (constant value)
+    puts everything in bucket 0 on both sides — PSI 0, not a crash.
+
+    Scale: one (group, bucket) map-side-combined count, the global
+    re-aggregated from the per-group counts (n_buckets rows,
+    broadcast), one group-keyed collect bounded by n_buckets. NULL
+    group/value rows are excluded up front. Returns
+    (group, n_rows, psi_e6).
+    """
+    if int(n_buckets) < 2:
+        raise ValueError(f"psi_drift needs n_buckets >= 2, got {n_buckets}")
+    b = int(n_buckets)
+    g, v = F.col(group_col), F.col(value_col)
+    df = df.filter(v.isNotNull() & g.isNotNull())
+    bounds = df.agg(F.min(v).alias("_vmin"), F.max(v).alias("_vmax"))
+    bucket = F.when(
+        F.col("_vmax") > F.col("_vmin"),
+        F.least(
+            F.lit(b - 1),
+            F.floor(
+                (v - F.col("_vmin"))
+                * F.lit(float(b))
+                / (F.col("_vmax") - F.col("_vmin"))
+            ),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    counts = (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(g.alias("_g"), bucket.alias("_b"))
+        .agg(F.count("*").cast("long").alias("_cs"))
+    )
+    gcounts = counts.groupBy("_b").agg(F.sum("_cs").alias("_cg"))
+    gtotal = gcounts.agg(F.sum("_cg").cast("long").alias("_ng"))
+    spine = (
+        counts.select("_g")
+        .distinct()
+        .select("_g", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_b"))
+        .select("_g", F.col("_b").cast("long").alias("_b"))
+    )
+    dense = (
+        spine.join(counts, ["_g", "_b"], "left")
+        .join(F.broadcast(gcounts), "_b", "left")
+        .select(
+            "_g",
+            "_b",
+            F.coalesce("_cs", F.lit(0)).cast("long").alias("_cs"),
+            F.coalesce("_cg", F.lit(0)).cast("long").alias("_cg"),
+        )
+    )
+    per = dense.groupBy("_g").agg(
+        F.sum("_cs").cast("long").alias("n_rows"),
+        F.array_sort(
+            F.collect_list(F.struct("_b", "_cs", "_cg"))
+        ).alias("_l"),
+    ).crossJoin(F.broadcast(gtotal))
+    nsb = (F.col("n_rows") + F.lit(b)).cast("double")
+    ngb = (F.col("_ng") + F.lit(b)).cast("double")
+
+    def term(x):
+        p = (x["_cs"] + F.lit(1)).cast("double") / nsb
+        q = (x["_cg"] + F.lit(1)).cast("double") / ngb
+        return (p - q) * F.log(p / q)
+
+    psi = F.aggregate(
+        F.transform("_l", term), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        "n_rows",
+        F.floor(psi * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias(
+            "psi_e6"
+        ),
+    )

@@ -151,6 +151,10 @@ _ADDITIONS_R9: list[str] = [
     # (keep the longest/highest-scored member — the production policy;
     # one map-side-combinable min(struct) argmax, no per-cluster sort).
     "canonical_by_quality",
+    # wave 18: Population Stability Index — the production drift
+    # metric tvd_drift deferred over ln()'s transcendence, made
+    # verifiable by the order-pinned fold discipline.
+    "psi_drift",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -190,12 +194,12 @@ _ROTATION_R9: list[str] = [
     "benford_audit",
     "corr_components",
     "equidepth_hist",
-    "first_touch_attribution",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: global_rank_distributed, grouping_sets_mix,
+#: the r10 rotation: first_touch_attribution,
+#: global_rank_distributed, grouping_sets_mix,
 #: item_similarity,
 #: kcore_membership, knn_label_vote,
 #: line_dedup, ntile_buckets,
@@ -11592,3 +11596,72 @@ def canonical_by_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars"),
         id_col="doc_id", cluster_col="component", score_col="n_chars",
     )
+
+
+@register(
+    "psi_drift",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    bounds AS (SELECT min(v) AS vmin, max(v) AS vmax FROM base),
+    bucketed AS (
+      SELECT g,
+             CAST(CASE WHEN bounds.vmax > bounds.vmin THEN
+               least(9, floor((v - bounds.vmin) * 10.0
+                              / (bounds.vmax - bounds.vmin)))
+             ELSE 0 END AS BIGINT) AS b
+      FROM base, bounds
+    ),
+    counts AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cs
+               FROM bucketed GROUP BY g, b),
+    gcounts AS (SELECT b, CAST(sum(cs) AS BIGINT) AS cg
+                FROM counts GROUP BY b),
+    gtotal AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM gcounts),
+    spine AS (
+      SELECT g, CAST(unnest(range(0, 10)) AS BIGINT) AS b
+      FROM (SELECT DISTINCT g FROM counts)
+    ),
+    dense AS (
+      SELECT s.g, s.b,
+             CAST(coalesce(c.cs, 0) AS BIGINT) AS cs,
+             CAST(coalesce(gc.cg, 0) AS BIGINT) AS cg
+      FROM spine s
+      LEFT JOIN counts c ON c.g = s.g AND c.b = s.b
+      LEFT JOIN gcounts gc ON gc.b = s.b
+    ),
+    per AS (
+      SELECT g, CAST(sum(cs) AS BIGINT) AS n_rows,
+             list(struct_pack(b := b, cs := cs, cg := cg) ORDER BY b) AS l
+      FROM dense GROUP BY g
+    )
+    , perx AS (SELECT per.*, gtotal.ng FROM per, gtotal)
+    SELECT g AS event_type, n_rows,
+           CAST(floor(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(l, x ->
+                 (CAST(x.cs + 1 AS DOUBLE) / CAST(n_rows + 10 AS DOUBLE)
+                  - CAST(x.cg + 1 AS DOUBLE) / CAST(ng + 10 AS DOUBLE))
+                 * ln((CAST(x.cs + 1 AS DOUBLE)
+                       / CAST(n_rows + 10 AS DOUBLE))
+                      / (CAST(x.cg + 1 AS DOUBLE)
+                         / CAST(ng + 10 AS DOUBLE))))),
+             (acc, x) -> acc + x) * 1000000.0 + 0.5) AS BIGINT) AS psi_e6
+    FROM perx
+    """,
+)
+def psi_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each event type's value
+    distribution vs the global one
+    (operators/profiling.py::psi_drift) — the production drift metric
+    tvd_drift deferred over ln()'s transcendence, made verifiable by
+    the order-pinned fold discipline: bucket-sorted left fold seeded
+    0.0, every ln fed one IEEE division of exact BIGINTs. Dense
+    Laplace-smoothed buckets; one count aggregate + n_buckets-bounded
+    group collects."""
+    from ..operators.profiling import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    return psi_drift(e, group_col="event_type", value_col="value",
+                     n_buckets=10)

@@ -1217,3 +1217,55 @@ def test_canonical_election_null_scores_cannot_win(spark):
     out2 = {r["id"]: r for r in
             canonical_by_quality(clusters, scores2).collect()}
     assert out2[1]["canonical_id"] == 2
+
+
+# ---------------------------------------------------------- psi_drift
+
+
+def test_psi_identical_distribution_near_zero(spark):
+    """A group whose distribution IS the global one scores ~0 (tiny
+    smoothing residue only)."""
+    from postgis_gtfs_importer_spark.operators.profiling import psi_drift
+
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, float(i % 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r for r in
+           psi_drift(df, "event_type", "value").collect()}
+    for r in out.values():
+        assert abs(r["psi_e6"]) < 1000  # < 0.001 PSI
+
+
+def test_psi_shifted_group_scores_high(spark):
+    """Group 'hot' concentrated in the top bucket vs a uniform rest:
+    PSI well above the 0.25 action threshold."""
+    from postgis_gtfs_importer_spark.operators.profiling import psi_drift
+
+    rows = [("base", float(i % 10)) for i in range(500)]
+    rows += [("hot", 9.0) for _ in range(100)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r for r in
+           psi_drift(df, "event_type", "value").collect()}
+    assert out["hot"]["psi_e6"] > 250_000
+    assert out["hot"]["n_rows"] == 100
+    # the global is the 500/100 mixture, so even 'base' drifts from it
+    # a little — but far less than the concentrated group
+    assert out["base"]["psi_e6"] < out["hot"]["psi_e6"] // 2
+
+
+def test_psi_degenerate_span_and_validation(spark):
+    from postgis_gtfs_importer_spark.operators.profiling import psi_drift
+
+    const = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0)], "event_type string, value double"
+    )
+    out = psi_drift(const, "event_type", "value").collect()
+    # everything lands in bucket 0 on both sides; the only PSI is the
+    # Laplace-smoothing residue of n=1 vs N=2 sample sizes — tiny,
+    # identical for the two symmetric groups, and NOT a crash
+    vals = {r["psi_e6"] for r in out}
+    assert len(vals) == 1
+    assert 0 <= vals.pop() < 50_000
+    with pytest.raises(ValueError, match="n_buckets >= 2"):
+        psi_drift(const, "event_type", "value", n_buckets=1)
