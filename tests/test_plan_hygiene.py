@@ -78,6 +78,15 @@ BNLJ_OK = {
                              # corpus-stats pattern; the corpus-side
                              # joins are equi broadcast-hash on the
                              # bucket key
+    "kmv_set_overlap",       # |sets| x |sets| inequality pair join over
+                             # the DISTINCT set ids (sketch-sized by
+                             # construction — the deliberate pairwise
+                             # stage; every corpus-touching stage is
+                             # the kmv_sketch window)
+    "psi_drift",             # 1-row global (min,max) bounds + 1-row
+                             # grand-total scalars x the fact / the
+                             # per-group rows — the tvd_drift /
+                             # vocab_coverage scalar pattern
                              # (lexical_rarity's n_docs pattern)
 }
 
