@@ -214,6 +214,27 @@ HEADLINE = [
     "knn_graph",
     # round-8 wave 7
     "path_mining",
+    # round-9 additions (coverage tail; CORE_30 stays frozen)
+    # (decontaminate was already a headline entry; its r9 upgrade is
+    # timed under the existing slot)
+    "dsir_resample",
+    "gopher_quality_gate",
+    "adamic_adar",
+    "simplified_silhouette",
+    "embedding_drift",
+    "rate_spikes",
+    "hard_negatives",
+    "ktruss",
+    "dedup_spans",
+    "ccnet_buckets",
+    "token_budget_mix",
+    "bpe_fertility",
+    "trip_overtaking",
+    "closeness_centrality",
+    "kmv_set_overlap",
+    "mixture_concentration",
+    "canonical_by_quality",
+    "psi_drift",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -991,7 +991,13 @@ def adamic_adar(
         raise ValueError(
             f"adamic_adar needs max_degree >= 2 (or None), got {max_degree}"
         )
-    edges = edges.select("a", "b")
+    from .dedup import materialize
+
+    # the edge relation feeds BOTH the wedge path and the final
+    # anti-join — materialize once or the (possibly expensive) edge
+    # derivation re-executes per consumer (the degree_assortativity
+    # 29-to-5-exchanges lesson)
+    edges = materialize(edges.select("a", "b"))
     bidir = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("_w"), F.col("b").alias("_n"))
