@@ -610,3 +610,129 @@ def calibration_bins(
         .cast("long")
         .alias("pos_rate_e6"),
     )
+
+
+def poisson_weight(salt: str, r: int, id_col: str) -> Column:
+    """Deterministic Poisson(1) resample weight for row ``id_col`` in
+    resample ``r`` — the poisson_bootstrap_ci construction exposed for
+    composition (ab_lift_ci shares it): md5-uniform from the
+    separated-component seed ``{salt}:{r}:{id}``, inverted through the
+    Poisson(1) CDF ladder. Every engine replays identical weights.
+    """
+    from .sketches import KEY_SPACE
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{salt}:{r}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(KEY_SPACE)
+    k = F.when(u < F.lit(POISSON1_CDF[0]), F.lit(0))
+    for i in range(1, len(POISSON1_CDF)):
+        k = k.when(u < F.lit(POISSON1_CDF[i]), F.lit(i))
+    return k.otherwise(F.lit(len(POISSON1_CDF))).cast("long")
+
+
+def ab_lift_ci(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    id_col: str,
+    control: str,
+    treatment: str,
+    b: int = 16,
+    value_digits: int = 2,
+    salt: str = "ab",
+) -> DataFrame:
+    """A/B mean-lift with a deterministic Poisson-bootstrap CI — the
+    experiment-analysis primitive on top of poisson_bootstrap_ci's
+    machinery: ``diff = mean(treatment) - mean(control)`` in exact
+    cents, plus the B-resample distribution of that difference
+    (Chamandy et al. 2012 — per-row Poisson(1) weights make the
+    bootstrap a single streaming aggregate; the SAME row keeps the
+    SAME weight in both arms' sums per resample, which is exactly the
+    paired-replay discipline that makes resample diffs comparable).
+
+    ONE map-side-combined single-row aggregate over the whole fact:
+    per resample r and per arm, ``sum(w_r)`` and ``sum(v·w_r)`` as
+    CASE-guarded columns (4·B + 4 aggregate columns, no row blow-up —
+    the poisson_bootstrap_ci shape doubled). Resample diffs are exact
+    integer-cent differences of truncating-division means, rank-
+    selected from the in-row sorted array (lo ≈ p10, med, hi ≈ p90 at
+    B=16). Rows with a NULL variant/value/id are excluded; rows in
+    OTHER variants are excluded by construction (an A/B/n test runs
+    one call per comparison). If either arm is empty the diff and CI
+    are NULL — visible, not fabricated.
+
+    Returns ONE row: (n_control, n_treatment, mean_control_c,
+    mean_treatment_c, diff_c, n_boot, boot_lo_c, boot_med_c,
+    boot_hi_c).
+    """
+    if int(b) < 2:
+        raise ValueError(f"ab_lift_ci needs b >= 2, got {b}")
+    keep = (
+        F.col(id_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(variant_col).isin(control, treatment)
+    )
+    vc = F.floor(
+        F.col(value_col) * (10 ** int(value_digits)) + F.lit(0.5)
+    ).cast("long")
+    is_t = F.col(variant_col) == treatment
+    aggs = [
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_control"),
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias(
+            "n_treatment"
+        ),
+        F.sum(F.when(~is_t, vc)).alias("_svc"),
+        F.sum(F.when(is_t, vc)).alias("_svt"),
+    ]
+    for r in range(int(b)):
+        w = poisson_weight(salt, r, id_col)
+        aggs.append(F.sum(F.when(~is_t, w)).alias(f"_skc{r}"))
+        aggs.append(F.sum(F.when(~is_t, vc * w)).alias(f"_svkc{r}"))
+        aggs.append(F.sum(F.when(is_t, w)).alias(f"_skt{r}"))
+        aggs.append(F.sum(F.when(is_t, vc * w)).alias(f"_svkt{r}"))
+    g = df.filter(keep).agg(*aggs)
+    diffs = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.expr(
+                        f"case when _skt{r} > 0 and _skc{r} > 0 then"
+                        f" (_svkt{r} div _skt{r}) - (_svkc{r} div _skc{r})"
+                        f" end"
+                    )
+                    for r in range(int(b))
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    g = g.withColumn("_ds", diffs).withColumn(
+        "_nb", F.size("_ds").cast("int")
+    )
+    mean_c = F.expr("case when n_control > 0 then _svc div n_control end")
+    mean_t = F.expr(
+        "case when n_treatment > 0 then _svt div n_treatment end"
+    )
+    sel = lambda idx: F.when(  # noqa: E731 — local rank selector
+        F.col("_nb") >= 1, F.element_at("_ds", idx)
+    )
+    return g.select(
+        "n_control",
+        "n_treatment",
+        mean_c.alias("mean_control_c"),
+        mean_t.alias("mean_treatment_c"),
+        (mean_t - mean_c).alias("diff_c"),
+        F.col("_nb").cast("long").alias("n_boot"),
+        sel(F.least(F.lit(2), F.col("_nb"))).alias("boot_lo_c"),
+        sel(F.expr("(_nb + 1) div 2").cast("int")).alias("boot_med_c"),
+        sel(F.greatest(F.col("_nb") - 1, F.lit(1))).alias("boot_hi_c"),
+    )

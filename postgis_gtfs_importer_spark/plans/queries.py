@@ -155,6 +155,10 @@ _ADDITIONS_R9: list[str] = [
     # metric tvd_drift deferred over ln()'s transcendence, made
     # verifiable by the order-pinned fold discipline.
     "psi_drift",
+    # wave 19: A/B mean-lift with a paired-replay Poisson-bootstrap CI
+    # — one single-row aggregate, 4·B CASE-guarded columns, no row
+    # blow-up (the experiment-analysis primitive).
+    "ab_lift_ci",
 ]
 
 #: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
@@ -193,12 +197,11 @@ _ROTATION_R9: list[str] = [
     "association_rules",
     "benford_audit",
     "corr_components",
-    "equidepth_hist",
 ]
 
 #: r5 entries that did NOT fit this round (window arithmetic: 6
 #: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: first_touch_attribution,
+#: the r10 rotation: equidepth_hist, first_touch_attribution,
 #: global_rank_distributed, grouping_sets_mix,
 #: item_similarity,
 #: kcore_membership, knn_label_vote,
@@ -11686,3 +11689,105 @@ def psi_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return psi_drift(e, group_col="event_type", value_col="value",
                      n_buckets=10)
+
+
+def _ab_lift_oracle(b: int = 16, salt: str = "ab") -> str:
+    """DuckDB twin of operators/scoring.py::ab_lift_ci over events
+    split into deterministic user-parity arms: the same md5-uniform
+    Poisson(1) weights, 4·B CASE-guarded aggregate columns in one
+    single-row aggregate, rank-selected resample diffs."""
+    cdf = (
+        "0.36787944117144233", "0.7357588823428846", "0.9196986029286058",
+        "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+        "0.9999167588507119",
+    )
+    ks, sums, diffs = [], [], []
+    for r in range(b):
+        u = (
+            f"((CAST(('0x' || substr(md5('{salt}:{r}:' ||"
+            f" CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)"
+            f" / 1152921504606846976.0)"
+        )
+        case = (
+            "CASE "
+            + " ".join(f"WHEN {u} < {c} THEN {i}" for i, c in enumerate(cdf))
+            + " ELSE 7 END"
+        )
+        ks.append(f"CAST({case} AS BIGINT) AS k{r}")
+        sums.append(f"sum(CASE WHEN t = 0 THEN k{r} END) AS skc{r}")
+        sums.append(f"sum(CASE WHEN t = 0 THEN vc * k{r} END) AS svkc{r}")
+        sums.append(f"sum(CASE WHEN t = 1 THEN k{r} END) AS skt{r}")
+        sums.append(f"sum(CASE WHEN t = 1 THEN vc * k{r} END) AS svkt{r}")
+        diffs.append(
+            f"CASE WHEN skt{r} > 0 AND skc{r} > 0 THEN"
+            f" (svkt{r} // skt{r}) - (svkc{r} // skc{r}) END"
+        )
+    return f"""
+    WITH ev AS (
+      SELECT event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS t
+      FROM events
+      WHERE event_id IS NOT NULL AND value IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    w AS (SELECT vc, t, {', '.join(ks)} FROM ev),
+    g AS (
+      SELECT
+        CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_control,
+        CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_treatment,
+        sum(CASE WHEN t = 0 THEN vc END) AS svc,
+        sum(CASE WHEN t = 1 THEN vc END) AS svt,
+        {', '.join(sums)}
+      FROM w
+    ),
+    m AS (
+      SELECT *, list_sort(list_filter(
+               list_value({', '.join(diffs)}), x -> x IS NOT NULL)) AS ds
+      FROM g
+    )
+    SELECT n_control, n_treatment,
+           CAST(CASE WHEN n_control > 0 THEN svc // n_control END
+                AS BIGINT) AS mean_control_c,
+           CAST(CASE WHEN n_treatment > 0 THEN svt // n_treatment END
+                AS BIGINT) AS mean_treatment_c,
+           CAST(CASE WHEN n_control > 0 AND n_treatment > 0 THEN
+                  svt // n_treatment - svc // n_control END
+                AS BIGINT) AS diff_c,
+           CAST(len(ds) AS BIGINT) AS n_boot,
+           CAST(CASE WHEN len(ds) >= 1
+                     THEN ds[least(2, len(ds))] END AS BIGINT)
+             AS boot_lo_c,
+           CAST(CASE WHEN len(ds) >= 1
+                     THEN ds[(len(ds) + 1) // 2] END AS BIGINT)
+             AS boot_med_c,
+           CAST(CASE WHEN len(ds) >= 1
+                     THEN ds[greatest(len(ds) - 1, 1)] END AS BIGINT)
+             AS boot_hi_c
+    FROM m
+    """
+
+
+@register("ab_lift_ci", _ab_lift_oracle())
+def ab_lift_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B mean-lift with a deterministic Poisson-bootstrap CI over the
+    events fact, arms = user-id parity
+    (operators/scoring.py::ab_lift_ci, Chamandy et al. 2012) — the
+    experiment-analysis primitive on poisson_bootstrap_ci's machinery:
+    ONE single-row map-side-combined aggregate carries 4·B CASE-guarded
+    resample columns (no row blow-up), the same row keeps the same
+    weight in both arms' sums per resample, and the CI is rank-selected
+    from the in-row sorted diff array."""
+    from ..operators.scoring import ab_lift_ci
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    withv = e.withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return ab_lift_ci(
+        withv, variant_col="variant", value_col="value",
+        id_col="event_id", control="A", treatment="B", b=16, salt="ab",
+    )

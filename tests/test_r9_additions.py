@@ -1269,3 +1269,57 @@ def test_psi_degenerate_span_and_validation(spark):
     assert 0 <= vals.pop() < 50_000
     with pytest.raises(ValueError, match="n_buckets >= 2"):
         psi_drift(const, "event_type", "value", n_buckets=1)
+
+
+# ----------------------------------------------------------- ab_lift_ci
+
+
+def test_ab_lift_exact_means_and_paired_replay(spark):
+    """Constant values per arm: every resample mean is the constant
+    (weights cancel), so the whole CI collapses to the exact diff —
+    the analytic invariant no approximate path satisfies."""
+    from postgis_gtfs_importer_spark.operators.scoring import ab_lift_ci
+
+    rows = [(f"c{i}", "A", 10.0) for i in range(50)]
+    rows += [(f"t{i}", "B", 12.5) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id string, variant string, value double")
+    r = ab_lift_ci(df, "variant", "value", "event_id", "A", "B").collect()[0]
+    assert r["n_control"] == 50 and r["n_treatment"] == 50
+    assert r["mean_control_c"] == 1000 and r["mean_treatment_c"] == 1250
+    assert r["diff_c"] == 250
+    assert r["boot_lo_c"] == r["boot_med_c"] == r["boot_hi_c"] == 250
+    assert r["n_boot"] == 16
+
+
+def test_ab_lift_empty_arm_is_null_not_fabricated(spark):
+    from postgis_gtfs_importer_spark.operators.scoring import ab_lift_ci
+
+    df = spark.createDataFrame(
+        [("e1", "A", 5.0)], "event_id string, variant string, value double"
+    )
+    r = ab_lift_ci(df, "variant", "value", "event_id", "A", "B").collect()[0]
+    assert r["n_treatment"] == 0
+    assert r["diff_c"] is None and r["boot_med_c"] is None
+
+
+def test_ab_lift_other_variants_excluded(spark):
+    from postgis_gtfs_importer_spark.operators.scoring import ab_lift_ci
+
+    rows = [("a", "A", 1.0), ("b", "B", 2.0), ("x", "C", 99.0)]
+    df = spark.createDataFrame(rows, "event_id string, variant string, value double")
+    r = ab_lift_ci(df, "variant", "value", "event_id", "A", "B").collect()[0]
+    assert r["n_control"] == 1 and r["n_treatment"] == 1
+
+
+def test_ab_lift_ci_brackets_true_diff(spark):
+    """Noisy arms with a real +1.0 lift: the bootstrap CI brackets the
+    point diff and is ordered lo <= med <= hi."""
+    from postgis_gtfs_importer_spark.operators.scoring import ab_lift_ci
+
+    rows = [(f"c{i}", "A", float(i % 7)) for i in range(400)]
+    rows += [(f"t{i}", "B", float(i % 7) + 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id string, variant string, value double")
+    r = ab_lift_ci(df, "variant", "value", "event_id", "A", "B").collect()[0]
+    assert r["boot_lo_c"] <= r["boot_med_c"] <= r["boot_hi_c"]
+    assert r["boot_lo_c"] <= r["diff_c"] <= r["boot_hi_c"]
+    assert 50 <= r["diff_c"] <= 150  # cents: true lift 100
