@@ -235,6 +235,7 @@ HEADLINE = [
     "mixture_concentration",
     "canonical_by_quality",
     "psi_drift",
+    "ab_lift_ci",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the
