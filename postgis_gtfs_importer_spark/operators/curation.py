@@ -154,9 +154,12 @@ def decontaminate(
     (each hit at start s covers [s, s+n) — overlapping hits never
     double-count, the dup_ngram_coverage span discipline via
     :func:`..temporal.interval_union`), ``contam_ppm`` the exact BIGINT
-    token fraction, and ``drop_doc`` the gate ``contam_ppm >
-    drop_ppm`` (default 0: ANY contaminated token drops — the Brown et
-    al. rule; loosen it to keep long docs brushing a short eval
+    token fraction, and ``drop_doc`` the gate: at the default
+    ``drop_ppm == 0`` it is ``contaminated_tok > 0`` (ANY contaminated
+    token drops — the Brown et al. rule, exact even for docs whose
+    contamination truncates below 1 ppm, i.e. n_tok > 1e6 *
+    contaminated_tok); for ``drop_ppm > 0`` it is ``contam_ppm >
+    drop_ppm`` (loosen it to keep long docs brushing a short eval
     answer). Apply with ``corpus.join(out.filter("drop_doc"), id,
     "left_anti")`` — clean docs are absent by construction (fraction
     0).
@@ -242,7 +245,16 @@ def decontaminate(
                 "contam_ppm"
             ),
         )
-        .withColumn("drop_doc", F.col("contam_ppm") > F.lit(int(drop_ppm)))
+        .withColumn(
+            "drop_doc",
+            # drop_ppm == 0 means ANY contaminated token: gate on the raw
+            # token count, not the ppm, which truncates to 0 for docs with
+            # n_tok > 1e6 * contaminated_tok (sub-ppm contamination would
+            # otherwise survive the default gate).
+            F.col("contaminated_tok") > F.lit(0)
+            if int(drop_ppm) == 0
+            else F.col("contam_ppm") > F.lit(int(drop_ppm)),
+        )
     )
 
 
@@ -880,7 +892,13 @@ def dsir_resample(
         16,
         10,
     ).cast("long")
-    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(KEY_SPACE)
+    # u = (h + 0.5) / KEY_SPACE lies STRICTLY inside (0, 1): the +1
+    # variant used by the exponential-key samplers reaches u == 1.0 at
+    # h == KEY_SPACE-1, which is fine for -ln(u) (key 0) but fatal for
+    # the double log here — Spark's ln(-ln(1)) = ln(0) yields NULL
+    # while DuckDB yields -inf, a measure-zero cross-engine parity
+    # hole. The half-offset keeps both engines on finite doubles.
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(KEY_SPACE)
     gkey = F.col("logw_e6").cast("double") / 1e6 - F.log(-F.log(u))
     # global top-k as orderBy+limit -> TakeOrderedAndProject (each task
     # keeps its local k, one merge of k-row heaps — the path_mining

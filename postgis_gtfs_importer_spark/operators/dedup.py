@@ -1114,7 +1114,11 @@ def canonical_by_quality(
     smallest id. Standard in dedup pipelines (Dolma/RefinedWeb keep
     longest-or-highest-scored representatives).
 
-    Election: per cluster, the member with the highest NUMERIC score;
+    Election: per cluster, the member with the highest NUMERIC score
+    (compared as DOUBLE — fractional scores order exactly, and the
+    negation can't overflow the way a LONG_MIN negate would; NaN
+    scores sort as the LARGEST score in both Spark and DuckDB, so a
+    NaN member wins its cluster — score columns should be NaN-free);
     ties break toward the smallest id; members with a NULL score can
     never win but still receive their cluster's canonical (they are
     members, just unscoreable). The argmax is ONE map-side-combinable
@@ -1132,7 +1136,7 @@ def canonical_by_quality(
     ).join(
         scores.select(
             F.col(id_col).alias("_id"),
-            F.col(score_col).cast("long").alias("_sc"),
+            F.col(score_col).cast("double").alias("_sc"),
         ),
         "_id",
         "left",
@@ -1141,7 +1145,7 @@ def canonical_by_quality(
         F.min(
             F.struct(
                 F.col("_sc").isNull().alias("_nul"),
-                (-F.coalesce(F.col("_sc"), F.lit(0))).alias("_neg"),
+                (-F.coalesce(F.col("_sc"), F.lit(0.0))).alias("_neg"),
                 F.col("_id").alias("_best"),
             )
         ).alias("_b")

@@ -1204,9 +1204,23 @@ def closeness_centrality(
         for r in bidir.select("_n").distinct().orderBy("_n")
         .limit(int(k_sources)).collect()
     ]
+    # Seed-frontier schema derives node/src from the EDGE column type
+    # (string, int, long, ... all work) — a hardcoded `node long`
+    # would crash at runtime on non-integer node ids, unlike the other
+    # graph operators, which are id-type agnostic.
+    from pyspark.sql import types as T
+
+    node_type = bidir.schema["_n"].dataType
     state = materialize(
         spark.createDataFrame(
-            [(s, s, 0) for s in src_ids], "node long, src long, dist long"
+            [(s, s, 0) for s in src_ids],
+            T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("src", node_type),
+                    T.StructField("dist", T.LongType()),
+                ]
+            ),
         )
     )
     frontier = state

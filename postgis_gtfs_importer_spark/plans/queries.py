@@ -2348,8 +2348,7 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            counts.n_bench_docs, cov.contaminated_tok,
            CAST(cov.contaminated_tok * 1000000 AS BIGINT) // nt.n_tok
              AS contam_ppm,
-           (CAST(cov.contaminated_tok * 1000000 AS BIGINT) // nt.n_tok) > 0
-             AS drop_doc
+           cov.contaminated_tok > 0 AS drop_doc
     FROM counts JOIN cov USING (doc_id) JOIN nt USING (doc_id)
     """,
 )
@@ -10636,9 +10635,13 @@ def _dsir_oracle(k: int = 40, buckets: int = 256, salt: str = "dsir") -> str:
         f"CAST('0x' || substr(md5('{salt}' || CAST(g AS VARCHAR)), 1, 8)"
         f" AS BIGINT) % {buckets}"
     )
+    # + 0.5, not + 1: keeps u strictly inside (0, 1) so ln(-ln(u)) is
+    # finite in both engines (at u == 1.0 Spark's ln(0) is NULL while
+    # DuckDB's is -inf — the measure-zero parity hole the half-offset
+    # closes; mirrors operators/curation.py::dsir_resample).
     uni = (
         f"((CAST(('0x' || substr(md5('{salt}:u:' ||"
-        f" CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)"
+        f" CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)"
         f" / 1152921504606846976.0)"
     )
     return f"""
@@ -11587,7 +11590,8 @@ def mixture_concentration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT component, doc_id,
                row_number() OVER (
                  PARTITION BY component
-                 ORDER BY (n_chars IS NULL), coalesce(-n_chars, 0),
+                 ORDER BY (n_chars IS NULL),
+                          coalesce(-CAST(n_chars AS DOUBLE), 0.0),
                           doc_id) AS rn
         FROM sc
       ) WHERE rn = 1
