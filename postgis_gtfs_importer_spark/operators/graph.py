@@ -1032,64 +1032,27 @@ def adamic_adar(
     )
 
 
-def _edge_support(edges: DataFrame) -> DataFrame:
-    """Per-edge triangle support of an undirected (a, b), a<b, distinct
-    edge relation — the k-truss inner step: every edge annotated with
-    how many triangles it closes in THIS edge set (0 included).
-
-    Same degree-orientation machinery as triangle_count /
-    local_clustering (oriented out-adjacency O(sqrt(m)) under
-    power-law skew); each enumerated triangle credits its THREE edges
-    via an output-bounded explode (3·|triangles| credit rows), and the
-    credits aggregate on the canonical (a, b) key.
-    """
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
-    with_deg = edges.join(
-        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
-    ).join(
-        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
-    )
-    lower_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = with_deg.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
-    adj = oriented.groupBy("src").agg(
-        F.array_sort(F.collect_list("dst")).alias("nbrs")
-    )
-    tri_rows = (
-        oriented.join(
-            adj.select(F.col("src"), F.col("nbrs").alias("nu")), "src"
+def _tri_edges(tri: DataFrame) -> DataFrame:
+    """The three canonical (a, b) edges of each (x, y, z) triangle row,
+    each paired with the triangle's third vertex as ``w`` (the partner
+    the edge loses when the triangle dies)."""
+    return (
+        tri.select(
+            F.col("x").alias("a"), F.col("y").alias("b"),
+            F.col("z").alias("w"),
         )
-        .join(
-            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nw")),
-            "dst",
+        .unionAll(
+            tri.select(
+                F.col("x").alias("a"), F.col("z").alias("b"),
+                F.col("y").alias("w"),
+            )
         )
-        .select(
-            "src", "dst",
-            F.explode(F.array_intersect("nu", "nw")).alias("w"),
+        .unionAll(
+            tri.select(
+                F.col("y").alias("a"), F.col("z").alias("b"),
+                F.col("x").alias("w"),
+            )
         )
-    )
-    canon = lambda x, y: [  # noqa: E731 — local pair canonicalizer
-        F.least(x, y).alias("a"), F.greatest(x, y).alias("b"),
-    ]
-    credits = (
-        tri_rows.select(*canon(F.col("src"), F.col("dst")))
-        .unionAll(tri_rows.select(*canon(F.col("src"), F.col("w"))))
-        .unionAll(tri_rows.select(*canon(F.col("dst"), F.col("w"))))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("_sup"))
-    )
-    return edges.join(credits, ["a", "b"], "left").select(
-        "a", "b",
-        F.coalesce("_sup", F.lit(0)).cast("long").alias("support"),
     )
 
 
@@ -1105,26 +1068,42 @@ def ktruss(
     primitive for "cohesive group" extraction over co-occurrence
     graphs.
 
-    Synchronous peeling: each round annotates every surviving edge
-    with its triangle support in the CURRENT graph (:func:`_edge_support`
-    — the triangle_count orientation machinery, output-bounded
-    3·|triangles| credit rows) and drops edges with support < k-2.
-    Stops at the fixpoint (a round that removes nothing) or after
-    ``max_rounds``. Early exit is parity-safe: at a fixpoint, further
-    rounds recompute the identical support, so the unrolled-CTE oracle
-    that always runs max_rounds agrees.
+    INCREMENTAL peeling over per-edge PARTNER LISTS (VERDICT r9 item
+    2): round 1 enumerates every triangle once via the triangle_count
+    degree-orientation machinery (output-bounded 3·|triangles| credit
+    rows) and aggregates, per edge, the sorted list of its triangle
+    partners — ``support == size(partners)`` by construction. Rounds
+    2+ never touch the graph again: a removed edge's destroyed
+    triangles are read STRAIGHT OFF ITS OWN ROW (each partner w names
+    triangle {a, b, w}), deduped across removed edges (a triangle
+    losing two edges in one round still decrements its survivor
+    exactly once), and each surviving edge of a destroyed triangle
+    drops that partner — so every later round costs O(cascade
+    neighborhood), not O(graph). The maintained counts are
+    bit-identical to a full recompute, so the unrolled-CTE oracle that
+    recomputes support per round agrees exactly. Stops at the fixpoint
+    (no removals) or ``max_rounds``.
 
     Returns the surviving edges as (a, b, support) with each edge's
     support as computed in its FINAL round's input graph — at the
     fixpoint this IS its k-truss support. Deterministic: no RNG, no
     floats, pure integer counting.
 
-    Scale per round: one degree aggregate, one adjacency collect, one
-    oriented intersect join (the O(sqrt m) orientation bound), one
-    credit aggregate — all keyed on edges/nodes; the shrinking edge
-    set is eagerly materialized so lineage stays one round deep (the
-    pagerank checkpoint lesson). The per-round removed-count probe is
-    a 1-value convergence collect (the documented class).
+    Scale: the graph-sized triangle join runs ONCE; each later round
+    is one explode of the removed edges' (short — every removed edge
+    has support < k-2) partner lists, one cascade-sized dedup +
+    decrement aggregate, and one AQE-sized join back onto the state.
+    The partner lists add one |triangles|-proportional shuffle column
+    to round 1's existing credit aggregate — the same asymptotic class
+    — and a surviving HUB edge's list is bounded by its support (max
+    common-neighborhood ≈ max degree, the documented adamic_adar
+    adjacency-array cap). State is eagerly materialized per round so
+    lineage stays one round deep (the pagerank checkpoint lesson); the
+    per-round removed-count probe is a 1-value convergence collect
+    (the documented class). No explicit broadcast hints: a
+    pathological round can remove a graph-sized edge set, and a forced
+    broadcast would OOM where AQE's runtime-sized plan degrades to a
+    shuffle gracefully.
     """
     if int(k) < 3:
         raise ValueError(f"ktruss needs k >= 3, got {k}")
@@ -1133,18 +1112,143 @@ def ktruss(
     from .dedup import materialize
 
     min_sup = int(k) - 2
-    cur = materialize(edges.select("a", "b").distinct())
-    n_cur = cur.count()
-    out = None
-    for _ in range(int(max_rounds)):
-        sup = _edge_support(cur)
-        out = materialize(sup.filter(F.col("support") >= min_sup))
-        n_out = out.count()
-        if n_out == n_cur:
+    g = materialize(edges.select("a", "b").distinct())
+    deg = (
+        g.select(F.col("a").alias("node"))
+        .union(g.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    with_deg = g.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    )
+    # each triangle once (orientation guarantees uniqueness), already
+    # as canonical vertex triples
+    tri = (
+        oriented.join(
+            adj.select(F.col("src"), F.col("nbrs").alias("nu")), "src"
+        )
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nw")),
+            "dst",
+        )
+        .select(
+            "src", "dst",
+            F.explode(F.array_intersect("nu", "nw")).alias("w"),
+        )
+        .select(F.array_sort(F.array("src", "dst", "w")).alias("_t"))
+        .select(
+            F.element_at("_t", 1).alias("x"),
+            F.element_at("_t", 2).alias("y"),
+            F.element_at("_t", 3).alias("z"),
+        )
+    )
+    state = materialize(
+        g.join(
+            _tri_edges(tri)
+            .groupBy("a", "b")
+            .agg(F.array_sort(F.collect_list("w")).alias("partners")),
+            ["a", "b"],
+            "left",
+        ).select(
+            "a",
+            "b",
+            F.coalesce(
+                "partners",
+                F.expr("array()").cast(
+                    f"array<{g.schema['a'].dataType.simpleString()}>"
+                ),
+            ).alias("partners"),
+        )
+    )
+    # out/removed are filters over the checkpointed state (a second
+    # checkpoint of the same rows would double the materialization
+    # cost for no lineage benefit); support == size(partners)
+    sup_col = F.size("partners").cast("long").alias("support")
+    out = state.select("a", "b", sup_col, "partners").filter(
+        F.col("support") >= min_sup
+    )
+    removed = state.select("a", "b", sup_col, "partners").filter(
+        F.col("support") < min_sup
+    )
+    for r in range(2, int(max_rounds) + 1):
+        if removed.count() == 0:
             break
-        cur = out.select("a", "b")
-        n_cur = n_out
-    return out
+        # destroyed triangles, one row each, straight off the removed
+        # edges' partner lists ({a, b, w} per partner; the dedup
+        # handles a triangle reached from two removed edges)
+        destroyed = (
+            removed.select(
+                "a", "b", F.explode("partners").alias("w")
+            )
+            .select(F.array_sort(F.array("a", "b", "w")).alias("_t"))
+            .distinct()
+            .select(
+                F.element_at("_t", 1).alias("x"),
+                F.element_at("_t", 2).alias("y"),
+                F.element_at("_t", 3).alias("z"),
+            )
+        )
+        rem = removed.select("a", "b")
+        if r == int(max_rounds):
+            # FINAL round: no later round will read partner lists, so
+            # skip the (|triangles|-proportional) state rewrite — a
+            # count decrement over the cascade plus one AQE-sized join
+            # finishes the answer lazily off the last checkpoint
+            dec = (
+                _tri_edges(destroyed)
+                .select("a", "b")
+                .join(rem, ["a", "b"], "left_anti")
+                .groupBy("a", "b")
+                .agg(F.count("*").cast("long").alias("_dec"))
+            )
+            final = out.join(dec, ["a", "b"], "left").select(
+                "a",
+                "b",
+                (F.col("support") - F.coalesce("_dec", F.lit(0)))
+                .cast("long")
+                .alias("support"),
+            )
+            return final.filter(F.col("support") >= min_sup)
+        # per surviving edge: the partners it loses this round
+        # ("surviving" = not removed — every edge of a destroyed
+        # triangle existed in this round's input graph)
+        lost = (
+            _tri_edges(destroyed)
+            .join(rem, ["a", "b"], "left_anti")
+            .groupBy("a", "b")
+            .agg(F.collect_list("w").alias("_lost"))
+        )
+        state = materialize(
+            out.join(lost, ["a", "b"], "left").select(
+                "a",
+                "b",
+                F.when(
+                    F.col("_lost").isNull(), F.col("partners")
+                ).otherwise(
+                    F.array_except("partners", "_lost")
+                ).alias("partners"),
+            )
+        )
+        out = state.select("a", "b", sup_col, "partners").filter(
+            F.col("support") >= min_sup
+        )
+        removed = state.select("a", "b", sup_col, "partners").filter(
+            F.col("support") < min_sup
+        )
+    return out.select("a", "b", "support")
 
 
 def closeness_centrality(
