@@ -404,6 +404,38 @@ def main() -> None:
         print(f"# import_e2e: FAILED {type(e).__name__}: {e}", flush=True)
         detail["import_e2e"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Same noise adjudication the query suite gets (VERDICT r9 item 4 —
+    # the 28.2 vs 37.5 s import_e2e drift was pure ambient load, shown
+    # only by off-artifact quiet-path reruns): when the measured total
+    # regresses >1.3x against the previous artifact, rerun once in
+    # isolation and record `retime_total_sec` so the artifact carries
+    # the adjudication itself.
+    try:
+        prev_imp = None
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_DETAIL.json")) as f:
+            prev_imp = json.load(f).get("queries", {}).get(
+                "import_e2e", {}
+            ).get("total_sec")
+    except (OSError, ValueError):
+        pass
+    if (
+        import_e2e is not None
+        and prev_imp
+        and import_e2e > 1.3 * prev_imp
+    ):
+        try:
+            with tempfile.TemporaryDirectory(prefix="import-rt-") as wd:
+                imp_rt = run_import_bench(spark, wd, scale=(sf or 0.1) * 10)
+            detail["import_e2e"]["retime_total_sec"] = imp_rt["total_sec"]
+            print(
+                f"# import_e2e retime: {imp_rt['total_sec']:.3f}s"
+                f" (prev {prev_imp:.3f}s)",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"# import_e2e retime FAILED: {e}", flush=True)
+
     # sf1-class import (VERDICT r5 item 8): one decade up from the
     # standing run (~11.5M arrivals vs ~1.15M) to pin COPY-sink
     # throughput scaling. Env-gated — it adds minutes, so it runs when
