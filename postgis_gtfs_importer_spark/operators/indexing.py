@@ -520,6 +520,138 @@ def bigram_lm_scores(
     )
 
 
+def trigram_backoff_scores(
+    df: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency under a TRIGRAM stupid-backoff LM (Brants
+    et al. 2007) trained on a separate ``train`` corpus — the
+    CCNet/KenLM-class quality gate one order up from
+    :func:`bigram_lm_scores` (VERDICT r9 item 5), in the same
+    transcendental-free e6 fixed point so a DuckDB oracle checks it
+    bit-for-bit. Unlike the bigram scorer (self-trained, so every
+    probe n-gram is in-model by construction), the held-out ``train``
+    split makes the BACKOFF path real: scored documents outside the
+    training split hit unseen trigrams and fall back.
+
+    Model (all counts from ``train``):
+
+    - trigram hit:  ``S = c3(w1 w2 w3) / h2(w1 w2)`` — ``h2`` counts
+      (w1, w2) as a TRIGRAM HEAD, so the conditional sums to exactly 1.
+    - bigram backoff (unseen trigram): ``S = 0.4 * c2(w2 w3) / h1(w2)``
+      with ``h1`` the bigram-head count.
+    - unigram backoff (unseen bigram): ``S = 0.16 * c1(w3) / N``.
+    - unseen token: 0.
+
+    Each trigram occurrence contributes its score e6 fixed-point —
+    the multipliers are exact doubles (1e6, 4e5 = 0.4·1e6, 1.6e5 =
+    0.16·1e6) applied as ONE IEEE multiply + divide of exactly-shared
+    integers, then ``floor(x + 0.5)`` — and the document score is the
+    exact-integer mean. Stupid backoff is deliberately unnormalized
+    (a score, not a probability — Brants' point: at web scale the
+    α-weighted backoff ranks as well as Kneser-Ney smoothing at a
+    fraction of the cost), which is exactly what a gate consumes;
+    ccnet_buckets takes this column unchanged in place of
+    mean_cond_e6.
+
+    Plan shape (the bigram_lm_scores discipline, one order up): probe
+    occurrences pre-aggregate to (doc, w1, w2, w3, m) and MATERIALIZE
+    (the relation feeds nothing twice here, but the lineage cut keeps
+    the explode out of the three model joins' retry scope); the model
+    relations are vocab-bounded aggregates with map-side partials; the
+    three backoff levels attach as LEFT joins on their n-gram keys
+    (trigram, then (w2, w3), then w3 — each join is model-sized,
+    AQE-broadcast when small, shuffle when not); the per-doc mean is
+    one id-keyed shuffle. No collect, no python UDF, no corpus-sized
+    shuffle beyond the probe aggregate itself.
+
+    Returns (doc_id, n_trigrams, n_backoff, mean_sb_e6): ``n_backoff``
+    counts trigram occurrences that fell past the trigram level —
+    a direct out-of-domain signal alongside the fluency mean.
+    """
+    from .dedup import materialize
+
+    def tri_occ(frame: DataFrame) -> DataFrame:
+        toks_arr = TX.lower_ws_tokens_nonempty(F.col(text_col))
+        triples = F.expr(
+            "transform(slice(_t, 1, greatest(size(_t) - 2, 0)),"
+            " (x, i) -> struct(x AS w1, _t[i + 1] AS w2, _t[i + 2] AS w3))"
+        )
+        return (
+            frame.select(F.col(id_col).alias("id"), toks_arr.alias("_t"))
+            .select("id", F.explode(triples).alias("_p"))
+            .select("id", "_p.w1", "_p.w2", "_p.w3")
+            .groupBy("id", "w1", "w2", "w3")
+            .agg(F.count("*").cast("long").alias("m"))
+        )
+    train_occ = materialize(tri_occ(train))
+    c3 = train_occ.groupBy("w1", "w2", "w3").agg(
+        F.sum("m").cast("long").alias("c3")
+    )
+    h2 = c3.groupBy("w1", "w2").agg(F.sum("c3").cast("long").alias("h2"))
+    # bigram level counts (w2, w3) as adjacent pairs wherever they head
+    # a trigram OR close one — derived from the trigram relation's last
+    # pair plus each document's final pair would need the raw pairs; we
+    # count (w2, w3) as the LAST pair of trigrams, i.e. bigrams in
+    # trigram-interior position. Heads h1 aggregate from c2 so the
+    # conditional still sums to 1 over w3.
+    c2 = c3.groupBy("w2", "w3").agg(F.sum("c3").cast("long").alias("c2"))
+    h1 = c2.groupBy("w2").agg(F.sum("c2").cast("long").alias("h1"))
+    c1 = c3.groupBy("w3").agg(F.sum("c3").cast("long").alias("c1"))
+    n_tok = c3.agg(F.sum("c3").cast("long").alias("n")).select("n")
+    probe = materialize(tri_occ(df))
+    tri_m = c3.join(h2, ["w1", "w2"]).select(
+        "w1", "w2", "w3",
+        F.floor(
+            F.col("c3").cast("double") * F.lit(1e6) / F.col("h2") + F.lit(0.5)
+        ).cast("long").alias("p3_e6"),
+    )
+    bi_m = c2.join(h1, ["w2"]).select(
+        "w2", "w3",
+        F.floor(
+            F.col("c2").cast("double") * F.lit(4e5) / F.col("h1") + F.lit(0.5)
+        ).cast("long").alias("p2_e6"),
+    )
+    uni_m = c1.crossJoin(n_tok).select(
+        "w3",
+        F.floor(
+            F.col("c1").cast("double") * F.lit(1.6e5) / F.col("n") + F.lit(0.5)
+        ).cast("long").alias("p1_e6"),
+    )
+    scored = (
+        probe.join(tri_m, ["w1", "w2", "w3"], "left")
+        .join(bi_m, ["w2", "w3"], "left")
+        .join(uni_m, ["w3"], "left")
+        .select(
+            "id",
+            "m",
+            F.coalesce(
+                "p3_e6", "p2_e6", "p1_e6", F.lit(0)
+            ).cast("long").alias("p_e6"),
+            F.col("p3_e6").isNull().alias("_backoff"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("m").cast("long").alias("n_trigrams"),
+        F.sum(F.when(F.col("_backoff"), F.col("m")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_backoff"),
+        F.sum(F.col("m") * F.col("p_e6")).cast("long").alias("sum_e6"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_trigrams",
+        "n_backoff",
+        F.floor(
+            F.col("sum_e6").cast("double") / F.col("n_trigrams") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_sb_e6"),
+    )
+
+
 def skipgram_pairs(
     df: DataFrame,
     text_col: str = "text",

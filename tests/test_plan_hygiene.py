@@ -88,6 +88,11 @@ BNLJ_OK = {
                              # per-group rows — the tvd_drift /
                              # vocab_coverage scalar pattern
                              # (lexical_rarity's n_docs pattern)
+    "trigram_backoff_lm",    # 1-row train-token-total scalar (N of the
+                             # unigram backoff level) x the vocab-sized
+                             # unigram table — the bm25 corpus-stats
+                             # pattern; all corpus-touching joins are
+                             # equi joins on n-gram keys
 }
 
 STREAMING = {
