@@ -10,8 +10,13 @@ watermark, and the static side picks up a new snapshot on the next batch
 after a pointer flip (the blue/green design composes with streaming for
 free).
 
-Schema mirrors the public GTFS-Realtime TripUpdate/StopTimeEvent shape
-(trip_id, stop_sequence, delay seconds, timestamp) flattened to columns.
+Schemas mirror the three public GTFS-Realtime feed types flattened to
+columns: TripUpdate/StopTimeEvent (trip_id, stop_sequence, delay
+seconds, timestamp), VehiclePosition (vehicle + trip descriptors,
+position, current status), and Alert (one row per informed entity,
+active period, cause/effect/severity) — the full surface a transit
+consumer polls, each with the same exact-resend suppression and
+stream-static join against the published snapshot.
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -103,3 +109,184 @@ def realtime_departures(
             "ts",
         )
     )
+
+
+VEHICLE_POSITION_SCHEMA = StructType(
+    [
+        StructField("vehicle_id", StringType()),
+        StructField("trip_id", StringType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("bearing", DoubleType()),
+        StructField("speed_mps", DoubleType()),
+        StructField("current_stop_sequence", IntegerType()),
+        StructField("current_status", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("update_id", LongType()),
+    ]
+)
+
+#: GTFS-Realtime VehicleStopStatus enum, flattened to strings the way a
+#: JSON feed mirror publishes them.
+VEHICLE_STATUSES = ("INCOMING_AT", "STOPPED_AT", "IN_TRANSIT_TO")
+
+
+def stream_vehicle_positions(
+    spark: SparkSession, path: str, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """File-source VehiclePositions stream — the second public GTFS-RT
+    feed type (after TripUpdates) a transit consumer subscribes to.
+    Same EXACT-RESEND suppression as :func:`stream_trip_updates`: the
+    feed republishes every vehicle's last known position each poll
+    cycle, so duplicates key on the full content (vehicle, trip,
+    position, status, ts); a MOVED vehicle (any field changed, or the
+    same position re-stamped) flows through — keying on vehicle_id
+    alone would freeze each vehicle's first fix for the watermark
+    horizon. Latest-fix-per-vehicle is the SERVING layer's job (MERGE
+    sink, winner = max(ts, update_id)), exactly the TripUpdate split.
+    """
+    raw = spark.readStream.schema(VEHICLE_POSITION_SCHEMA).parquet(path)
+    return raw.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(
+        ["vehicle_id", "trip_id", "lat", "lon",
+         "current_stop_sequence", "current_status", "ts"]
+    )
+
+
+def vehicle_positions_enriched(
+    positions: DataFrame, trips: DataFrame, routes: DataFrame
+) -> DataFrame:
+    """Stream-static join: each vehicle fix enriched with its trip's
+    route metadata from the PUBLISHED snapshot (trips ⋈ routes re-read
+    per micro-batch, so a blue/green pointer flip is picked up on the
+    next batch — the TripUpdate design). Inner join on trip_id: a fix
+    for a trip the published snapshot doesn't know has nothing to
+    enrich (it surfaces through the unjoined raw stream, not here).
+    No streaming state beyond the dedup watermark; the static side is
+    dimension-sized, so Catalyst broadcasts it per batch.
+    """
+    static_side = trips.select(
+        "trip_id", "route_id", "service_id", "trip_headsign", "direction_id"
+    ).join(
+        routes.select("route_id", "route_short_name", "route_type"),
+        "route_id",
+    )
+    return positions.join(static_side, "trip_id", "inner").select(
+        "vehicle_id",
+        "trip_id",
+        "route_id",
+        "route_short_name",
+        "route_type",
+        "trip_headsign",
+        "direction_id",
+        "lat",
+        "lon",
+        "bearing",
+        "speed_mps",
+        "current_stop_sequence",
+        "current_status",
+        "ts",
+    )
+
+
+ALERT_SCHEMA = StructType(
+    [
+        StructField("alert_id", StringType()),
+        StructField("route_id", StringType()),
+        StructField("stop_id", StringType()),
+        StructField("active_start", TimestampType()),
+        StructField("active_end", TimestampType()),
+        StructField("cause", StringType()),
+        StructField("effect", StringType()),
+        StructField("severity", StringType()),
+        StructField("header_text", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("update_id", LongType()),
+    ]
+)
+
+
+def stream_alerts(
+    spark: SparkSession, path: str, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """File-source service Alerts stream — the third public GTFS-RT
+    feed type. One row per (alert, informed entity): an alert naming
+    two routes arrives as two rows sharing alert_id, the flattened
+    form of the protobuf's repeated informed_entity (either route_id
+    or stop_id set, or both for a route+stop-scoped entity).
+    Exact-resend suppression keys on (alert_id, entity, active period,
+    ts): feeds republish the full active-alert set each poll, while a
+    REVISED alert (extended active_end, re-stamped ts) must flow
+    through — the TripUpdate first-wins-per-content discipline.
+    """
+    raw = spark.readStream.schema(ALERT_SCHEMA).parquet(path)
+    return raw.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(
+        ["alert_id", "route_id", "stop_id",
+         "active_start", "active_end", "ts"]
+    )
+
+
+def alerts_for_departures(
+    alerts: DataFrame, arrivals_departures: DataFrame
+) -> DataFrame:
+    """Stream-static interval join: every scheduled departure affected
+    by an incoming alert — matched when the alert's informed entity
+    names the departure's route OR stop, and the scheduled departure
+    instant falls inside [active_start, active_end) (a NULL
+    active_end is open-ended, per the GTFS-RT spec's "until further
+    notice").
+
+    The entity disjunction is split into two equi-joins (route-scoped
+    ∪ stop-scoped) rather than one OR-join: an OR predicate would
+    force a nested-loop over stream x static, while each arm keys on
+    its entity column and lets Catalyst broadcast the static side per
+    batch. An entity row naming BOTH route and stop matches only
+    departures satisfying both (the narrower scope, spec semantics) —
+    the route arm requires the stop to agree when present, and the
+    stop arm handles stop-only entities, so no (route, stop) pair is
+    emitted twice. Deduplication across GENUINELY overlapping separate
+    entities of one alert (e.g. route R1 and stop S1 rows both
+    matching the same departure) is the serving layer's distinct.
+    """
+    static_side = arrivals_departures.select(
+        "trip_id",
+        "route_id",
+        "stop_id",
+        "stop_sequence",
+        "date",
+        "departure_time",
+        "t_departure",
+    )
+    in_window = (F.col("t_departure") >= F.col("active_start")) & (
+        F.col("active_end").isNull()
+        | (F.col("t_departure") < F.col("active_end"))
+    )
+    out_cols = [
+        "alert_id", "cause", "effect", "severity", "header_text",
+        "trip_id", "route_id", "stop_id", "stop_sequence", "date",
+        "departure_time", "t_departure", "ts",
+    ]
+    route_arm = (
+        alerts.filter(F.col("route_id").isNotNull())
+        .withColumnRenamed("stop_id", "_alert_stop")
+        .join(static_side, "route_id", "inner")
+        .filter(
+            F.col("_alert_stop").isNull()
+            | (F.col("_alert_stop") == F.col("stop_id"))
+        )
+        .filter(in_window)
+        .select(*out_cols)
+    )
+    stop_arm = (
+        alerts.filter(
+            F.col("route_id").isNull() & F.col("stop_id").isNotNull()
+        )
+        .drop("route_id")
+        .join(static_side, "stop_id", "inner")
+        .filter(in_window)
+        .select(*out_cols)
+    )
+    return route_arm.unionByName(stop_arm)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from postgis_gtfs_importer_spark.operators.derivations import arrivals_departures
 from postgis_gtfs_importer_spark.sources import gtfs_feed as GF
@@ -63,3 +64,100 @@ def test_realtime_departures_stream_static_join(spark, static_ad, tmp_path):
         if k not in latest or r.ts > latest[k].ts:
             latest[k] = r
     assert all(r.delay_sec == 600 for r in latest.values())
+
+
+@pytest.fixture(scope="module")
+def static_feed(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("feed_rt2")
+    write_feed_dir(str(d))
+    return GF.read_feed(spark, str(d))
+
+
+def test_vehicle_positions_enriched(spark, static_feed, tmp_path):
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    fixes = [
+        # V1 on T1: exact resend (identical content+ts) suppressed
+        ("V1", "T1", 52.50, 13.40, 90.0, 8.3, 10, "IN_TRANSIT_TO", base, 1),
+        ("V1", "T1", 52.50, 13.40, 90.0, 8.3, 10, "IN_TRANSIT_TO", base, 2),
+        # V1 MOVED 1 min later: must flow through
+        ("V1", "T1", 52.51, 13.41, 91.0, 8.0, 10, "STOPPED_AT",
+         base + dt.timedelta(minutes=1), 3),
+        # vehicle on a trip the snapshot doesn't know: dropped by the
+        # inner enrichment join
+        ("V9", "GHOST", 0.0, 0.0, 0.0, 0.0, 1, "STOPPED_AT", base, 4),
+    ]
+    src = str(tmp_path / "vp")
+    spark.createDataFrame(
+        fixes, RT.VEHICLE_POSITION_SCHEMA
+    ).coalesce(1).write.parquet(src)
+
+    stream = RT.stream_vehicle_positions(spark, src)
+    joined = RT.vehicle_positions_enriched(
+        stream, static_feed["trips"], static_feed["routes"]
+    )
+    run_to_memory(joined, "rt_vehicles")
+
+    rows = spark.table("rt_vehicles").collect()
+    assert {r.vehicle_id for r in rows} == {"V1"}  # GHOST dropped
+    assert len(rows) == 2  # resend suppressed, movement kept
+    assert {r.current_status for r in rows} == {
+        "IN_TRANSIT_TO", "STOPPED_AT"
+    }
+    for r in rows:
+        assert r.route_id == "R1"
+        assert r.route_short_name is not None
+        assert r.current_status in RT.VEHICLE_STATUSES
+
+
+def test_alerts_for_departures_entity_and_period(spark, static_ad, tmp_path):
+    ad = static_ad
+    # pick a real scheduled departure to anchor the active period
+    anchor = ad.orderBy("t_departure").limit(1).collect()[0]
+    t0 = anchor.t_departure
+    far_future = t0 + dt.timedelta(days=3650)
+    stamp = dt.datetime(2024, 1, 1, 0, 0, 0)
+    alerts = [
+        # route-scoped, open-ended period (NULL active_end): matches
+        # every R1 departure from t0 on
+        ("A1", "R1", None, t0, None, "CONSTRUCTION", "DETOUR",
+         "WARNING", "R1 detour", stamp, 1),
+        # exact resend suppressed
+        ("A1", "R1", None, t0, None, "CONSTRUCTION", "DETOUR",
+         "WARNING", "R1 detour", stamp, 2),
+        # stop-scoped, window that CLOSES before any departure:
+        # matches nothing
+        ("A2", None, anchor.stop_id, t0 - dt.timedelta(days=2),
+         t0 - dt.timedelta(days=1), "WEATHER", "NO_SERVICE",
+         "SEVERE", "closed", stamp, 3),
+        # route+stop-scoped entity: narrower scope — only the anchor
+        # stop's departures on R1
+        ("A3", "R1", anchor.stop_id, t0, far_future, "ACCIDENT",
+         "SIGNIFICANT_DELAYS", "WARNING", "slow", stamp, 4),
+    ]
+    src = str(tmp_path / "alerts")
+    spark.createDataFrame(alerts, RT.ALERT_SCHEMA).coalesce(1).write.parquet(
+        src
+    )
+
+    stream = RT.stream_alerts(spark, src)
+    joined = RT.alerts_for_departures(stream, ad)
+    run_to_memory(joined, "rt_alerts")
+
+    rows = spark.table("rt_alerts").collect()
+    by_alert = {}
+    for r in rows:
+        by_alert.setdefault(r.alert_id, []).append(r)
+    # A2's window closed before the first departure
+    assert set(by_alert) == {"A1", "A3"}
+    # A1 (route-scoped, open-ended) hits every R1 departure >= t0
+    expected_a1 = ad.filter(
+        (F.col("route_id") == "R1") & (F.col("t_departure") >= t0)
+    ).count()
+    assert len(by_alert["A1"]) == expected_a1
+    assert all(r.route_id == "R1" for r in by_alert["A1"])
+    # A3 (route+stop entity) only hits the anchor stop on R1
+    assert all(
+        r.stop_id == anchor.stop_id and r.route_id == "R1"
+        for r in by_alert["A3"]
+    )
+    assert len(by_alert["A3"]) < expected_a1
