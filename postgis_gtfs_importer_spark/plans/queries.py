@@ -57,176 +57,119 @@ def register(name: str, oracle: str | None):
 #: failure. Run `python -m postgis_gtfs_importer_spark.plans.ledger
 #: refresh` at round start, before any edit.
 
-#: Round-9 window (VERDICT r8 item 1 — continue the freshness
-#: rotation by last-green-round ascending). The r8 window landed 50/50
-#: green (CORRECTNESS_r08); the round-start ledger refresh folded all
-#: 50 rows in (stale set 0). The stale set below is what THIS round's
-#: work re-staled: the four r8 ADVICE fixes (half_life_decay's bigint
-#: shiftleft -> decayed_counts; path_mining's one-total-order gap
-#: flags; poisson_bootstrap_ci's separated seed components;
-#: priority_sample's reserved-name guard, which also re-touched its
-#: sibling weighted_sample_aes's docstring) plus the decontaminate
-#: upgrade (boolean flag -> contaminated-token fraction + drop gate,
-#: VERDICT r8 item 2). All are oracle-parity green locally at sf0.01
-#: post-change (tests/test_oracle_parity.py; pins in
-#: tests/test_r9_advice_fixes.py and tests/test_r9_additions.py).
-_RESTALE_R9: list[str] = [
-    "decayed_counts",
-    "path_mining",
-    "poisson_bootstrap_ci",
-    "priority_sample",
-    "weighted_sample_aes",
-    "decontaminate",
-]
-
-#: Round-9 additions (VERDICT r8 items 2-3 and the continuation
-#: waves). Never driver-verified -> window-resident.
-_ADDITIONS_R9: list[str] = [
-    # wave 1: DSIR importance resampling (Xie et al. 2023) — hashed
-    # unigram+bigram bucket models, e6-quantized integer log-ratio
-    # weights, Gumbel-top-k selection; composed into plans/corpus.py
-    # behind CorpusConfig.dsir_k.
-    "dsir_resample",
-    # wave 2: the published Gopher rule battery (Rae et al. 2021) as
-    # exact-integer column predicates — the rule-based complement of
-    # quality_score's scalar gate.
-    "gopher_quality_gate",
-    # wave 3: Adamic-Adar link prediction — map-side wedge flattening
-    # with e6-integer center weights, the non-adjacent-pair complement
-    # of item_similarity.
-    "adamic_adar",
-    # wave 4: simplified silhouette (Hruschka et al. 2004) — the
-    # scale-safe cluster-quality score for kmeans_lloyd codebooks
-    # (full silhouette is quadratic; this is one broadcast-assignment
-    # pass).
-    "simplified_silhouette",
-    # wave 5: slice-wise embedding-centroid drift — tvd_drift's vector
-    # analog (cosine-to-global + exact squared centroid shift per
-    # slice, one corpus scan).
-    "embedding_drift",
-    # wave 6: dense-grid burst detection — trailing-mean rate spikes
-    # with all-integer thresholds (the zeros-included baseline a
-    # sparse-window formulation silently gets wrong).
-    "rate_spikes",
-    # wave 7: hard-negative mining — knn_graph edges with label
-    # disagreement, the contrastive-training boundary pairs (rank gaps
-    # expose label noise).
-    "hard_negatives",
-    # wave 8: k-truss peeling — the eighth iterative graph family
-    # (cohesive cores k-core's degree bound cannot see), fixpoint
-    # early-exit proven parity-safe against the unrolled oracle.
-    "ktruss",
-    # wave 9: exact duplicate-span REMOVAL, first occurrence wins —
-    # the Lee et al. remove side of dup_ngram_coverage's measure side,
-    # with the skew-safe min(struct)+count first-occurrence aggregate.
-    "dedup_spans",
-    # wave 10: CCNet per-language fluency terciles — head/middle/tail
-    # by all-integer rank cuts over the bigram-LM score, the published
-    # cross-language-comparable quality recipe.
-    "ccnet_buckets",
-    # wave 11: per-source token-budget mixture selection — the literal
-    # "mix to N tokens" allocator, two-phase bucket prefix-sum cut so
-    # no window sort is ever source-sized.
-    "token_budget_mix",
-    # wave 12: per-language BPE fertility — tokens-per-word equity
-    # report, exact e6 integers via the div/mod decomposition.
-    "bpe_fertility",
-    # wave 13: trip-overtaking schedule QA — the sixth consumer of the
-    # staged C11 fact; strict order reversal between consecutive stop
-    # positions, schedule-density-bounded pair join.
-    "trip_overtaking",
-    # wave 14: harmonic closeness from a deterministic source sample —
-    # the ninth iterative family (multi-source BFS, exact for the
-    # declared sample, 1e6 div d integer contributions).
-    "closeness_centrality",
-    # wave 15: KMV set-overlap — pairwise Jaccard/union/intersection
-    # estimates from k-min sketches (the sketch family's set-operation
-    # completion; exact below k, sketch-sized pairwise stage).
-    "kmv_set_overlap",
-    # wave 16: mixture concentration — per-group source-mix entropy
-    # (order-pinned float fold) + all-integer HHI; the corpus-health
-    # single-distribution summary next to tvd_drift's pairwise check.
-    "mixture_concentration",
-    # wave 17: quality-aware canonical election per near-dup cluster
-    # (keep the longest/highest-scored member — the production policy;
-    # one map-side-combinable min(struct) argmax, no per-cluster sort).
+#: Round-10 window. The r9 window landed 50/50 green
+#: (CORRECTNESS_r09); the round-start ledger refresh folded all 50
+#: rows in (stale set 0, commit 7fc8266). The stale set below is what
+#: THIS round's work re-staled: the four r9 ADVICE fixes
+#: (decontaminate's sub-ppm drop gate; canonical_by_quality's DOUBLE
+#: score comparison; dsir_resample's u-strictly-inside-(0,1) Gumbel
+#: clamp, mirrored in the oracle; closeness_centrality's seed-frontier
+#: schema derived from the edge type) plus the ktruss incremental
+#: rewrite (VERDICT r9 item 2: per-edge triangle-partner lists,
+#: cascade-sized rounds 2+ — A/B-measured tie at the registry's
+#: 2-round shape, 21% faster at k=6/6 rounds). All are oracle-parity
+#: green locally at sf0.01 post-change (tests/test_oracle_parity.py;
+#: pins in tests/test_r9_additions.py and tests/test_r10_additions.py).
+_RESTALE_R10: list[str] = [
     "canonical_by_quality",
-    # wave 18: Population Stability Index — the production drift
-    # metric tvd_drift deferred over ln()'s transcendence, made
-    # verifiable by the order-pinned fold discipline.
-    "psi_drift",
-    # wave 19: A/B mean-lift with a paired-replay Poisson-bootstrap CI
-    # — one single-row aggregate, 4·B CASE-guarded columns, no row
-    # blow-up (the experiment-analysis primitive).
-    "ab_lift_ci",
+    "closeness_centrality",
+    "decontaminate",
+    "dsir_resample",
+    "ktruss",
 ]
 
-#: Freshness rotation (VERDICT r8 item 1): the remaining slots go to
+#: Round-10 additions (VERDICT r9 item 5 and the continuation waves).
+#: Never driver-verified -> window-resident.
+_ADDITIONS_R10: list[str] = [
+    # wave 1: trigram stupid-backoff LM fluency (Brants et al. 2007)
+    # — the CCNet/KenLM-class gate one order above bigram_lm_scores,
+    # trained on a held-out split so the backoff chain (trigram ->
+    # 0.4 bigram -> 0.16 unigram -> 0) is exercised for real; exact
+    # e6 fixed point, three LEFT model joins, coalesce picks the
+    # level.
+    "trigram_backoff_lm",
+]
+
+#: Freshness rotation (VERDICT r9 item 1): the remaining slots go to
 #: the entries with the OLDEST green driver rows, last-green-round
-#: ascending from the ledger: all 19 r4 leftovers (named in the r8
-#: rotation comment, now window-resident), then the r5 block headed by
-#: arrivals_departures_abs (C11, the flagship derivation) and
-#: continuing in name order as capacity allows. These are VERIFIED
-#: entries filling spare capacity, not stale ones: the ledger attests
-#: their digests unchanged since their recorded rows.
-_ROTATION_R9: list[str] = [
-    # r4 (all 19 leftovers)
-    "customer_order_distribution",
-    "disjunctive_revenue",
-    "dormant_customers",
-    "event_transitions",
-    "events_json_stats",
-    "excess_shippers",
-    "fuzzy_title_pairs",
-    "hist_quantiles",
-    "hopping_window_stats",
-    "important_parts",
-    "min_cost_supplier",
-    "priority_shipment_buckets",
-    "product_type_profit",
-    "promo_revenue_share",
-    "revenue_forecast",
-    "shipping_priority",
-    "supplier_part_counts",
-    "top_supplier",
-    "trend_by_type",
-    # r5 (flagship first, then name order)
-    "arrivals_departures_abs",
-    "active_trips_by_hour",
-    "ann_recall_at_k",
-    "association_rules",
-    "benford_audit",
-    "corr_components",
+#: ascending from the ledger: ALL 32 r5 leftovers (the block named in
+#: the r9 rotation comment, equidepth_hist .. zorder_pruning_stats),
+#: then the r6 block in name order as capacity allows (6 restale/new +
+#: 32 r5 + 12 r6 = 50). These are VERIFIED entries filling spare
+#: capacity, not stale ones: the ledger attests their digests
+#: unchanged since their recorded rows.
+_ROTATION_R10: list[str] = [
+    # r5 (all 32 leftovers, name order)
+    "equidepth_hist",
+    "first_touch_attribution",
+    "global_rank_distributed",
+    "grouping_sets_mix",
+    "item_similarity",
+    "kcore_membership",
+    "knn_label_vote",
+    "line_dedup",
+    "ntile_buckets",
+    "ols_trend",
+    "pagerank_trade",
+    "percent_rank_native",
+    "phrase_search",
+    "prefix_filter_jaccard",
+    "revenue_cube",
+    "revenue_pivot",
+    "robust_scale",
+    "skew_salted_join",
+    "split_leakage_audit",
+    "sssp_trade",
+    "stats_agency_route_stop_hour",
+    "stats_route_date",
+    "streaming_session_window",
+    "table_profile",
+    "time_rollup",
+    "topk_parts_per_nation",
+    "triangle_count",
+    "tvd_drift",
+    "unpivot_roundtrip",
+    "variant_extract_stats",
+    "wow_change",
+    "zorder_pruning_stats",
+    # r6 (oldest remaining block, name order; the 36 r6 entries after
+    # these head the r11 rotation: bigram_lm_scores, bm25_topk,
+    # chunk_documents, classifier_scores, cms_token_counts,
+    # dedup_clusters, dedup_incremental, departures_at_station,
+    # embedding_cosine_pairs, embedding_topk, entity_resolution,
+    # hash_split, inverted_index, lexical_rarity, mad_outliers,
+    # minhash_lsh_pairs, neardup_incremental, nearest_stops,
+    # negative_samples, ngram_jaccard_capped, ngram_jaccard_pairs,
+    # pack_sequences, pii_redaction, pmi_bigrams, quality_gate,
+    # repetition_profile, rolling_fingerprint, score_quantile_norm,
+    # semantic_dedup, shape_lengths, simhash_pairs, source_cap,
+    # stops_radius_pairs, stratified_sample, streaming_corpus_gate,
+    # streaming_dedup ... through translations_feedwide)
+    "ann_int8_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "balanced_mixture",
+    "streaming_enrich",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_sessionize",
+    "streaming_windowed_stats",
+    "temperature_sample",
+    "tfidf_distinctive",
+    "translations_feedwide",
 ]
 
-#: r5 entries that did NOT fit this round (window arithmetic: 6
-#: restale + additions + 19 r4 + the r5 prefix above = 50); they head
-#: the r10 rotation: equidepth_hist, first_touch_attribution,
-#: global_rank_distributed, grouping_sets_mix,
-#: item_similarity,
-#: kcore_membership, knn_label_vote,
-#: line_dedup, ntile_buckets,
-#: ols_trend, pagerank_trade,
-#: percent_rank_native, phrase_search,
-#: prefix_filter_jaccard, revenue_cube,
-#: revenue_pivot, robust_scale,
-#: skew_salted_join, split_leakage_audit, sssp_trade,
-#: stats_agency_route_stop_hour, stats_route_date,
-#: streaming_session_window, table_profile, time_rollup,
-#: topk_parts_per_nation, triangle_count, tvd_drift, unpivot_roundtrip,
-#: variant_extract_stats, wow_change, zorder_pruning_stats. Each new
-#: r9 addition wave trims the r5 prefix tail above by one slot.
 _OVERFLOW_QUEUE: list[str] = []
 
 #: Human-readable subset of the ledger's stale set (changed-since rows
 #: + never-verified additions). Enforced against the ledger by
 #: tests/test_registry_ledger.py (both directions).
-_MUST_VERIFY: list[str] = [*_RESTALE_R9, *_ADDITIONS_R9]
+_MUST_VERIFY: list[str] = [*_RESTALE_R10, *_ADDITIONS_R10]
 
 _FRONT: list[str] = [
-    *_RESTALE_R9,
-    *_ADDITIONS_R9,
-    *_ROTATION_R9,
+    *_RESTALE_R10,
+    *_ADDITIONS_R10,
+    *_ROTATION_R10,
     *_OVERFLOW_QUEUE,
 ]
 
