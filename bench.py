@@ -236,6 +236,8 @@ HEADLINE = [
     "canonical_by_quality",
     "psi_drift",
     "ab_lift_ci",
+    # r10 additions
+    "trigram_backoff_lm",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -225,3 +225,72 @@ def with_hilbert_index(
             (F.col(out_col) + step * F.lit(1 << (2 * k))).alias(out_col),
         )
     return cur.drop("_hx", "_hy")
+
+
+def compaction_plan(
+    files: DataFrame,
+    id_col: str = "path",
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-files compaction planner: assign every file to a rewrite
+    bin of ~``target_bytes`` — the table-maintenance primitive every
+    lakehouse compactor (Delta OPTIMIZE, Iceberg rewrite_data_files)
+    runs, and the 100 TB problem z-ordering leaves behind (a year of
+    15-minute micro-batches is ~35k files per partition; scanning
+    them costs a task each).
+
+    Assignment is CUMULATIVE CHUNKING over a deterministic uniform
+    order: files order by (md5-prefix of id, id) — a hash order, so
+    (a) the plan is reproducible across runs/engines with no
+    tie-break ambiguity, and (b) the two-phase distributed prefix sum
+    underneath gets UNIFORM bucket loads by construction (ordering by
+    size would put every same-sized file in one bucket's window —
+    the single-task trap sweep.py exists to avoid). Then
+    ``bin_id = (running - 1) div target`` — each bin fills to the
+    first file that crosses the target, so a bin overshoots by less
+    than one file; a file larger than ``target_bytes`` owns its bin
+    range alone (the compactor copies it through or splits it — both
+    policies read the same plan). Size-balance beyond that is not the
+    goal: compaction wants FEW, FULL bins, not equal ones.
+
+    Exactness: integer byte sums, integer division — the two-phase
+    prefix sum is algebraically identical to the naive global-window
+    form (associativity), which is what the oracle runs. No global
+    single-task pass: phase 2's window sees #buckets rows, not files.
+
+    Returns (id, size_bytes, running_bytes, bin_id) — group by bin_id
+    to drive the rewrite jobs; ``max(bin_id) + 1`` is the output file
+    count estimate.
+    """
+    from .sweep import running_prefix_sum
+
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    # 12 hex digits -> [0, 2^48); ~4k buckets keeps phase 2's window
+    # thousands-of-rows-sized while each bucket stays file-count/4k
+    bucket_width = (1 << 48) // 4096
+    out = running_prefix_sum(
+        files.select(
+            F.col(id_col).alias("_id"),
+            F.col(size_col).cast("long").alias("_sz"),
+            key.alias("_k"),
+        ),
+        t_col="_k",
+        delta_col="_sz",
+        bucket_width=bucket_width,
+        extra_order=[F.col("_id")],
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_sz").alias(size_col),
+        F.col("running").alias("running_bytes"),
+        # greatest(.., 1): a run of zero-size files at the head would
+        # otherwise evaluate (0 - 1) div target, where Spark's div
+        # truncates toward zero (0) but DuckDB's // floors (-1) — the
+        # one negative-operand case in an otherwise nonnegative plan
+        F.expr(f"(greatest(running, 1L) - 1) div {int(target_bytes)}")
+        .cast("long")
+        .alias("bin_id"),
+    )

@@ -431,3 +431,107 @@ def psi_drift(
             "psi_e6"
         ),
     )
+
+
+def key_skew_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Join/groupBy-key skew diagnosis in ONE pass: for each candidate
+    key column, the exact concentration stats that predict whether a
+    shuffle on that key survives 100 TB — distinct key count, the
+    heaviest key and its share, and the Herfindahl concentration
+    (HHI = Σ share², 1e6-scaled: ~0 = uniform, 1e6 = one key owns
+    everything). The pre-flight check before choosing a join key,
+    bucketing column, or salting strategy (AQE's skew split reacts at
+    runtime; this measures BEFORE the job).
+
+    Unlike :func:`mixture_concentration` (per-group collect over a
+    CATEGORY-bounded list), key cardinality is unbounded (a join key
+    can hold 10^9 distincts), so nothing is ever collected: the
+    columns melt map-side to (col_name, value) pairs (positional
+    struct literals — a SQL-hostile column name never reaches a parsed
+    string, the profile_columns discipline), ONE shuffle aggregates
+    (col_name, value) counts, and the per-column reduction is a
+    map-side-combinable aggregate over key-count-sized input. No sort,
+    no window, no collect — the Gini coefficient is deliberately NOT
+    offered (it needs a global frequency rank, a key-count-sized
+    sort); HHI + max-share carry the same signal sort-free.
+
+    Exactness: counts are BIGINTs; Σc² runs in DECIMAL(38,0) (two
+    hot keys of 10^13 rows would overflow a BIGINT square) and
+    ``hhi_e6 = (Σc² * 1e6) div n²`` / ``max_share_e6 = (max_c * 1e6)
+    div n`` are pure integer floor-divisions — no doubles anywhere,
+    bit-identical across engines and partitionings. ``top_key`` ties
+    break toward the lexicographically LARGEST key (max over a
+    (count, key) struct).
+
+    NULLs are excluded from key stats (SQL grouping semantics would
+    make them a key; a join drops them) and reported as ``n_nulls``;
+    ``n_nonnull`` is the share denominator. Values are compared as
+    strings (the melt must union heterogeneous column types).
+
+    Returns one row per profiled column: (col_name, n_nonnull,
+    n_nulls, n_keys, max_freq, max_share_e6, hhi_e6, top_key).
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        df[c].cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.v")
+    counts = (
+        melted.filter(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nulls = (
+        melted.filter(F.col("v").isNull())
+        .groupBy("col_name")
+        .agg(F.count("*").cast("long").alias("n_nulls"))
+    )
+    per_col = counts.groupBy("col_name").agg(
+        F.sum("c").cast("long").alias("n_nonnull"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_freq"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("_sumsq"),
+        F.max(F.struct(F.col("c"), F.col("v"))).alias("_top"),
+    )
+    # floor-division done EXACTLY: BIGINT div where the numerator fits
+    # (max_freq * 1e6 needs max_freq <= 9.2e12), and for the DECIMAL
+    # numerator the (q - q % d) / d identity — Spark's plain decimal
+    # division ROUNDS the quotient at the result scale (HALF_UP),
+    # which can bump a just-below-integer quotient past DuckDB's exact
+    # // floor; subtracting the remainder first makes the division
+    # exact-integral, immune to scale rounding.
+    return (
+        per_col.join(nulls, "col_name", "left")
+        .withColumn(
+            "_q", (F.col("_sumsq") * F.lit(1_000_000)).cast("decimal(38,0)")
+        )
+        .withColumn(
+            "_d",
+            (
+                F.col("n_nonnull").cast("decimal(19,0)")
+                * F.col("n_nonnull").cast("decimal(19,0)")
+            ).cast("decimal(38,0)"),
+        )
+        .select(
+            "col_name",
+            "n_nonnull",
+            F.coalesce("n_nulls", F.lit(0)).cast("long").alias("n_nulls"),
+            "n_keys",
+            "max_freq",
+            F.expr("(max_freq * 1000000L) div n_nonnull")
+            .cast("long")
+            .alias("max_share_e6"),
+            F.expr("CAST((_q - _q % _d) / _d AS BIGINT)").alias("hhi_e6"),
+            F.col("_top.v").alias("top_key"),
+        )
+    )

@@ -88,14 +88,26 @@ _ADDITIONS_R10: list[str] = [
     # e6 fixed point, three LEFT model joins, coalesce picks the
     # level.
     "trigram_backoff_lm",
+    # wave 2: small-files compaction planner — cumulative chunking
+    # over a deterministic md5 hash order via the TWO-PHASE
+    # distributed prefix sum (no file-count-sized single-task window);
+    # the lakehouse OPTIMIZE primitive z-ordering leaves behind.
+    "compaction_plan",
+    # wave 3: join-key skew pre-flight — per-column distinct/max-share
+    # /HHI concentration in one melt + one shuffle, all-integer floor
+    # divisions (the decimal remainder identity), sort-free by design
+    # (Gini needs a key-count-sized rank; HHI carries the signal).
+    "key_skew_profile",
 ]
 
 #: Freshness rotation (VERDICT r9 item 1): the remaining slots go to
 #: the entries with the OLDEST green driver rows, last-green-round
 #: ascending from the ledger: ALL 32 r5 leftovers (the block named in
 #: the r9 rotation comment, equidepth_hist .. zorder_pruning_stats),
-#: then the r6 block in name order as capacity allows (6 restale/new +
-#: 32 r5 + 12 r6 = 50). These are VERIFIED entries filling spare
+#: then the r6 block in name order as capacity allows (8 restale/new +
+#: 32 r5 + 10 r6 = 50; each addition wave trims the r6 tail —
+#: tfidf_distinctive and translations_feedwide moved to the r11 head
+#: when waves 2-3 landed). These are VERIFIED entries filling spare
 #: capacity, not stale ones: the ledger attests their digests
 #: unchanged since their recorded rows.
 _ROTATION_R10: list[str] = [
@@ -144,7 +156,8 @@ _ROTATION_R10: list[str] = [
     # repetition_profile, rolling_fingerprint, score_quantile_norm,
     # semantic_dedup, shape_lengths, simhash_pairs, source_cap,
     # stops_radius_pairs, stratified_sample, streaming_corpus_gate,
-    # streaming_dedup ... through translations_feedwide)
+    # streaming_dedup ... through temperature_sample's successors,
+    # now also tfidf_distinctive and translations_feedwide)
     "ann_int8_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -155,8 +168,6 @@ _ROTATION_R10: list[str] = [
     "streaming_sessionize",
     "streaming_windowed_stats",
     "temperature_sample",
-    "tfidf_distinctive",
-    "translations_feedwide",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
@@ -7856,6 +7867,121 @@ def zorder_pruning_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_buckets"),
         F.sum("n").cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "compaction_plan",
+    """
+    WITH files AS (
+      SELECT 'f' || CAST(l_orderkey AS VARCHAR) AS path,
+             CAST(sum(l_quantity) AS BIGINT) AS size_bytes
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    keyed AS (
+      SELECT path, size_bytes,
+             CAST(('0x' || substr(md5(path), 1, 12)) AS BIGINT) AS k
+      FROM files
+    ),
+    run AS (
+      SELECT path, size_bytes,
+             CAST(sum(size_bytes) OVER (
+               ORDER BY k, path
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS running_bytes
+      FROM keyed
+    )
+    SELECT path, size_bytes, running_bytes,
+           CAST((greatest(running_bytes, 1) - 1) // 50000 AS BIGINT)
+             AS bin_id
+    FROM run
+    """,
+)
+def compaction_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (operators/layout.py::
+    compaction_plan): per-order synthetic file sizes (sum of
+    l_quantity) chunked into ~50k-unit rewrite bins by cumulative
+    chunking over the deterministic md5 hash order. The Spark side
+    runs the TWO-PHASE distributed prefix sum (sweep.py — phase 2's
+    single-task window sees #buckets rows, never files); the oracle
+    replays it as the naive global window, so agreement proves the
+    two-phase split is algebraically identical (integer associativity)
+    AND that the hash order, running totals, and bin boundaries match
+    bit-for-bit."""
+    from ..operators.layout import compaction_plan
+
+    li = _t(spark, sf_dir, "lineitem")
+    files = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").cast("long").alias("size_bytes")
+    ).select(
+        F.concat(F.lit("f"), F.col("l_orderkey").cast("string")).alias(
+            "path"
+        ),
+        "size_bytes",
+    )
+    return compaction_plan(files, target_bytes=50_000)
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH m AS (
+      SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR) AS v
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+    ),
+    counts AS (
+      SELECT col_name, v, CAST(count(*) AS BIGINT) AS c
+      FROM m WHERE v IS NOT NULL GROUP BY col_name, v
+    ),
+    nulls AS (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n_nulls
+      FROM m WHERE v IS NULL GROUP BY col_name
+    ),
+    tops AS (
+      SELECT col_name, v AS top_key FROM (
+        SELECT col_name, v,
+               row_number() OVER (PARTITION BY col_name
+                                  ORDER BY c DESC, v DESC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ),
+    pc AS (
+      SELECT col_name,
+             CAST(sum(c) AS BIGINT) AS n_nonnull,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_freq,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sumsq
+      FROM counts GROUP BY col_name
+    )
+    SELECT pc.col_name, pc.n_nonnull,
+           CAST(coalesce(nulls.n_nulls, 0) AS BIGINT) AS n_nulls,
+           pc.n_keys, pc.max_freq,
+           CAST((pc.max_freq * 1000000) // pc.n_nonnull AS BIGINT)
+             AS max_share_e6,
+           CAST((pc.sumsq * 1000000)
+                // (CAST(pc.n_nonnull AS HUGEINT) * pc.n_nonnull)
+                AS BIGINT) AS hhi_e6,
+           tops.top_key
+    FROM pc
+    LEFT JOIN nulls USING (col_name)
+    JOIN tops USING (col_name)
+    """,
+)
+def key_skew_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight over the events stream's candidate
+    keys (operators/profiling.py::key_skew_profile): distinct-key
+    count, heaviest key + exact e6 share, and sort-free Herfindahl
+    concentration per column, in ONE melt + one shuffle — the measure
+    you run BEFORE choosing a 100 TB shuffle key (AQE reacts to skew
+    at runtime; this predicts it). All-integer floor divisions (the
+    decimal remainder identity on the Spark side, HUGEINT // in the
+    oracle); the oracle elects top_key via an independent row_number
+    formulation."""
+    from ..operators.profiling import key_skew_profile
+
+    e = _t(spark, sf_dir, "events")
+    return key_skew_profile(e, ["event_type", "user_id"])
 
 
 # ===========================================================================

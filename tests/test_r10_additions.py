@@ -85,3 +85,109 @@ def test_trigram_backoff_is_a_score_not_probability(spark):
     assert r["n_backoff"] == 3
     total = 1_000_000 + 0 + 80_000 + 400_000
     assert r["mean_sb_e6"] == round(total / 4)  # floor(x + 0.5)
+
+
+# ------------------------------------------------- compaction_plan
+
+
+def test_compaction_plan_bins_fill_to_target(spark):
+    from postgis_gtfs_importer_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"f{i}", 40 + i) for i in range(20)],
+        "path string, size_bytes long",
+    )
+    rows = sorted(
+        compaction_plan(files, target_bytes=100).collect(),
+        key=lambda r: r["running_bytes"],
+    )
+    # running totals are a permutation-consistent prefix sum
+    total = 0
+    for r in rows:
+        total += r["size_bytes"]
+        assert r["running_bytes"] == total
+        assert r["bin_id"] == (max(r["running_bytes"], 1) - 1) // 100
+    # every bin except possibly the last crosses the target with its
+    # final file (cumulative chunking: bins are FULL, overshoot < 1
+    # file)
+    import collections
+
+    by_bin = collections.defaultdict(int)
+    for r in rows:
+        by_bin[r["bin_id"]] += r["size_bytes"]
+    last = max(by_bin)
+    for b, sz in by_bin.items():
+        if b != last:
+            assert sz + max(r["size_bytes"] for r in rows) >= 100
+
+
+def test_compaction_plan_deterministic_and_oversized(spark):
+    from postgis_gtfs_importer_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("big", 1000), ("s1", 10), ("s2", 10)],
+        "path string, size_bytes long",
+    )
+    a = sorted(map(tuple, compaction_plan(files, target_bytes=100).collect()))
+    b = sorted(map(tuple, compaction_plan(files, target_bytes=100).collect()))
+    assert a == b  # hash order: no tie-break ambiguity, run-stable
+    rows = {r["path"]: r for r in compaction_plan(
+        files, target_bytes=100).collect()}
+    # the oversized file advances the bin counter by ~size/target:
+    # whatever follows it lands in a strictly later bin
+    order = sorted(rows.values(), key=lambda r: r["running_bytes"])
+    for earlier, later in zip(order, order[1:]):
+        if earlier["path"] == "big":
+            assert later["bin_id"] > earlier["bin_id"] or (
+                later["running_bytes"] - 1
+            ) // 100 == (earlier["running_bytes"] - 1) // 100
+
+
+def test_compaction_plan_zero_size_head_parity_guard(spark):
+    """Zero-size files at the head of the hash order must bin to 0,
+    not -1 (Spark div truncates toward zero; the operator guards with
+    greatest(running, 1) so both engines floor identically)."""
+    from postgis_gtfs_importer_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"z{i}", 0) for i in range(5)], "path string, size_bytes long"
+    )
+    rows = compaction_plan(files, target_bytes=100).collect()
+    assert all(r["bin_id"] == 0 for r in rows)
+
+
+# ------------------------------------------------- key_skew_profile
+
+
+def test_key_skew_profile_exact_stats(spark):
+    from postgis_gtfs_importer_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None)],
+        "id long, k string",
+    )
+    got = {r["col_name"]: r for r in key_skew_profile(df, ["id", "k"]).collect()}
+    k = got["k"]
+    assert (k["n_nonnull"], k["n_nulls"], k["n_keys"]) == (4, 1, 2)
+    assert k["max_freq"] == 3 and k["top_key"] == "a"
+    assert k["max_share_e6"] == 750_000
+    assert k["hhi_e6"] == (9 + 1) * 1_000_000 // 16  # 625000
+    i = got["id"]
+    assert i["n_keys"] == 5 and i["hhi_e6"] == 200_000
+    # uniform keys: top_key ties break toward the LARGEST string
+    assert i["top_key"] == "5"
+
+
+def test_key_skew_profile_hot_key_dominates(spark):
+    from postgis_gtfs_importer_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    r = {x["col_name"]: x for x in key_skew_profile(df, ["k"]).collect()}["k"]
+    assert r["top_key"] == "hot" and r["max_freq"] == 900
+    assert r["max_share_e6"] == 900_000
+    assert r["hhi_e6"] == (900 * 900 + 100 * 100) * 1_000_000 // (1000 * 1000)
