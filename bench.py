@@ -238,6 +238,8 @@ HEADLINE = [
     "ab_lift_ci",
     # r10 additions
     "trigram_backoff_lm",
+    "compaction_plan",
+    "key_skew_profile",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the
