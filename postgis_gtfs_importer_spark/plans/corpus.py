@@ -68,6 +68,13 @@ class CorpusConfig:
     #: Runs AFTER dedup/decontamination so duplicated boilerplate cannot
     #: inflate its own conditional probabilities in the trained model.
     min_fluency_e6: int | None = None
+    #: trigram stupid-backoff fluency floor (mean_sb_e6); None = off.
+    #: The model trains on the doc_id % trigram_train_mod != 0 slice of
+    #: the gated survivors and scores ALL of them, so held-out docs
+    #: exercise the real backoff chain (indexing.trigram_backoff_scores
+    #: — the KenLM-class gate one order above min_fluency_e6's bigram).
+    min_trigram_sb_e6: int | None = None
+    trigram_train_mod: int = 3
     #: relative per-stratum keep fraction (num, den); None = off. Runs
     #: after the absolute gates — percentiles re-normalize what survives.
     percentile_keep: tuple[int, int] | None = None
@@ -179,6 +186,33 @@ def curate_corpus(
             .drop("mean_cond_e6")
         )
         report["fluency_gated"] = gated.count()
+
+    # 4b1b. trigram stupid-backoff fluency floor — the bigram gate one
+    # order up, with a REAL held-out split (the self-trained bigram
+    # model can never see an unseen n-gram; here the id % mod == 0
+    # slice scores against a model that has never read it). Same
+    # LEFT join + pass-when-unscored discipline: a doc with < 3
+    # tokens has no trigram and no evidence against it.
+    if c.min_trigram_sb_e6 is not None:
+        from ..operators.indexing import trigram_backoff_scores
+
+        t_scores = trigram_backoff_scores(
+            gated,
+            gated.filter(
+                F.col(c.id_col) % int(c.trigram_train_mod) != 0
+            ),
+            id_col=c.id_col,
+            text_col=c.text_col,
+        ).select(c.id_col, "mean_sb_e6")
+        gated = (
+            gated.join(t_scores, c.id_col, "left")
+            .filter(
+                F.col("mean_sb_e6").isNull()
+                | (F.col("mean_sb_e6") >= c.min_trigram_sb_e6)
+            )
+            .drop("mean_sb_e6")
+        )
+        report["trigram_fluency_gated"] = gated.count()
 
     # 4b2. compression-ratio floor (repetitiveness: boilerplate DEFLATEs
     # far below prose — the zlib twin of the LM gate)

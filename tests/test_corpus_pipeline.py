@@ -95,3 +95,37 @@ def test_fluency_and_percentile_stages_compose(spark):
     a = {t[0] for t in out.curated.select("doc_id").collect()}
     b = {t[0] for t in again.curated.select("doc_id").collect()}
     assert a == b
+
+
+def test_trigram_fluency_stage_slots_in(spark):
+    """The r10 trigram stupid-backoff gate composes like the bigram
+    gate: enabling it only shrinks the survivor set, the report
+    attributes the drop, and unscoreable (<3-token) docs pass."""
+    from postgis_gtfs_importer_spark.plans.corpus import (
+        CorpusConfig,
+        curate_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CorpusConfig(
+        min_quality_e6=0,
+        balance_mixture=False,
+        min_trigram_sb_e6=1_000,
+    )
+    out = curate_corpus(docs, cfg=cfg)
+    r = out.report
+    assert "trigram_fluency_gated" in r
+    assert r["trigram_fluency_gated"] <= r["quality_gated"]
+    assert r["trigram_fluency_gated"] >= 1
+    # a floor of 0 keeps everything the quality gate kept (scores are
+    # nonnegative; unscoreable docs pass by the LEFT-join contract)
+    keep_all = curate_corpus(
+        docs,
+        cfg=CorpusConfig(
+            min_quality_e6=0, balance_mixture=False, min_trigram_sb_e6=0
+        ),
+    )
+    assert (
+        keep_all.report["trigram_fluency_gated"]
+        == keep_all.report["quality_gated"]
+    )
