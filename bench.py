@@ -240,6 +240,7 @@ HEADLINE = [
     "trigram_backoff_lm",
     "compaction_plan",
     "key_skew_profile",
+    "rendezvous_assign",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

@@ -294,3 +294,63 @@ def compaction_plan(
         .cast("long")
         .alias("bin_id"),
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list[str],
+    id_col: str = "path",
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    shard assignment: each key goes to the shard with the largest
+    ``md5(salt:shard:key)`` weight — the distribution primitive behind
+    consistent cache/shard routing, with the property modulo hashing
+    lacks: adding or removing a shard moves ONLY the keys whose argmax
+    changes (~1/(n+1) of them), and every moved key moves TO the new
+    shard (growth) or FROM the dead one (shrink) — never between
+    survivors. That invariant is what makes incremental resharding of
+    a 100 TB layout a copy of one shard's worth of data instead of a
+    full rewrite; it is pinned exactly in tests, not argued.
+
+    The shard list is a PLAN-TIME literal (tens to thousands of
+    shards): each row evaluates |shards| md5s map-side — no join, no
+    shuffle, no state. For shard counts beyond plan-literal comfort,
+    route through a broadcast join instead; the argmax semantics stay
+    the same. Ties (2^-60 per shard pair per key) break toward the
+    lexicographically largest shard name via the (weight, shard)
+    struct max — deterministic in both engines.
+
+    Returns the input plus ``shard``. Weights use the first 15 md5 hex
+    digits as a BIGINT (the established uniform-key discipline), so
+    assignment is reproducible across engines, sessions, and runs.
+    """
+    if not shards:
+        raise ValueError("rendezvous_assign needs at least one shard")
+    if len(set(shards)) != len(shards):
+        raise ValueError("rendezvous_assign shard names must be unique")
+    key = F.col(id_col).cast("string")
+    candidates = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{salt}:{s}:"), key
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn("shard", F.array_max(candidates)["s"])

@@ -98,16 +98,20 @@ _ADDITIONS_R10: list[str] = [
     # divisions (the decimal remainder identity), sort-free by design
     # (Gini needs a key-count-sized rank; HHI carries the signal).
     "key_skew_profile",
+    # wave 4: rendezvous (HRW) shard routing — map-side argmax of
+    # per-shard md5 weights; the incremental-resharding invariant
+    # (adds move keys only TO the new shard) pinned exactly.
+    "rendezvous_assign",
 ]
 
 #: Freshness rotation (VERDICT r9 item 1): the remaining slots go to
 #: the entries with the OLDEST green driver rows, last-green-round
 #: ascending from the ledger: ALL 32 r5 leftovers (the block named in
 #: the r9 rotation comment, equidepth_hist .. zorder_pruning_stats),
-#: then the r6 block in name order as capacity allows (8 restale/new +
-#: 32 r5 + 10 r6 = 50; each addition wave trims the r6 tail —
-#: tfidf_distinctive and translations_feedwide moved to the r11 head
-#: when waves 2-3 landed). These are VERIFIED entries filling spare
+#: then the r6 block in name order as capacity allows (9 restale/new +
+#: 32 r5 + 9 r6 = 50; each addition wave trims the r6 tail —
+#: tfidf_distinctive, translations_feedwide and temperature_sample
+#: moved to the r11 head as waves 2-4 landed). These are VERIFIED entries filling spare
 #: capacity, not stale ones: the ledger attests their digests
 #: unchanged since their recorded rows.
 _ROTATION_R10: list[str] = [
@@ -167,7 +171,6 @@ _ROTATION_R10: list[str] = [
     "streaming_interval_join_outer",
     "streaming_sessionize",
     "streaming_windowed_stats",
-    "temperature_sample",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
@@ -7982,6 +7985,45 @@ def key_skew_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return key_skew_profile(e, ["event_type", "user_id"])
+
+
+_HRW_SHARDS = [f"shard-{i}" for i in range(8)]
+_HRW_SHARDS_SQL = ", ".join(f"'{s}'" for s in _HRW_SHARDS)
+
+
+@register(
+    "rendezvous_assign",
+    f"""
+    WITH w AS (
+      SELECT d.doc_id, s.shard,
+             CAST(('0x' || substr(md5('hrw:' || s.shard || ':'
+                    || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS w
+      FROM documents d,
+           (SELECT unnest([{_HRW_SHARDS_SQL}]) AS shard) s
+    )
+    SELECT doc_id, shard FROM (
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, shard DESC) AS rn
+      FROM w
+    ) WHERE rn = 1
+    """,
+)
+def rendezvous_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing of the corpus
+    over 8 shards (operators/layout.py::rendezvous_assign): per doc,
+    the argmax of 8 map-side md5 weights — no join, no shuffle, and
+    the resharding property modulo hashing lacks (adding a shard moves
+    only the keys the new shard wins, pinned exactly in
+    tests/test_r10_additions.py). The oracle replays the weights
+    through an independent row_number election over the unnested
+    shard list."""
+    from ..operators.layout import rendezvous_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_assign(
+        d, _HRW_SHARDS, id_col="doc_id", salt="hrw"
+    ).select("doc_id", "shard")
 
 
 # ===========================================================================

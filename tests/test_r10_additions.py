@@ -191,3 +191,79 @@ def test_key_skew_profile_hot_key_dominates(spark):
     assert r["top_key"] == "hot" and r["max_freq"] == 900
     assert r["max_share_e6"] == 900_000
     assert r["hhi_e6"] == (900 * 900 + 100 * 100) * 1_000_000 // (1000 * 1000)
+
+
+# ------------------------------------------------- rendezvous_assign
+
+
+def test_rendezvous_resharding_invariant_exact(spark):
+    """THE rendezvous property, asserted exactly: growing the shard
+    list from n to n+1 either keeps a key's shard or moves it to the
+    NEW shard — never between survivors — and removing a shard moves
+    only that shard's keys."""
+    from postgis_gtfs_importer_spark.operators.layout import (
+        rendezvous_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    shards = [f"s{i}" for i in range(4)]
+    before = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(df, shards, id_col="doc_id").collect()
+    }
+    after = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(
+            df, shards + ["s4"], id_col="doc_id"
+        ).collect()
+    }
+    moved = {k for k in before if before[k] != after[k]}
+    assert all(after[k] == "s4" for k in moved)
+    # expected move fraction 1/(n+1) = 20%; allow a generous band
+    assert 0.1 < len(moved) / 2000 < 0.3
+    # shrink: removing s0 moves exactly s0's keys, nowhere else
+    dropped = {k for k, v in before.items() if v == "s0"}
+    shrunk = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(
+            df, shards[1:], id_col="doc_id"
+        ).collect()
+    }
+    for k in before:
+        if k in dropped:
+            assert shrunk[k] != "s0"
+        else:
+            assert shrunk[k] == before[k]
+
+
+def test_rendezvous_deterministic_and_balanced(spark):
+    from postgis_gtfs_importer_spark.operators.layout import (
+        rendezvous_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    shards = [f"s{i}" for i in range(8)]
+    a = sorted(map(tuple, rendezvous_assign(df, shards, id_col="doc_id").collect()))
+    b = sorted(map(tuple, rendezvous_assign(df, shards, id_col="doc_id").collect()))
+    assert a == b
+    import collections
+
+    load = collections.Counter(s for _, s in a)
+    assert set(load) == set(shards)  # every shard used
+    # uniform weights: no shard further than 40% from the mean
+    mean = 4000 / 8
+    assert all(abs(c - mean) / mean < 0.4 for c in load.values())
+
+
+def test_rendezvous_validates(spark):
+    from postgis_gtfs_importer_spark.operators.layout import (
+        rendezvous_assign,
+    )
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="at least one shard"):
+        rendezvous_assign(df, [], id_col="doc_id")
+    with pytest.raises(ValueError, match="unique"):
+        rendezvous_assign(df, ["a", "a"], id_col="doc_id")
