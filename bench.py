@@ -241,6 +241,7 @@ HEADLINE = [
     "compaction_plan",
     "key_skew_profile",
     "rendezvous_assign",
+    "rbo_overlap",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

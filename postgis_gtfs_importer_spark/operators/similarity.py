@@ -923,3 +923,85 @@ def hard_negatives(
         .filter(F.col("label") != F.col("nbr_label"))
         .select("vec_id", "label", "nbr_id", "nbr_label", "score", "rn")
     )
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    q_col: str = "q_id",
+    item_col: str = "vec_id",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) between two
+    rankings per query — THE ranking-agreement measure for indefinite
+    lists: recall@k (ann_recall_at_k) only checks set membership at
+    depth k, while RBO weights agreement at depth d by ``p^(d-1)``,
+    so two indexes with identical recall@10 but different head order
+    score differently — exactly what a reranker/index rollout gate
+    needs. ``RBO_k = (1-p) * sum_{d=1..k} p^(d-1) * |A_d ∩ B_d| / d``
+    with ``A_d`` the depth-d prefix (the truncated/min form: no
+    extrapolation residual — a GATE compares like against like, and
+    the truncation is the same for every candidate).
+
+    Cross-engine determinism: the overlap counts are integers from
+    prefix intersections, and the float part is an EXPLICIT
+    left-associated chain built at plan time — ``p`` powers by
+    repeated multiplication and the depth terms summed in ascending-d
+    order, each step one IEEE multiply/add that DuckDB replays in the
+    identical sequence (the order-pinned-fold discipline of
+    mixture_concentration, unrolled because k is a plan constant).
+    ``rbo_e6 = floor(rbo * 1e6 + 0.5)``.
+
+    Scale: rankings are k-bounded per query by construction, so the
+    groupBy collects k-element arrays (never corpus-sized state), the
+    join is query-keyed, and the prefix intersections are O(k^2)
+    column arithmetic per row with k a small plan constant. Returns
+    (q_col, n_a, n_b, rbo_e6) for queries present in BOTH rankings.
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"rbo_overlap needs 0 < p < 1, got {p}")
+    if int(k) < 1:
+        raise ValueError(f"rbo_overlap needs k >= 1, got {k}")
+
+    def ranked_items(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(q_col).alias("_q"),
+                F.struct(
+                    F.col(rank_col).alias("r"), F.col(item_col).alias("i")
+                ).alias("_s"),
+            )
+            .groupBy("_q")
+            .agg(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list("_s")),
+                        lambda s: s["i"],
+                    ),
+                    1,
+                    int(k),
+                ).alias(out)
+            )
+        )
+
+    joined = ranked_items(a, "_a").join(ranked_items(b, "_b"), "_q")
+    acc = None
+    pw = 1.0
+    for d in range(1, int(k) + 1):
+        ov = F.size(
+            F.array_intersect(
+                F.slice("_a", 1, d), F.slice("_b", 1, d)
+            )
+        ).cast("double")
+        term = F.lit(pw) * ov / F.lit(float(d))
+        acc = term if acc is None else acc + term
+        pw = pw * p
+    rbo = F.lit(1.0 - p) * acc
+    return joined.select(
+        F.col("_q").alias(q_col),
+        F.size("_a").cast("long").alias("n_a"),
+        F.size("_b").cast("long").alias("n_b"),
+        F.floor(rbo * F.lit(1e6) + F.lit(0.5)).cast("long").alias("rbo_e6"),
+    )

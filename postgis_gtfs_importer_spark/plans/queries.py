@@ -102,16 +102,20 @@ _ADDITIONS_R10: list[str] = [
     # per-shard md5 weights; the incremental-resharding invariant
     # (adds move keys only TO the new shard) pinned exactly.
     "rendezvous_assign",
+    # wave 5: rank-biased overlap — the prefix-weighted ranking
+    # agreement recall@k cannot see (head-order divergence); float
+    # chain literal-identical in both engines, unrolled at plan time.
+    "rbo_overlap",
 ]
 
 #: Freshness rotation (VERDICT r9 item 1): the remaining slots go to
 #: the entries with the OLDEST green driver rows, last-green-round
 #: ascending from the ledger: ALL 32 r5 leftovers (the block named in
 #: the r9 rotation comment, equidepth_hist .. zorder_pruning_stats),
-#: then the r6 block in name order as capacity allows (9 restale/new +
-#: 32 r5 + 9 r6 = 50; each addition wave trims the r6 tail —
-#: tfidf_distinctive, translations_feedwide and temperature_sample
-#: moved to the r11 head as waves 2-4 landed). These are VERIFIED entries filling spare
+#: then the r6 block in name order as capacity allows (10 restale/new +
+#: 32 r5 + 8 r6 = 50; each addition wave trims the r6 tail —
+#: tfidf_distinctive, translations_feedwide, temperature_sample and
+#: streaming_windowed_stats moved to the r11 head as waves 2-5 landed). These are VERIFIED entries filling spare
 #: capacity, not stale ones: the ledger attests their digests
 #: unchanged since their recorded rows.
 _ROTATION_R10: list[str] = [
@@ -170,7 +174,6 @@ _ROTATION_R10: list[str] = [
     "streaming_interval_join",
     "streaming_interval_join_outer",
     "streaming_sessionize",
-    "streaming_windowed_stats",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
@@ -8024,6 +8027,85 @@ def rendezvous_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendezvous_assign(
         d, _HRW_SHARDS, id_col="doc_id", salt="hrw"
     ).select("doc_id", "shard")
+
+
+def _rbo_oracle_sql(k: int = 10, p: float = 0.9) -> str:
+    """DuckDB twin of operators/similarity.py::rbo_overlap over the
+    int8-vs-exact rankings: prefix-overlap terms summed as an EXPLICIT
+    left-associated chain with the SAME pre-computed double literals
+    (repr round-trips doubles exactly) the Spark plan embeds, so every
+    IEEE multiply/add happens in the identical sequence."""
+    terms = []
+    pw = 1.0
+    for d in range(1, k + 1):
+        ov = (
+            f"CAST(len(list_intersect(a.items[1:{d}],"
+            f" b.items[1:{d}])) AS DOUBLE)"
+        )
+        terms.append(f"({pw!r} * {ov} / {float(d)!r})")
+        pw = pw * p
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    rbo = f"({(1.0 - p)!r} * {chain})"
+    return f"""
+    WITH {_INT8_QZ_CTE},
+    int8_rank AS (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                                CAST(b.q AS DOUBLE[]))
+                               AS BIGINT) DESC,
+                          b.vec_id ASC) AS rn
+        FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rn <= {k}
+    ),
+    exact_rank AS (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rn <= {k}
+    ),
+    al AS (SELECT q_id, list(vec_id ORDER BY rn) AS items
+           FROM int8_rank GROUP BY q_id),
+    bl AS (SELECT q_id, list(vec_id ORDER BY rn) AS items
+           FROM exact_rank GROUP BY q_id)
+    SELECT a.q_id,
+           CAST(len(a.items) AS BIGINT) AS n_a,
+           CAST(len(b.items) AS BIGINT) AS n_b,
+           CAST(floor({rbo} * 1000000.0 + 0.5) AS BIGINT) AS rbo_e6
+    FROM al a JOIN bl b USING (q_id)
+    """
+
+
+@register("rbo_overlap", _rbo_oracle_sql())
+def rbo_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the int8-quantized index's top-10
+    and the exact float-cosine top-10, per query
+    (operators/similarity.py::rbo_overlap, Webber et al. 2010) —
+    completes the ANN measurement family: ann_recall_at_k checks SET
+    agreement at depth k, RBO weights agreement at every prefix depth
+    by p^(d-1), so head-order divergence shows where recall cannot
+    see it. Both rankings are the deterministic ann_recall_at_k
+    machinery; the float chain is literal-for-literal identical in
+    both engines (order-pinned, unrolled at plan time)."""
+    from ..operators.similarity import rbo_overlap
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = SIM.int8_topk(emb, q, k=10).select("q_id", "vec_id", "rn")
+    b = SIM.brute_force_topk(emb, q, k=10).select("q_id", "vec_id", "rn")
+    return rbo_overlap(a, b, k=10, p=0.9)
 
 
 # ===========================================================================

@@ -93,6 +93,10 @@ BNLJ_OK = {
                              # unigram table — the bm25 corpus-stats
                              # pattern; all corpus-touching joins are
                              # equi joins on n-gram keys
+    "rbo_overlap",           # inherits ann_recall_at_k's shape: BOTH
+                             # deliberate 10-probe broadcast linear
+                             # scans (int8 + exact float baselines);
+                             # the RBO join itself is query-keyed equi
 }
 
 STREAMING = {

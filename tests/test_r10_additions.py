@@ -267,3 +267,66 @@ def test_rendezvous_validates(spark):
         rendezvous_assign(df, [], id_col="doc_id")
     with pytest.raises(ValueError, match="unique"):
         rendezvous_assign(df, ["a", "a"], id_col="doc_id")
+
+
+# ------------------------------------------------- rbo_overlap
+
+
+def _mk_ranking(spark, rows):
+    return spark.createDataFrame(rows, "q_id long, vec_id long, rn long")
+
+
+def test_rbo_identical_rankings_score_truncated_max(spark):
+    """Identical k=3 rankings: ov_d = d at every depth, so
+    RBO = (1-p) * sum p^(d-1) — the truncated-form maximum (< 1 by
+    construction; documented: a gate compares like against like)."""
+    from postgis_gtfs_importer_spark.operators.similarity import rbo_overlap
+
+    r = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    out = rbo_overlap(
+        _mk_ranking(spark, r), _mk_ranking(spark, r), k=3, p=0.9
+    ).collect()
+    expected = 0.09999999999999998 * ((1.0 * 1 / 1.0) + (0.9 * 2 / 2.0)
+                                      + (0.81 * 3 / 3.0))
+    import math
+
+    assert out[0]["rbo_e6"] == math.floor(expected * 1e6 + 0.5)
+
+
+def test_rbo_head_order_divergence_beats_recall(spark):
+    """Two rankings with the SAME item set (recall@3 = 1.0) but
+    reversed head order score strictly below the identical pair —
+    the signal recall cannot see."""
+    from postgis_gtfs_importer_spark.operators.similarity import rbo_overlap
+
+    a = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    b = [(1, 12, 1), (1, 11, 2), (1, 10, 3)]
+    same = rbo_overlap(
+        _mk_ranking(spark, a), _mk_ranking(spark, a), k=3, p=0.9
+    ).collect()[0]["rbo_e6"]
+    rev = rbo_overlap(
+        _mk_ranking(spark, a), _mk_ranking(spark, b), k=3, p=0.9
+    ).collect()[0]["rbo_e6"]
+    assert rev < same
+    # depth-3 prefixes agree fully, so the gap is exactly the d=1,2
+    # disagreement: ov = (0, 1, 3)
+    import math
+
+    expected = 0.09999999999999998 * ((1.0 * 0 / 1.0) + (0.9 * 1 / 2.0)
+                                      + (0.81 * 3 / 3.0))
+    assert rev == math.floor(expected * 1e6 + 0.5)
+
+
+def test_rbo_disjoint_and_validation(spark):
+    from postgis_gtfs_importer_spark.operators.similarity import rbo_overlap
+
+    a = [(1, 10, 1)]
+    b = [(1, 99, 1)]
+    out = rbo_overlap(
+        _mk_ranking(spark, a), _mk_ranking(spark, b), k=3, p=0.9
+    ).collect()
+    assert out[0]["rbo_e6"] == 0
+    with pytest.raises(ValueError, match="0 < p < 1"):
+        rbo_overlap(_mk_ranking(spark, a), _mk_ranking(spark, b), p=1.0)
+    with pytest.raises(ValueError, match="k >= 1"):
+        rbo_overlap(_mk_ranking(spark, a), _mk_ranking(spark, b), k=0)
