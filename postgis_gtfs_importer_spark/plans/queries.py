@@ -76,6 +76,17 @@ _RESTALE_R10: list[str] = [
     "decontaminate",
     "dsir_resample",
     "ktruss",
+    # late-round restales from the cross-session checkpoint fix (the
+    # adversarial ClassCastException flake): _SIG_INDEX and _AD_STAGE
+    # now materialize EAGERLY, which re-digests their consumers —
+    # neardup_incremental plus the five staged-C11-fact readers
+    # (stats_agency_route_stop_hour / stats_route_date were already
+    # window-resident in the r5 rotation block below).
+    "neardup_incremental",
+    "arrivals_departures_abs",
+    "active_trips_by_hour",
+    "headway_stats",
+    "trip_overtaking",
 ]
 
 #: Round-10 additions (VERDICT r9 item 5 and the continuation waves).
@@ -112,10 +123,12 @@ _ADDITIONS_R10: list[str] = [
 #: the entries with the OLDEST green driver rows, last-green-round
 #: ascending from the ledger: ALL 32 r5 leftovers (the block named in
 #: the r9 rotation comment, equidepth_hist .. zorder_pruning_stats),
-#: then the r6 block in name order as capacity allows (10 restale/new +
-#: 32 r5 + 8 r6 = 50; each addition wave trims the r6 tail —
-#: tfidf_distinctive, translations_feedwide, temperature_sample and
-#: streaming_windowed_stats moved to the r11 head as waves 2-5 landed). These are VERIFIED entries filling spare
+#: then the r6 block in name order as capacity allows (15 restale/new +
+#: 32 r5 + 3 r6 = 50; each addition wave trims the r6 tail —
+#: tfidf_distinctive, translations_feedwide, temperature_sample,
+#: streaming_windowed_stats, then balanced_mixture and the four
+#: streaming_* entries moved to the r11 head as waves 2-5 and the
+#: late checkpoint-fix restales landed). These are VERIFIED entries filling spare
 #: capacity, not stale ones: the ledger attests their digests
 #: unchanged since their recorded rows.
 _ROTATION_R10: list[str] = [
@@ -169,11 +182,6 @@ _ROTATION_R10: list[str] = [
     "ann_int8_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "balanced_mixture",
-    "streaming_enrich",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_sessionize",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
@@ -1919,8 +1927,13 @@ def _synthetic_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _AD_STAGE:
+        # EAGER for the same reason as _SIG_INDEX: one applicationId
+        # spans every local SparkSession, so a lazily-checkpointed
+        # subplan built here can first materialize under a session
+        # with a different physical config (the adversarial suite's
+        # non-vectorized reader) — the ClassCastException flake class.
         _AD_STAGE[key] = _ad(_synthetic_gtfs(spark, sf_dir)).localCheckpoint(
-            eager=False
+            eager=True
         )
     return _AD_STAGE[key]
 
@@ -4638,9 +4651,17 @@ def neardup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIG_INDEX:
         index_docs = d.filter(F.col("doc_id") % 3 != 0)
+        # EAGER: local sessions share one applicationId, so this cache
+        # crosses SparkSessions with different configs. A lazy
+        # checkpoint would embed the parquet-scan SUBPLAN and compile
+        # it under whichever session first forces it — under the
+        # adversarial non-vectorized-reader session that mix threw
+        # UnsafeRow-vs-ColumnarBatch ClassCastExceptions (r10 guard
+        # flake, twice, order-dependent). Materializing here pins the
+        # scan to the building session; reuse is then block reads.
         _SIG_INDEX[key] = DD.minhash_signatures(
             index_docs, "doc_id", "text", n=3, num_hashes=32, seed=42
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     batch = d.filter(F.col("doc_id") % 3 == 0)
     matches, _survivors = DD.neardup_incremental(
         batch, _SIG_INDEX[key], "doc_id", "text",
