@@ -80,13 +80,16 @@ _RESTALE_R10: list[str] = [
     # adversarial ClassCastException flake): _SIG_INDEX and _AD_STAGE
     # now materialize EAGERLY, which re-digests their consumers —
     # neardup_incremental plus the five staged-C11-fact readers
-    # (stats_agency_route_stop_hour / stats_route_date were already
-    # window-resident in the r5 rotation block below).
+    # (stats_agency_route_stop_hour / stats_route_date move up HERE
+    # from the r5 rotation block — the ledger's changed-since set and
+    # _MUST_VERIFY are enforced equal in both directions).
     "neardup_incremental",
     "arrivals_departures_abs",
     "active_trips_by_hour",
     "headway_stats",
     "trip_overtaking",
+    "stats_agency_route_stop_hour",
+    "stats_route_date",
 ]
 
 #: Round-10 additions (VERDICT r9 item 5 and the continuation waves).
@@ -123,8 +126,8 @@ _ADDITIONS_R10: list[str] = [
 #: the entries with the OLDEST green driver rows, last-green-round
 #: ascending from the ledger: ALL 32 r5 leftovers (the block named in
 #: the r9 rotation comment, equidepth_hist .. zorder_pruning_stats),
-#: then the r6 block in name order as capacity allows (15 restale/new +
-#: 32 r5 + 3 r6 = 50; each addition wave trims the r6 tail —
+#: then the r6 block in name order as capacity allows (17 restale/new +
+#: 30 r5 + 3 r6 = 50; each addition wave trims the r6 tail —
 #: tfidf_distinctive, translations_feedwide, temperature_sample,
 #: streaming_windowed_stats, then balanced_mixture and the four
 #: streaming_* entries moved to the r11 head as waves 2-5 and the
@@ -153,8 +156,6 @@ _ROTATION_R10: list[str] = [
     "skew_salted_join",
     "split_leakage_audit",
     "sssp_trade",
-    "stats_agency_route_stop_hour",
-    "stats_route_date",
     "streaming_session_window",
     "table_profile",
     "time_rollup",
