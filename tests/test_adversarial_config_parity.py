@@ -82,6 +82,20 @@ def adversarial_spark(spark):
     saved = {k: spark.conf.get(k, None) for k in _ADVERSARIAL}
     for k, v in _ADVERSARIAL.items():
         spark.conf.set(k, v)
+    # CacheManager entries PHYSICALLY PLAN at persist() registration
+    # time: an operator persist() from an earlier suite in this pytest
+    # process (plan hygiene walks the same registry) caches a plan
+    # compiled under the NORMAL config (vectorized parquet ->
+    # ColumnarToRow codegen); canonical-plan substitution then splices
+    # it into this module's queries, where the non-vectorized runtime
+    # reader feeds UnsafeRows into batch-expecting codegen — an
+    # order-dependent ClassCastException (bit twice in r10 guard
+    # combos; neardup_incremental was the reproducer because its
+    # persist() relations live until GC by design). A mid-session conf
+    # toggle invalidates every cached physical plan, so clear the
+    # cache at BOTH boundary crossings — production sessions never
+    # toggle physical conf midstream, tests must pay the flush.
+    spark.catalog.clearCache()
     try:
         yield spark
     finally:
@@ -90,6 +104,7 @@ def adversarial_spark(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+        spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("name", NAMES)
