@@ -1116,9 +1116,13 @@ def canonical_by_quality(
 
     Election: per cluster, the member with the highest NUMERIC score
     (compared as DOUBLE — fractional scores order exactly, and the
-    negation can't overflow the way a LONG_MIN negate would; NaN
-    scores sort as the LARGEST score in both Spark and DuckDB, so a
-    NaN member wins its cluster — score columns should be NaN-free);
+    negation can't overflow the way a LONG_MIN negate would; a NaN
+    score can never win: the election minimizes the NEGATED score,
+    and NaN sorts as the largest value in both Spark and DuckDB, so
+    NaN ``_neg`` is the worst possible effective score — a NaN member
+    loses to every non-NaN member and only becomes canonical when the
+    whole cluster is NaN. Cross-engine consistent either way, but
+    score columns should still be NaN-free for a meaningful election);
     ties break toward the smallest id; members with a NULL score can
     never win but still receive their cluster's canonical (they are
     members, just unscoreable). The argmax is ONE map-side-combinable

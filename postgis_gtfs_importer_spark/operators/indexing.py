@@ -545,6 +545,15 @@ def trigram_backoff_scores(
     - unigram backoff (unseen bigram): ``S = 0.16 * c1(w3) / N``.
     - unseen token: 0.
 
+    Approximation (deliberate, oracle-mirrored): the lower-order
+    counts ``c2``/``c1``/``N`` are derived FROM THE TRIGRAM RELATION —
+    they count tokens and pairs in trigram-interior position only, so
+    each training document's leading bigram and first two tokens are
+    excluded from the backoff models. At corpus scale the edge effect
+    is O(docs/tokens) and irrelevant to ranking; in exchange the whole
+    model pipeline aggregates one relation instead of three, and the
+    DuckDB oracle replays the identical counts bit-for-bit.
+
     Each trigram occurrence contributes its score e6 fixed-point —
     the multipliers are exact doubles (1e6, 4e5 = 0.4·1e6, 1.6e5 =
     0.16·1e6) applied as ONE IEEE multiply + divide of exactly-shared
@@ -591,12 +600,13 @@ def trigram_backoff_scores(
         F.sum("m").cast("long").alias("c3")
     )
     h2 = c3.groupBy("w1", "w2").agg(F.sum("c3").cast("long").alias("h2"))
-    # bigram level counts (w2, w3) as adjacent pairs wherever they head
-    # a trigram OR close one — derived from the trigram relation's last
-    # pair plus each document's final pair would need the raw pairs; we
-    # count (w2, w3) as the LAST pair of trigrams, i.e. bigrams in
-    # trigram-interior position. Heads h1 aggregate from c2 so the
-    # conditional still sums to 1 over w3.
+    # Lower-order counts come from the trigram relation, NOT the raw
+    # token stream: c2 counts (w2, w3) as the closing pair of a
+    # trigram, c1/N count tokens in trigram-final position — i.e.
+    # trigram-INTERIOR statistics only, excluding each document's
+    # leading bigram and first two tokens (the docstring's documented
+    # edge approximation). h1 aggregates from c2 so the bigram
+    # conditional still sums to exactly 1 over w3.
     c2 = c3.groupBy("w2", "w3").agg(F.sum("c3").cast("long").alias("c2"))
     h1 = c2.groupBy("w2").agg(F.sum("c2").cast("long").alias("h1"))
     c1 = c3.groupBy("w3").agg(F.sum("c3").cast("long").alias("c1"))

@@ -69,10 +69,12 @@ class CorpusConfig:
     #: inflate its own conditional probabilities in the trained model.
     min_fluency_e6: int | None = None
     #: trigram stupid-backoff fluency floor (mean_sb_e6); None = off.
-    #: The model trains on the doc_id % trigram_train_mod != 0 slice of
-    #: the gated survivors and scores ALL of them, so held-out docs
-    #: exercise the real backoff chain (indexing.trigram_backoff_scores
-    #: — the KenLM-class gate one order above min_fluency_e6's bigram).
+    #: The model trains on the slice whose 32-bit md5(id-as-string)
+    #: prefix is nonzero mod trigram_train_mod and scores ALL gated
+    #: survivors, so held-out docs exercise the real backoff chain
+    #: (indexing.trigram_backoff_scores — the KenLM-class gate one
+    #: order above min_fluency_e6's bigram). Hash-keyed, so any id
+    #: type works — string ids included.
     min_trigram_sb_e6: int | None = None
     trigram_train_mod: int = 3
     #: relative per-stratum keep fraction (num, den); None = off. Runs
@@ -189,18 +191,24 @@ def curate_corpus(
 
     # 4b1b. trigram stupid-backoff fluency floor — the bigram gate one
     # order up, with a REAL held-out split (the self-trained bigram
-    # model can never see an unseen n-gram; here the id % mod == 0
-    # slice scores against a model that has never read it). Same
-    # LEFT join + pass-when-unscored discipline: a doc with < 3
-    # tokens has no trigram and no evidence against it.
+    # model can never see an unseen n-gram; here the held-out slice
+    # scores against a model that has never read it). The split keys
+    # on a 32-bit md5 prefix of the STRINGIFIED id (hash % mod == 0
+    # is held out), so it is id-TYPE agnostic — the r10 form
+    # (`id % mod`) crashed at analysis time on string ids, unlike
+    # every other gate (ADVICE r10). Same LEFT join +
+    # pass-when-unscored discipline: a doc with < 3 tokens has no
+    # trigram and no evidence against it.
     if c.min_trigram_sb_e6 is not None:
         from ..operators.indexing import trigram_backoff_scores
 
+        _id_hash = F.conv(
+            F.substring(F.md5(F.col(c.id_col).cast("string")), 1, 8),
+            16, 10,
+        ).cast("bigint")
         t_scores = trigram_backoff_scores(
             gated,
-            gated.filter(
-                F.col(c.id_col) % int(c.trigram_train_mod) != 0
-            ),
+            gated.filter(_id_hash % int(c.trigram_train_mod) != 0),
             id_col=c.id_col,
             text_col=c.text_col,
         ).select(c.id_col, "mean_sb_e6")

@@ -138,18 +138,22 @@ def stream_vehicle_positions(
     feed type (after TripUpdates) a transit consumer subscribes to.
     Same EXACT-RESEND suppression as :func:`stream_trip_updates`: the
     feed republishes every vehicle's last known position each poll
-    cycle, so duplicates key on the full content (vehicle, trip,
-    position, status, ts); a MOVED vehicle (any field changed, or the
-    same position re-stamped) flows through — keying on vehicle_id
-    alone would freeze each vehicle's first fix for the watermark
-    horizon. Latest-fix-per-vehicle is the SERVING layer's job (MERGE
-    sink, winner = max(ts, update_id)), exactly the TripUpdate split.
+    cycle, so duplicates key on the FULL fix content (vehicle, trip,
+    lat/lon, bearing, speed, stop_sequence, status, ts); a MOVED
+    vehicle (any of those fields changed — including a turn in place
+    that only alters bearing — or the same fix re-stamped with a new
+    ts) flows through. Keying on vehicle_id alone would freeze each
+    vehicle's first fix for the watermark horizon; update_id stays OUT
+    of the key precisely so that pure resends (new envelope id, same
+    content) are suppressed. Latest-fix-per-vehicle is the SERVING
+    layer's job (MERGE sink, winner = max(ts, update_id)), exactly the
+    TripUpdate split.
     """
     raw = spark.readStream.schema(VEHICLE_POSITION_SCHEMA).parquet(path)
     return raw.withWatermark(
         "ts", watermark_delay
     ).dropDuplicatesWithinWatermark(
-        ["vehicle_id", "trip_id", "lat", "lon",
+        ["vehicle_id", "trip_id", "lat", "lon", "bearing", "speed_mps",
          "current_stop_sequence", "current_status", "ts"]
     )
 

@@ -82,9 +82,17 @@ def test_vehicle_positions_enriched(spark, static_feed, tmp_path):
         # V1 MOVED 1 min later: must flow through
         ("V1", "T1", 52.51, 13.41, 91.0, 8.0, 10, "STOPPED_AT",
          base + dt.timedelta(minutes=1), 3),
+        # V1 turned IN PLACE 2 min later: identical position/status/ts
+        # pattern except bearing — bearing is part of the fix content,
+        # so this must flow through (ADVICE r10: key includes bearing
+        # and speed_mps)
+        ("V1", "T1", 52.51, 13.41, 135.0, 8.0, 10, "STOPPED_AT",
+         base + dt.timedelta(minutes=2), 4),
+        ("V1", "T1", 52.51, 13.41, 135.0, 8.0, 10, "STOPPED_AT",
+         base + dt.timedelta(minutes=2), 5),  # and its resend is not
         # vehicle on a trip the snapshot doesn't know: dropped by the
         # inner enrichment join
-        ("V9", "GHOST", 0.0, 0.0, 0.0, 0.0, 1, "STOPPED_AT", base, 4),
+        ("V9", "GHOST", 0.0, 0.0, 0.0, 0.0, 1, "STOPPED_AT", base, 6),
     ]
     src = str(tmp_path / "vp")
     spark.createDataFrame(
@@ -99,7 +107,9 @@ def test_vehicle_positions_enriched(spark, static_feed, tmp_path):
 
     rows = spark.table("rt_vehicles").collect()
     assert {r.vehicle_id for r in rows} == {"V1"}  # GHOST dropped
-    assert len(rows) == 2  # resend suppressed, movement kept
+    # resends suppressed; movement AND the bearing-only turn kept
+    assert len(rows) == 3
+    assert sorted(r.bearing for r in rows) == [90.0, 91.0, 135.0]
     assert {r.current_status for r in rows} == {
         "IN_TRANSIT_TO", "STOPPED_AT"
     }
