@@ -615,3 +615,162 @@ def kmv_set_overlap(
             ),
         )
     )
+
+
+#: Pre-filter oversampling factor for the bottom-k quantile sample:
+#: when a group holds n rows, only rows whose key falls in the lowest
+#: OVERSAMPLE*k/n fraction of the key space survive to the ranking
+#: shuffle. The true bottom-k is a subset of the survivors unless
+#: fewer than k of the n keys land below the threshold — a binomial
+#: with mean OVERSAMPLE*k, so the miss probability is Chernoff-bounded
+#: by exp(-((OVERSAMPLE-1)^2 / (2*OVERSAMPLE)) * k) ~ exp(-3k) at 8:
+#: ~e^-768 at the default k, zero in any universe. Cross-engine parity
+#: is UNCONDITIONAL either way: the oracle applies the identical
+#: threshold, so both engines see the same survivor set even in the
+#: impossible underflow case.
+QS_OVERSAMPLE = 8
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable quantile sketch per group — a hash-coordinated
+    BOTTOM-K row sample (the KMV discipline pointed at ranks instead
+    of distincts): keep the k rows whose 60-bit md5 key over the row's
+    unique identity is smallest, carrying the value alongside. The k
+    retained rows are a uniform without-replacement sample of the
+    group, so the r-th smallest retained value estimates the r/k
+    quantile with the textbook sampling error O(sqrt(q(1-q)/k)); with
+    fewer than k rows the sketch is exhaustive and every quantile
+    EXACT (the KMV grace).
+
+    Why this and not KLL/t-digest (VERDICT r10 item 3 weighed both):
+    their compactions are randomized (KLL coin flips) or
+    order-dependent (t-digest centroid merging), so two engines — or
+    two runs — cannot replay the same state, and shard-then-merge is
+    only rank-error-equivalent, never bit-equal. The bottom-k sample
+    is the member of the mergeable-quantile family that satisfies this
+    repo's two non-negotiables, at the price of O(1/eps^2) instead of
+    KLL's O((1/eps)log^1.5(1/eps)) space for rank error eps:
+
+      * EXACT merge algebra: bottom-k(A union B) ==
+        bottom-k(bottom-k(A) union bottom-k(B)) — set identity, no
+        error introduced by merging, any grouping, any order
+        (:func:`quantile_sketch_merge`; property-tested
+        shard-then-merge == global BIT-EQUAL).
+      * bit-identical DuckDB replay: the key is the repo-standard
+        ``h60`` (conv/substr/md5), selection and ranking are integer,
+        and the estimator returns a STORED value untouched by
+        arithmetic — nothing floats, nothing drifts.
+
+    Scale shape: one narrow map-side count per group, one broadcast
+    threshold join, then the ranking window sees ~OVERSAMPLE*k rows
+    per group instead of the group (the pre-filter is what makes this
+    a sketch operationally, not just statistically — without it the
+    rank shuffle carries the whole table the way exact quantiles do).
+    State is at most k rows per group; persist it, union shards, and
+    re-rank to merge.
+
+    ``id_cols`` must identify rows uniquely (the TESTDATA contract) —
+    hashing the VALUE would collapse duplicates and sample the
+    distinct-value distribution instead of the data distribution.
+    NULL policy: rows with a NULL value or NULL id component are
+    EXCLUDED (same contract and cross-engine rationale as the other
+    sketch families).
+
+    Returns state rows (group..., h, v, rn), rn <= k.
+    """
+    ids = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    keyed = df.filter(
+        F.col(value_col).isNotNull()
+        & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in id_cols))
+    ).select(
+        *group_cols,
+        h60(ids).alias("h"),
+        F.col(value_col).alias("v"),
+    )
+    counts = keyed.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    cap = QS_OVERSAMPLE * int(k)
+    #: exact double: KEY_SPACE * cap is a power of two times a small
+    #: integer; the one IEEE division below is the only float op and
+    #: its operands are exactly shared with the oracle
+    t_num = F.lit(float(KEY_SPACE) * cap)
+    survivors = keyed.join(counts, list(group_cols)).filter(
+        (F.col("_n") <= F.lit(cap))
+        | (
+            F.col("h")
+            <= F.floor(t_num / F.col("_n").cast("double")).cast("long")
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"), F.asc("v"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h", "v", "rn")
+    )
+
+
+def quantile_sketch_merge(
+    states: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Merge unioned sketch states: re-rank by key, keep the bottom k —
+    the exact KMV merge algebra applied to the row sample. Input is
+    the union of per-shard :func:`quantile_sketch` outputs over
+    DISJOINT shards (the same row contributing twice would double its
+    sample weight, exactly as in KMV). Associative and
+    grouping-independent as a set identity; the property test pins
+    shard-then-merge == global bit-for-bit."""
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"), F.asc("v"))
+    return (
+        states.select(*group_cols, "h", "v")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def quantile_sketch_quantiles(
+    state: DataFrame,
+    group_cols: list[str],
+    qs_e6: list[int],
+) -> DataFrame:
+    """Quantile estimates from sketch state: for each requested
+    ``q_e6`` (quantile * 1e6), the sample value at rank
+    ``max(1, ceil(q * s))`` of the value-sorted sample of size s — the
+    type-1/lower convention shared with histogram_quantile_bins, with
+    the ceiling computed in EXACT integer arithmetic
+    ``(q_e6 * s + 999999) div 1e6``. The returned value is a stored
+    input value, untouched by arithmetic — bit-identical cross-engine
+    by construction.
+
+    Returns (group..., q_e6, est), one row per group per requested q.
+    """
+    qs_lit = ", ".join(
+        str(int(q)) + "L" for q in qs_e6
+    )
+    picked = (
+        state.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("v"), F.col("h")))
+            ).alias("_sv")
+        )
+        .select(
+            *group_cols,
+            F.explode(
+                F.expr(
+                    f"transform(array({qs_lit}), q -> struct("
+                    " q AS q_e6,"
+                    " element_at(_sv, CAST(greatest(1L,"
+                    "   (q * size(_sv) + 999999) DIV 1000000) AS INT)).v"
+                    " AS est))"
+                )
+            ).alias("_q"),
+        )
+    )
+    return picked.select(*group_cols, "_q.q_e6", "_q.est")

@@ -57,132 +57,103 @@ def register(name: str, oracle: str | None):
 #: failure. Run `python -m postgis_gtfs_importer_spark.plans.ledger
 #: refresh` at round start, before any edit.
 
-#: Round-10 window. The r9 window landed 50/50 green
-#: (CORRECTNESS_r09); the round-start ledger refresh folded all 50
-#: rows in (stale set 0, commit 7fc8266). The stale set below is what
-#: THIS round's work re-staled: the four r9 ADVICE fixes
-#: (decontaminate's sub-ppm drop gate; canonical_by_quality's DOUBLE
-#: score comparison; dsir_resample's u-strictly-inside-(0,1) Gumbel
-#: clamp, mirrored in the oracle; closeness_centrality's seed-frontier
-#: schema derived from the edge type) plus the ktruss incremental
-#: rewrite (VERDICT r9 item 2: per-edge triangle-partner lists,
-#: cascade-sized rounds 2+ — A/B-measured tie at the registry's
-#: 2-round shape, 21% faster at k=6/6 rounds). All are oracle-parity
-#: green locally at sf0.01 post-change (tests/test_oracle_parity.py;
-#: pins in tests/test_r9_additions.py and tests/test_r10_additions.py).
-_RESTALE_R10: list[str] = [
+#: Round-11 window. The r10 window landed 50/50 green
+#: (CORRECTNESS_r10); the round-start incremental ledger refresh folded
+#: all 50 rows in (stale set 0). The stale set below is what THIS
+#: round's work re-staled: the two behavior-adjacent r10 ADVICE fixes
+#: (canonical_by_quality's NaN-election docstring — comment-only but
+#: digest-visible; trigram_backoff_lm via the documented
+#: trigram-interior-counts approximation note) plus the ktruss round-1
+#: enumeration rewrite (VERDICT r10 item 2: explode-form probe,
+#: single-pass tri-edge emission, no graph-sized state join — 8.7 s
+#: median warm from ~9.9, interleaved A/B), which also re-digests
+#: triangle_count (shares _oriented_out_adjacency) and
+#: local_clustering (same module reach). All oracle-parity green
+#: locally at sf0.01 (ktruss/triangle_count additionally at sf0.1)
+#: post-change.
+_RESTALE_R11: list[str] = [
     "canonical_by_quality",
-    "closeness_centrality",
-    "decontaminate",
-    "dsir_resample",
     "ktruss",
-    # late-round restales from the cross-session checkpoint fix (the
-    # adversarial ClassCastException flake): _SIG_INDEX and _AD_STAGE
-    # now materialize EAGERLY, which re-digests their consumers —
-    # neardup_incremental plus the five staged-C11-fact readers
-    # (stats_agency_route_stop_hour / stats_route_date move up HERE
-    # from the r5 rotation block — the ledger's changed-since set and
-    # _MUST_VERIFY are enforced equal in both directions).
-    "neardup_incremental",
-    "arrivals_departures_abs",
-    "active_trips_by_hour",
-    "headway_stats",
-    "trip_overtaking",
-    "stats_agency_route_stop_hour",
-    "stats_route_date",
-]
-
-#: Round-10 additions (VERDICT r9 item 5 and the continuation waves).
-#: Never driver-verified -> window-resident.
-_ADDITIONS_R10: list[str] = [
-    # wave 1: trigram stupid-backoff LM fluency (Brants et al. 2007)
-    # — the CCNet/KenLM-class gate one order above bigram_lm_scores,
-    # trained on a held-out split so the backoff chain (trigram ->
-    # 0.4 bigram -> 0.16 unigram -> 0) is exercised for real; exact
-    # e6 fixed point, three LEFT model joins, coalesce picks the
-    # level.
-    "trigram_backoff_lm",
-    # wave 2: small-files compaction planner — cumulative chunking
-    # over a deterministic md5 hash order via the TWO-PHASE
-    # distributed prefix sum (no file-count-sized single-task window);
-    # the lakehouse OPTIMIZE primitive z-ordering leaves behind.
-    "compaction_plan",
-    # wave 3: join-key skew pre-flight — per-column distinct/max-share
-    # /HHI concentration in one melt + one shuffle, all-integer floor
-    # divisions (the decimal remainder identity), sort-free by design
-    # (Gini needs a key-count-sized rank; HHI carries the signal).
-    "key_skew_profile",
-    # wave 4: rendezvous (HRW) shard routing — map-side argmax of
-    # per-shard md5 weights; the incremental-resharding invariant
-    # (adds move keys only TO the new shard) pinned exactly.
-    "rendezvous_assign",
-    # wave 5: rank-biased overlap — the prefix-weighted ranking
-    # agreement recall@k cannot see (head-order divergence); float
-    # chain literal-identical in both engines, unrolled at plan time.
-    "rbo_overlap",
-]
-
-#: Freshness rotation (VERDICT r9 item 1): the remaining slots go to
-#: the entries with the OLDEST green driver rows, last-green-round
-#: ascending from the ledger: ALL 32 r5 leftovers (the block named in
-#: the r9 rotation comment, equidepth_hist .. zorder_pruning_stats),
-#: then the r6 block in name order as capacity allows (17 restale/new +
-#: 30 r5 + 3 r6 = 50; each addition wave trims the r6 tail —
-#: tfidf_distinctive, translations_feedwide, temperature_sample,
-#: streaming_windowed_stats, then balanced_mixture and the four
-#: streaming_* entries moved to the r11 head as waves 2-5 and the
-#: late checkpoint-fix restales landed). These are VERIFIED entries filling spare
-#: capacity, not stale ones: the ledger attests their digests
-#: unchanged since their recorded rows.
-_ROTATION_R10: list[str] = [
-    # r5 (all 32 leftovers, name order)
-    "equidepth_hist",
-    "first_touch_attribution",
-    "global_rank_distributed",
-    "grouping_sets_mix",
-    "item_similarity",
-    "kcore_membership",
-    "knn_label_vote",
-    "line_dedup",
-    "ntile_buckets",
-    "ols_trend",
-    "pagerank_trade",
-    "percent_rank_native",
-    "phrase_search",
-    "prefix_filter_jaccard",
-    "revenue_cube",
-    "revenue_pivot",
-    "robust_scale",
-    "skew_salted_join",
-    "split_leakage_audit",
-    "sssp_trade",
-    "streaming_session_window",
-    "table_profile",
-    "time_rollup",
-    "topk_parts_per_nation",
+    "local_clustering",
     "triangle_count",
-    "tvd_drift",
-    "unpivot_roundtrip",
-    "variant_extract_stats",
-    "wow_change",
-    "zorder_pruning_stats",
-    # r6 (oldest remaining block, name order; the 36 r6 entries after
-    # these head the r11 rotation: bigram_lm_scores, bm25_topk,
-    # chunk_documents, classifier_scores, cms_token_counts,
-    # dedup_clusters, dedup_incremental, departures_at_station,
-    # embedding_cosine_pairs, embedding_topk, entity_resolution,
-    # hash_split, inverted_index, lexical_rarity, mad_outliers,
-    # minhash_lsh_pairs, neardup_incremental, nearest_stops,
-    # negative_samples, ngram_jaccard_capped, ngram_jaccard_pairs,
-    # pack_sequences, pii_redaction, pmi_bigrams, quality_gate,
-    # repetition_profile, rolling_fingerprint, score_quantile_norm,
-    # semantic_dedup, shape_lengths, simhash_pairs, source_cap,
-    # stops_radius_pairs, stratified_sample, streaming_corpus_gate,
-    # streaming_dedup ... through temperature_sample's successors,
-    # now also tfidf_distinctive and translations_feedwide)
-    "ann_int8_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
+    "trigram_backoff_lm",
+]
+
+#: Round-11 additions (VERDICT r10 item 3). Never driver-verified ->
+#: window-resident.
+_ADDITIONS_R11: list[str] = [
+    # mergeable bottom-k quantile sketch — the quantile member of the
+    # sketch family (KMV:distincts :: this:ranks): hash-coordinated
+    # bottom-k row sample with EXACT set-identity merge
+    # (shard-then-merge == global, bit-equal, property-tested) and a
+    # bit-identical DuckDB replay (h60 key, Chernoff-safe oversample
+    # pre-filter, integer rank selection). Chosen over KLL/t-digest
+    # whose randomized/order-dependent compactions can satisfy
+    # neither contract.
+    "quantile_sketch",
+]
+
+#: Freshness rotation (VERDICT r10 item 1 / the committed plan): the
+#: remaining 44 slots take ALL 44 entries whose newest green driver
+#: row is r6 (computed from CORRECTNESS_r01..r10 union at round
+#: start: histogram r6=44, r7=37, r8=45, r9=42, r10=50), name order —
+#: the 36 named in the r10 rotation comment plus balanced_mixture,
+#: streaming_enrich, streaming_interval_join,
+#: streaming_interval_join_outer, streaming_sessionize,
+#: streaming_windowed_stats, temperature_sample, tfidf_distinctive,
+#: translations_feedwide displaced by earlier waves. After a green
+#: r11 no driver row predates r7 and r12 starts draining the 37 r7
+#: rows. These are VERIFIED entries filling spare capacity, not stale
+#: ones: the ledger attests their digests unchanged since their
+#: recorded rows. 5 restales + 1 addition + 44 rotation = exactly 50:
+#: the window is FULL — any further restale this round must displace
+#: a rotation slot or go through _OVERFLOW_QUEUE per the SURVEY §8
+#: freeze policy.
+_ROTATION_R11: list[str] = [
+    "balanced_mixture",
+    "bigram_lm_scores",
+    "bm25_topk",
+    "chunk_documents",
+    "classifier_scores",
+    "cms_token_counts",
+    "dedup_clusters",
+    "dedup_incremental",
+    "departures_at_station",
+    "embedding_cosine_pairs",
+    "embedding_topk",
+    "entity_resolution",
+    "hash_split",
+    "inverted_index",
+    "lexical_rarity",
+    "mad_outliers",
+    "minhash_lsh_pairs",
+    "nearest_stops",
+    "negative_samples",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "pii_redaction",
+    "pmi_bigrams",
+    "quality_gate",
+    "repetition_profile",
+    "rolling_fingerprint",
+    "score_quantile_norm",
+    "semantic_dedup",
+    "shape_lengths",
+    "simhash_pairs",
+    "source_cap",
+    "stops_radius_pairs",
+    "stratified_sample",
+    "streaming_corpus_gate",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_sessionize",
+    "streaming_windowed_stats",
+    "temperature_sample",
+    "tfidf_distinctive",
+    "translations_feedwide",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
@@ -190,12 +161,12 @@ _OVERFLOW_QUEUE: list[str] = []
 #: Human-readable subset of the ledger's stale set (changed-since rows
 #: + never-verified additions). Enforced against the ledger by
 #: tests/test_registry_ledger.py (both directions).
-_MUST_VERIFY: list[str] = [*_RESTALE_R10, *_ADDITIONS_R10]
+_MUST_VERIFY: list[str] = [*_RESTALE_R11, *_ADDITIONS_R11]
 
 _FRONT: list[str] = [
-    *_RESTALE_R10,
-    *_ADDITIONS_R10,
-    *_ROTATION_R10,
+    *_RESTALE_R11,
+    *_ADDITIONS_R11,
+    *_ROTATION_R11,
     *_OVERFLOW_QUEUE,
 ]
 
@@ -12099,3 +12070,68 @@ def ab_lift_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         withv, variant_col="variant", value_col="value",
         id_col="event_id", control="A", treatment="B", b=16, salt="ab",
     )
+
+
+@register(
+    "quantile_sketch",
+    """
+    WITH keyed AS (
+      SELECT l_returnflag AS rf,
+             CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber),
+                                  1, 15)) AS BIGINT) AS h,
+             l_extendedprice AS v
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    ),
+    counted AS (SELECT rf, count(*) AS n FROM keyed GROUP BY rf),
+    filtered AS (
+      SELECT k.rf, k.h, k.v FROM keyed k JOIN counted c ON k.rf = c.rf
+      WHERE c.n <= 2048
+         OR k.h <= CAST(floor(2.361183241434822e+21 / c.n) AS BIGINT)
+    ),
+    ranked AS (
+      SELECT rf, h, v,
+             row_number() OVER (PARTITION BY rf ORDER BY h, v) AS rn
+      FROM filtered
+    ),
+    sample AS (
+      SELECT rf, v, h,
+             row_number() OVER (PARTITION BY rf ORDER BY v, h) AS vr,
+             count(*) OVER (PARTITION BY rf) AS s
+      FROM ranked WHERE rn <= 256
+    )
+    SELECT s.rf AS l_returnflag, q.q_e6, s.v AS est
+    FROM sample s
+    JOIN (VALUES (100000), (250000), (500000), (750000), (900000),
+                 (990000)) q(q_e6)
+      ON s.vr = GREATEST(1, (q.q_e6 * s.s + 999999) // 1000000)
+    """,
+)
+def quantile_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch over lineitem prices per
+    return flag (operators/sketches.py::quantile_sketch — VERDICT r10
+    item 3): the quantile member of the sketch family, completing
+    KMV/HLL (distincts), CMS (frequencies), Bloom (membership),
+    fixed_histogram (fixed-range distributions). Hash-coordinated
+    bottom-k row sample — chosen over KLL/t-digest because their
+    randomized/order-dependent compactions can neither bit-replay in
+    DuckDB nor merge exactly; this one does both (set-identity merge,
+    estimator returns stored values untouched by arithmetic). The
+    oracle replays the full chain: h60 key, Chernoff-safe oversample
+    pre-filter, integer rank selection. Scale: the ranking window sees
+    ~8k rows per group after the broadcast-threshold pre-filter, never
+    the table; state is k rows per group, union + re-rank = merge."""
+    from ..operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_quantiles,
+    )
+
+    li = spread(_t(spark, sf_dir, "lineitem"))
+    st = quantile_sketch(
+        li, ["l_returnflag"], "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], k=256,
+    )
+    return quantile_sketch_quantiles(
+        st, ["l_returnflag"], [100000, 250000, 500000, 750000, 900000, 990000]
+    ).select("l_returnflag", "q_e6", "est")
