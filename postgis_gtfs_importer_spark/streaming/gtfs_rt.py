@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DateType,
     DoubleType,
     IntegerType,
     LongType,
@@ -294,3 +295,136 @@ def alerts_for_departures(
         .select(*out_cols)
     )
     return route_arm.unionByName(stop_arm)
+
+
+#: TripUpdate rows carrying the spec's schedule_relationship pair
+#: (trip-level and per-stop_time_update), flattened like the other
+#: feed mirrors: a trip-level CANCELED arrives as ONE row with
+#: stop_sequence NULL; a SKIPPED stop_time_update as one row naming
+#: its stop_sequence. start_date scopes the cancellation to a single
+#: service date when the feed sets the trip descriptor's start_date
+#: (NULL = every service date of the trip, the alerts narrower-scope
+#: discipline applied to cancellations).
+TRIP_UPDATE_FULL_SCHEMA = StructType(
+    [
+        StructField("trip_id", StringType()),
+        StructField("stop_sequence", IntegerType()),
+        StructField("delay_sec", IntegerType()),
+        StructField("trip_sched_rel", StringType()),
+        StructField("stop_sched_rel", StringType()),
+        StructField("start_date", DateType()),
+        StructField("ts", TimestampType()),
+        StructField("update_id", LongType()),
+    ]
+)
+
+#: GTFS-Realtime TripDescriptor.ScheduleRelationship /
+#: StopTimeUpdate.ScheduleRelationship values a consumer acts on here.
+TRIP_CANCELED = "CANCELED"
+STOP_SKIPPED = "SKIPPED"
+
+
+def stream_trip_updates_full(
+    spark: SparkSession, path: str, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """File-source TripUpdate stream INCLUDING schedule_relationship —
+    the :func:`stream_trip_updates` surface extended with the spec
+    fields an arrivals board must subtract (VERDICT r10 item 4): a
+    CANCELED trip and a SKIPPED stop_time_update are *negative*
+    information the delay-only schema cannot carry. Same exact-resend
+    suppression, keyed on the full content (the relationship fields
+    and start_date are content: a feed flipping a trip from SCHEDULED
+    to CANCELED re-sends the same trip/ts with changed relationship,
+    and that revision MUST flow through); update_id stays out of the
+    key so pure envelope resends are suppressed."""
+    raw = spark.readStream.schema(TRIP_UPDATE_FULL_SCHEMA).parquet(path)
+    return raw.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(
+        ["trip_id", "stop_sequence", "delay_sec",
+         "trip_sched_rel", "stop_sched_rel", "start_date", "ts"]
+    )
+
+
+def cancellation_tombstones(
+    updates: DataFrame, arrivals_departures: DataFrame
+) -> DataFrame:
+    """Stream-static join producing one TOMBSTONE row per published
+    departure a TripUpdate retracts — the realtime-MINUS-schedule
+    half of the diff view the reference's consumers (arrivals boards
+    fed from the C11 relation, gtfs-via-postgres
+    arrivals_departures) need once realtime exists: a trip-level
+    CANCELED retracts EVERY scheduled row of the trip (on its
+    start_date when given, else all service dates), a SKIPPED
+    stop_time_update retracts exactly its (trip, stop_sequence) row.
+
+    Two equi-join arms on the same narrower-scope pattern as
+    :func:`alerts_for_departures` — the trip arm keys on trip_id
+    alone and fans out to the trip's schedule rows, the skip arm keys
+    on (trip_id, stop_sequence); each joins the static side
+    per-batch (Catalyst broadcasts the stream side or shuffles, its
+    choice), no OR predicate, no streaming state beyond the source
+    dedup. A SKIPPED row inside a trip that is ALSO canceled emits
+    its tombstone twice across the two arms — retraction is
+    idempotent (the board subtraction is an anti-join), so no dedup
+    is spent on it.
+
+    Returns (trip_id, stop_sequence, stop_id, date, t_departure,
+    reason, ts): ``reason`` is TRIP_CANCELED or STOP_SKIPPED, ``ts``
+    the update's event time (watermark-compatible for downstream
+    windowed sinks)."""
+    static_side = arrivals_departures.select(
+        "trip_id", "stop_sequence", "stop_id", "date", "t_departure"
+    )
+    date_scope = F.col("start_date").isNull() | (
+        F.col("start_date") == F.col("date")
+    )
+    out = [
+        "trip_id", "stop_sequence", "stop_id", "date", "t_departure",
+        "reason", "ts",
+    ]
+    trip_arm = (
+        updates.filter(F.col("trip_sched_rel") == TRIP_CANCELED)
+        .select(
+            "trip_id", "start_date", "ts",
+            F.lit(TRIP_CANCELED).alias("reason"),
+        )
+        .join(static_side, "trip_id", "inner")
+        .filter(date_scope)
+        .select(*out)
+    )
+    skip_arm = (
+        updates.filter(
+            (F.col("stop_sched_rel") == STOP_SKIPPED)
+            & F.col("stop_sequence").isNotNull()
+        )
+        .select(
+            "trip_id", "stop_sequence", "start_date", "ts",
+            F.lit(STOP_SKIPPED).alias("reason"),
+        )
+        .join(static_side, ["trip_id", "stop_sequence"], "inner")
+        .filter(date_scope)
+        .select(*out)
+    )
+    return trip_arm.unionByName(skip_arm)
+
+
+def apply_departure_tombstones(
+    arrivals_departures: DataFrame, tombstones: DataFrame
+) -> DataFrame:
+    """The departures BOARD after retraction: schedule MINUS the
+    tombstoned (trip, stop_sequence, date) rows — one LEFT ANTI join,
+    idempotent under duplicate tombstones. Both sides are BATCH
+    relations by design: like realtime_departures' full-board note,
+    the subtraction runs in the serving layer (foreachBatch / the
+    MERGE sink's table), because a static-minus-stream anti-join is
+    not expressible stream-side — the stream can only ADD retraction
+    facts, the board applies them. At scale the tombstone side is
+    incident-sized (canceled trips, skipped stops), so Catalyst
+    broadcasts it against the schedule fact."""
+    keys = tombstones.select(
+        "trip_id", "stop_sequence", "date"
+    ).dropDuplicates()
+    return arrivals_departures.join(
+        keys, ["trip_id", "stop_sequence", "date"], "left_anti"
+    )

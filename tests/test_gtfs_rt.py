@@ -171,3 +171,117 @@ def test_alerts_for_departures_entity_and_period(spark, static_ad, tmp_path):
         for r in by_alert["A3"]
     )
     assert len(by_alert["A3"]) < expected_a1
+
+
+def test_cancellation_tombstones_and_board(spark, static_ad, tmp_path):
+    """VERDICT r10 item 4 'done' bar: a CANCELED trip's departures
+    vanish from the board, a SKIPPED stop's single row vanishes,
+    everything else flows — via the tombstone stream + batch-side
+    anti-join subtraction."""
+    ad = static_ad
+    # pick two real trips with scheduled departures
+    trips = [r.trip_id for r in ad.select("trip_id").distinct().orderBy("trip_id").collect()]
+    assert len(trips) >= 2
+    t_cancel, t_skip = trips[0], trips[1]
+    skip_anchor = (
+        ad.filter(F.col("trip_id") == t_skip)
+        .orderBy("date", "stop_sequence")
+        .limit(1)
+        .collect()[0]
+    )
+    stamp = dt.datetime(2024, 1, 1, 0, 0, 0)
+    updates = [
+        # whole trip canceled, all service dates (start_date NULL)
+        (t_cancel, None, None, "CANCELED", None, None, stamp, 1),
+        # exact resend suppressed
+        (t_cancel, None, None, "CANCELED", None, None, stamp, 2),
+        # one stop skipped on t_skip (all dates)
+        (t_skip, skip_anchor.stop_sequence, None, "SCHEDULED", "SKIPPED",
+         None, stamp, 3),
+        # a plain delay revision: NOT a tombstone
+        (t_skip, skip_anchor.stop_sequence, 120, "SCHEDULED", "SCHEDULED",
+         None, stamp, 4),
+        # canceled unknown trip: no schedule row, nothing to retract
+        ("GHOST", None, None, "CANCELED", None, None, stamp, 5),
+    ]
+    src = str(tmp_path / "tu_full")
+    spark.createDataFrame(
+        updates, RT.TRIP_UPDATE_FULL_SCHEMA
+    ).coalesce(1).write.parquet(src)
+
+    stream = RT.stream_trip_updates_full(spark, src)
+    tombs = RT.cancellation_tombstones(stream, ad)
+    run_to_memory(tombs, "rt_tombstones")
+    trows = spark.table("rt_tombstones").collect()
+
+    n_cancel_sched = ad.filter(F.col("trip_id") == t_cancel).count()
+    cancel_tombs = [r for r in trows if r.reason == "CANCELED"]
+    skip_tombs = [r for r in trows if r.reason == "SKIPPED"]
+    # every scheduled row of the canceled trip tombstoned exactly once
+    # (resend suppressed upstream)
+    assert len(cancel_tombs) == n_cancel_sched
+    assert {r.trip_id for r in cancel_tombs} == {t_cancel}
+    # the skipped stop: one tombstone per service date of that stop row
+    n_skip_dates = ad.filter(
+        (F.col("trip_id") == t_skip)
+        & (F.col("stop_sequence") == skip_anchor.stop_sequence)
+    ).count()
+    assert len(skip_tombs) == n_skip_dates
+    assert {(r.trip_id, r.stop_sequence) for r in skip_tombs} == {
+        (t_skip, skip_anchor.stop_sequence)
+    }
+
+    # the board: schedule minus exactly those rows
+    tomb_df = spark.table("rt_tombstones")
+    board = RT.apply_departure_tombstones(ad, tomb_df)
+    n_all = ad.count()
+    assert board.count() == n_all - n_cancel_sched - n_skip_dates
+    assert board.filter(F.col("trip_id") == t_cancel).count() == 0
+    assert board.filter(
+        (F.col("trip_id") == t_skip)
+        & (F.col("stop_sequence") == skip_anchor.stop_sequence)
+    ).count() == 0
+    # everything else flows: the skip trip's OTHER stops intact
+    assert (
+        board.filter(F.col("trip_id") == t_skip).count()
+        == ad.filter(F.col("trip_id") == t_skip).count() - n_skip_dates
+    )
+    # idempotent under duplicate tombstones
+    board2 = RT.apply_departure_tombstones(
+        ad, tomb_df.unionByName(tomb_df)
+    )
+    assert board2.count() == board.count()
+
+
+def test_cancellation_start_date_scopes_to_one_service_date(
+    spark, static_ad, tmp_path
+):
+    """A cancellation carrying start_date retracts ONLY that service
+    date's departures (narrower scope, alerts discipline)."""
+    ad = static_ad
+    t0 = ad.orderBy("trip_id", "date").limit(1).collect()[0]
+    dates = [
+        r.date
+        for r in ad.filter(F.col("trip_id") == t0.trip_id)
+        .select("date").distinct().orderBy("date").collect()
+    ]
+    if len(dates) < 2:
+        pytest.skip("fixture trip has a single service date")
+    target = dates[0]
+    stamp = dt.datetime(2024, 1, 1, 0, 0, 0)
+    updates = [
+        (t0.trip_id, None, None, "CANCELED", None, target, stamp, 1),
+    ]
+    src = str(tmp_path / "tu_dated")
+    spark.createDataFrame(
+        updates, RT.TRIP_UPDATE_FULL_SCHEMA
+    ).coalesce(1).write.parquet(src)
+    tombs = RT.cancellation_tombstones(
+        RT.stream_trip_updates_full(spark, src), ad
+    )
+    run_to_memory(tombs, "rt_tombstones_dated")
+    trows = spark.table("rt_tombstones_dated").collect()
+    assert trows and {r.date for r in trows} == {target}
+    assert len(trows) == ad.filter(
+        (F.col("trip_id") == t0.trip_id) & (F.col("date") == target)
+    ).count()
