@@ -12088,7 +12088,7 @@ def ab_lift_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered AS (
       SELECT k.rf, k.h, k.v FROM keyed k JOIN counted c ON k.rf = c.rf
       WHERE c.n <= 2048
-         OR k.h <= CAST(floor(2.361183241434822e+21 / c.n) AS BIGINT)
+         OR k.h <= CAST(floor(2.3611832414348226e+21 / c.n) AS BIGINT)
     ),
     ranked AS (
       SELECT rf, h, v,

@@ -336,3 +336,23 @@ def test_quantile_sketch_null_rows_excluded(spark):
     )
     st = quantile_sketch(df, ["g"], "v", ["rid"], k=64)
     assert st.count() == 30  # both NULL-bearing rows excluded
+
+
+def test_quantile_sketch_oracle_threshold_literal_is_exact():
+    """The oracle's pre-filter numerator must round-trip to EXACTLY the
+    double the Spark plan computes (KEY_SPACE * OVERSAMPLE * k = 2^71
+    at the registry shape). A 1-ulp-off decimal literal (the bug this
+    test pins: '...822e+21' vs the correct '...8226e+21') shifts the
+    floor boundary and can silently diverge the survivor set."""
+    import re
+
+    from postgis_gtfs_importer_spark.operators.sketches import (
+        KEY_SPACE,
+        QS_OVERSAMPLE,
+    )
+    from postgis_gtfs_importer_spark.plans.queries import oracle_sql
+
+    sql = oracle_sql()["quantile_sketch"]
+    m = re.search(r"floor\(([0-9.e+]+) / c\.n\)", sql)
+    assert m, "threshold literal not found in oracle"
+    assert float(m.group(1)) == float(KEY_SPACE) * QS_OVERSAMPLE * 256
