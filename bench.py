@@ -242,6 +242,8 @@ HEADLINE = [
     "key_skew_profile",
     "rendezvous_assign",
     "rbo_overlap",
+    # r11 additions
+    "quantile_sketch",
 ]
 
 #: The ONLY queries named in the stdout line's "queries" map — the

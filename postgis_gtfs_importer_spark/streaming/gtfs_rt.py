@@ -313,6 +313,11 @@ TRIP_UPDATE_FULL_SCHEMA = StructType(
         StructField("trip_sched_rel", StringType()),
         StructField("stop_sched_rel", StringType()),
         StructField("start_date", DateType()),
+        # ADDED-trip stop_time_updates carry ABSOLUTE times and stop
+        # ids (there is no schedule row to apply a delay to); NULL on
+        # SCHEDULED/CANCELED rows
+        StructField("stop_id", StringType()),
+        StructField("t_departure", TimestampType()),
         StructField("ts", TimestampType()),
         StructField("update_id", LongType()),
     ]
@@ -321,6 +326,7 @@ TRIP_UPDATE_FULL_SCHEMA = StructType(
 #: GTFS-Realtime TripDescriptor.ScheduleRelationship /
 #: StopTimeUpdate.ScheduleRelationship values a consumer acts on here.
 TRIP_CANCELED = "CANCELED"
+TRIP_ADDED = "ADDED"
 STOP_SKIPPED = "SKIPPED"
 
 
@@ -342,7 +348,8 @@ def stream_trip_updates_full(
         "ts", watermark_delay
     ).dropDuplicatesWithinWatermark(
         ["trip_id", "stop_sequence", "delay_sec",
-         "trip_sched_rel", "stop_sched_rel", "start_date", "ts"]
+         "trip_sched_rel", "stop_sched_rel", "start_date",
+         "stop_id", "t_departure", "ts"]
     )
 
 
@@ -427,4 +434,78 @@ def apply_departure_tombstones(
     ).dropDuplicates()
     return arrivals_departures.join(
         keys, ["trip_id", "stop_sequence", "date"], "left_anti"
+    )
+
+
+def added_trip_departures(updates: DataFrame) -> DataFrame:
+    """Board rows for ADDED trips — the third TripDescriptor
+    relationship a consumer acts on (SCHEDULED: apply delay, CANCELED:
+    retract, ADDED: a trip with NO schedule row at all, its
+    stop_time_updates carrying absolute times). Pure stream-side
+    projection — there is nothing static to join: the published
+    snapshot by definition does not know the trip. Rows must name a
+    stop_sequence, a stop_id and an absolute t_departure to be
+    boardable; a SKIPPED stop_time_update inside an added trip is
+    dropped here directly (no tombstone machinery needed — the trip
+    has no schedule rows to subtract from). ``date`` is the trip
+    descriptor's start_date when given, else the departure's own UTC
+    date — the service-date convention of the C11 relation.
+
+    Returns (trip_id, stop_sequence, stop_id, date, t_departure,
+    reason, ts) — the tombstone shape with reason=ADDED, so board
+    assembly (:func:`full_departures_board`) treats retractions and
+    additions as one diff stream."""
+    return (
+        updates.filter(
+            (F.col("trip_sched_rel") == TRIP_ADDED)
+            & F.col("stop_sequence").isNotNull()
+            & F.col("stop_id").isNotNull()
+            & F.col("t_departure").isNotNull()
+            & (
+                F.col("stop_sched_rel").isNull()
+                | (F.col("stop_sched_rel") != STOP_SKIPPED)
+            )
+        )
+        .select(
+            "trip_id",
+            "stop_sequence",
+            "stop_id",
+            F.coalesce(
+                F.col("start_date"), F.to_date("t_departure")
+            ).alias("date"),
+            "t_departure",
+            F.lit(TRIP_ADDED).alias("reason"),
+            "ts",
+        )
+    )
+
+
+def full_departures_board(
+    arrivals_departures: DataFrame,
+    tombstones: DataFrame,
+    added: DataFrame,
+) -> DataFrame:
+    """The complete realtime diff view over the published schedule:
+    schedule MINUS canceled/skipped rows PLUS added-trip rows — what
+    the reference's arrivals-board consumers (gtfs-via-postgres
+    arrivals_departures, /root/reference/readme.md's PostgREST
+    surface) would serve once realtime exists. Batch-side like
+    :func:`apply_departure_tombstones` and for the same reason (the
+    board is serving state; streams contribute diff FACTS). Added
+    rows carry no static metadata (route, headsign — the snapshot
+    does not know the trip), so schedule-only columns are NULL on
+    them and ``source`` says which side each row came from.
+    Idempotent under duplicate tombstones AND duplicate added rows
+    (additions are distinct'd on the board key, latest-ts wins is
+    the MERGE sink's job upstream)."""
+    kept = apply_departure_tombstones(arrivals_departures, tombstones)
+    add_rows = (
+        added.select(
+            "trip_id", "stop_sequence", "stop_id", "date", "t_departure"
+        )
+        .dropDuplicates(["trip_id", "stop_sequence", "date"])
+        .withColumn("source", F.lit(TRIP_ADDED))
+    )
+    return kept.withColumn("source", F.lit("SCHEDULE")).unionByName(
+        add_rows, allowMissingColumns=True
     )

@@ -192,17 +192,20 @@ def test_cancellation_tombstones_and_board(spark, static_ad, tmp_path):
     stamp = dt.datetime(2024, 1, 1, 0, 0, 0)
     updates = [
         # whole trip canceled, all service dates (start_date NULL)
-        (t_cancel, None, None, "CANCELED", None, None, stamp, 1),
+        (t_cancel, None, None, "CANCELED", None, None, None, None,
+         stamp, 1),
         # exact resend suppressed
-        (t_cancel, None, None, "CANCELED", None, None, stamp, 2),
+        (t_cancel, None, None, "CANCELED", None, None, None, None,
+         stamp, 2),
         # one stop skipped on t_skip (all dates)
         (t_skip, skip_anchor.stop_sequence, None, "SCHEDULED", "SKIPPED",
-         None, stamp, 3),
+         None, None, None, stamp, 3),
         # a plain delay revision: NOT a tombstone
         (t_skip, skip_anchor.stop_sequence, 120, "SCHEDULED", "SCHEDULED",
-         None, stamp, 4),
+         None, None, None, stamp, 4),
         # canceled unknown trip: no schedule row, nothing to retract
-        ("GHOST", None, None, "CANCELED", None, None, stamp, 5),
+        ("GHOST", None, None, "CANCELED", None, None, None, None,
+         stamp, 5),
     ]
     src = str(tmp_path / "tu_full")
     spark.createDataFrame(
@@ -270,7 +273,8 @@ def test_cancellation_start_date_scopes_to_one_service_date(
     target = dates[0]
     stamp = dt.datetime(2024, 1, 1, 0, 0, 0)
     updates = [
-        (t0.trip_id, None, None, "CANCELED", None, target, stamp, 1),
+        (t0.trip_id, None, None, "CANCELED", None, target, None, None,
+         stamp, 1),
     ]
     src = str(tmp_path / "tu_dated")
     spark.createDataFrame(
@@ -285,3 +289,65 @@ def test_cancellation_start_date_scopes_to_one_service_date(
     assert len(trows) == ad.filter(
         (F.col("trip_id") == t0.trip_id) & (F.col("date") == target)
     ).count()
+
+
+def test_added_trip_rows_and_full_board(spark, static_ad, tmp_path):
+    """The third TripDescriptor relationship: an ADDED trip's
+    boardable rows (absolute times, no schedule join) appear on the
+    full board; its SKIPPED stop does not; the board composes
+    schedule - tombstones + added in one pass."""
+    ad = static_ad
+    t_cancel = ad.select("trip_id").distinct().orderBy("trip_id").limit(1).collect()[0].trip_id
+    stamp = dt.datetime(2024, 1, 1, 0, 0, 0)
+    dep1 = dt.datetime(2024, 1, 2, 9, 0, 0)
+    dep2 = dt.datetime(2024, 1, 2, 9, 10, 0)
+    svc = dt.date(2024, 1, 2)
+    updates = [
+        # an ADDED trip with two boardable stops + one skipped stop
+        ("EXTRA1", 1, None, "ADDED", None, svc, "S1", dep1, stamp, 1),
+        ("EXTRA1", 2, None, "ADDED", "SKIPPED", svc, "S2",
+         dep2, stamp, 2),
+        ("EXTRA1", 3, None, "ADDED", None, svc, "S3", dep2, stamp, 3),
+        # resend of a boardable row: suppressed upstream
+        ("EXTRA1", 1, None, "ADDED", None, svc, "S1", dep1, stamp, 4),
+        # an ADDED row missing its absolute time: not boardable
+        ("EXTRA2", 1, None, "ADDED", None, svc, "S9", None, stamp, 5),
+        # and a cancellation, to prove the three-way composition
+        (t_cancel, None, None, "CANCELED", None, None, None, None,
+         stamp, 6),
+    ]
+    src = str(tmp_path / "tu_added")
+    spark.createDataFrame(
+        updates, RT.TRIP_UPDATE_FULL_SCHEMA
+    ).coalesce(1).write.parquet(src)
+
+    stream = RT.stream_trip_updates_full(spark, src)
+    run_to_memory(RT.added_trip_departures(stream), "rt_added")
+    run_to_memory(RT.cancellation_tombstones(stream, ad), "rt_tombs_b")
+    added = spark.table("rt_added")
+    arows = added.collect()
+    # stops 1 and 3 boardable; the SKIPPED stop 2, the time-less
+    # EXTRA2 row, and the resend are not
+    assert sorted((r.trip_id, r.stop_sequence) for r in arows) == [
+        ("EXTRA1", 1), ("EXTRA1", 3)
+    ]
+    assert all(r.reason == "ADDED" and r.date == svc for r in arows)
+
+    board = RT.full_departures_board(
+        ad, spark.table("rt_tombs_b"), added
+    )
+    n_cancel = ad.filter(F.col("trip_id") == t_cancel).count()
+    assert board.count() == ad.count() - n_cancel + 2
+    assert board.filter(F.col("trip_id") == t_cancel).count() == 0
+    extra = board.filter(F.col("trip_id") == "EXTRA1").collect()
+    assert sorted(r.stop_sequence for r in extra) == [1, 3]
+    assert all(r.source == "ADDED" and r.route_id is None for r in extra)
+    # schedule rows keep their metadata and say so
+    assert board.filter(
+        (F.col("source") == "SCHEDULE") & F.col("route_id").isNotNull()
+    ).count() == ad.count() - n_cancel
+    # idempotent under duplicated added rows
+    board2 = RT.full_departures_board(
+        ad, spark.table("rt_tombs_b"), added.unionByName(added)
+    )
+    assert board2.count() == board.count()
