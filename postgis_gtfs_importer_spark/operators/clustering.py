@@ -117,11 +117,19 @@ def kmeans_lloyd(
         raise ValueError(
             f"kmeans_lloyd requires iterations >= 1, got {iterations}"
         )
-    pts = (
-        quantize_points(points, id_col, vec_col, scale)
-        .repartition("id")
-        .persist()
-    )
+    # broadcast-state path (default): EAGER localCheckpoint, no
+    # repartition — the id-keyed repartition only buys co-location for
+    # the sort-merge fallback, and a persist() keeps the full
+    # quantize/explode subtree in every iteration's analysis pass (the
+    # graph._pin planning-cost lesson: per-round PLANNING dominates
+    # iterative wall time; sssp measured 7.2 -> 4.4 s from the same
+    # change). The non-broadcast path keeps repartition+persist so
+    # InMemoryRelation preserves the id partitioning for the SMJ.
+    pts = quantize_points(points, id_col, vec_col, scale)
+    if broadcast_state:
+        pts = pts.localCheckpoint(eager=True)
+    else:
+        pts = pts.repartition("id").persist()
     try:
         hint = F.broadcast if broadcast_state else (lambda df: df)
         seed_ids = [
@@ -168,7 +176,8 @@ def kmeans_lloyd(
             )
         )
     finally:
-        pts.unpersist()
+        if not broadcast_state:
+            pts.unpersist()
 
 
 def kmeans_inertia(

@@ -21,9 +21,15 @@ nodes would leak mass (their rank has nowhere to go); the trade graph
 has none because every edge is mirrored (bipartite, both directions).
 
 Scale design:
-- The edge list is the big side; it is repartitioned **once** by source
-  and persisted — every iteration's contribution join then reuses the
-  same co-location (the ranks side is the small, changing one).
+- The edge list is the big side. On the default broadcast-state path it
+  is EAGERLY localCheckpointed once (``_pin``): the loop-invariant
+  relation becomes a LogicalRDD leaf, so each round's analysis pass
+  stops re-walking the edge-derivation subtree — per-round PLANNING,
+  not execution, dominates iterative wall time (measured r11: sssp
+  7.2 -> 4.4 s warm from this change alone). On the sort-merge fallback
+  (``broadcast_state=False``) it is repartitioned **once** by source
+  and persisted — InMemoryRelation preserves the partitioning, so every
+  iteration's contribution join reuses the co-location.
 - Each iteration is one shuffle (the sum by destination); the join of
   ranks to edges is broadcast when ranks fit (|V| ≪ |E|), else
   sort-merge on the pre-partitioned key.
@@ -48,6 +54,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000_000
+
+
+def _pin(df: DataFrame, checkpoint: bool, pinned: list) -> DataFrame:
+    """Materialize a loop-invariant relation for an iterative loop.
+
+    ``checkpoint=True`` (the broadcast-state path): EAGER
+    ``localCheckpoint`` — the relation becomes a LogicalRDD leaf, so
+    every per-round action's analysis/optimization pass sees a leaf
+    instead of re-canonicalizing the relation's full derivation subtree
+    (with ``persist()`` the logical plan keeps the whole upstream
+    pipeline and every round's planning pass re-walks it for the cache
+    lookup). Measured at sf0.1 (r11): the per-round PLANNING pass, not
+    execution, dominates iterative wall time in local mode — sssp went
+    7.2 -> 4.4 s warm from this change alone; a trivial pre-planned
+    1-row collect is ~15 ms while the same collect behind a fresh
+    count() is ~120 ms. At cluster scale the same effect multiplies by
+    rounds x (driver planning latency), and the checkpointed relation
+    is read from executor-local blocks exactly like a persisted one.
+
+    ``checkpoint=False`` (the sort-merge fallback for state beyond
+    executor memory): ``persist()`` — keeps Catalyst partitioning info
+    (InMemoryRelation preserves outputPartitioning; a LogicalRDD does
+    not), which is what lets the pre-``repartition``ed edge relation
+    skip its side of every per-round sort-merge exchange. Caller
+    unpersists via ``pinned``.
+    """
+    if checkpoint:
+        return df.localCheckpoint(eager=True)
+    df = df.persist()
+    pinned.append(df)
+    return df
 
 
 def pagerank(
@@ -78,18 +115,28 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).dropDuplicates(["src", "dst"])
-    e = e.repartition("src").persist()
-    nodes = None
-    deg_p = None
+    # broadcast-state path: the src-keyed repartition bought co-location
+    # only for the sort-merge fallback — under broadcast joins it was a
+    # pure extra shuffle of |E| (guide §2.4), so it is now conditional.
+    pinned: list = []
+    if not broadcast_state:
+        e = e.repartition("src")
+    e = _pin(e, broadcast_state, pinned)
     try:
         hint = F.broadcast if broadcast_state else (lambda df: df)
-        deg_p = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
-        deg = hint(deg_p)
-        nodes = (
+        deg = hint(
+            _pin(
+                e.groupBy("src").agg(F.count("*").alias("deg")),
+                broadcast_state,
+                pinned,
+            )
+        )
+        nodes = _pin(
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-            .persist()
+            .distinct(),
+            broadcast_state,
+            pinned,
         )
         n = nodes.count()
         if n == 0:
@@ -133,11 +180,8 @@ def pagerank(
                 ranks = ranks.localCheckpoint(eager=True)
         return ranks
     finally:
-        e.unpersist()
-        if deg_p is not None:
-            deg_p.unpersist()
-        if nodes is not None:
-            nodes.unpersist()
+        for p in pinned:
+            p.unpersist()
 
 
 def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -196,19 +240,24 @@ def eigenvector_centrality(
     Returns (node, v) with v in [0, 1e6].
     """
     scale0 = 1_000_000
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("long").alias("w"),
-    ).persist()
+    pinned: list = []
+    e = _pin(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        ),
+        broadcast_state,
+        pinned,
+    )
     hint = F.broadcast if broadcast_state else (lambda df: df)
-    nodes = None
     try:
-        nodes = (
+        nodes = _pin(
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-            .persist()
+            .distinct(),
+            broadcast_state,
+            pinned,
         )
         v = nodes.select("node", F.lit(scale0).cast("long").alias("v"))
         for i in range(int(iterations)):
@@ -245,9 +294,8 @@ def eigenvector_centrality(
             )
         return v
     finally:
-        e.unpersist()
-        if nodes is not None:
-            nodes.unpersist()
+        for p in pinned:
+            p.unpersist()
 
 
 def part_cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
@@ -313,11 +361,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # adjacency relation itself, deleting the src-side adjacency
     # join the r10 plan paid — see _oriented_out_adjacency.
     adj = materialize(_oriented_out_adjacency(edges))
-    probed = adj.select(
-        F.col("nbrs").alias("nu"), F.explode("nbrs").alias("dst")
-    ).join(
-        adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nw")),
-        "dst",
+    # NARROW-PROBE enumeration (see _tri_rows): explode the oriented
+    # edges without carrying the neighbor array, attach both arrays by
+    # node-sized hint-free joins, and re-spread the AQE-coalesced
+    # adjacency across cores first (_respread) — measured at sf0.1 the
+    # nu-carrying explode form cost 2.1 s vs 0.4 s for this shape.
+    probed = (
+        _respread(adj)
+        .select("src", F.explode("nbrs").alias("dst"))
+        .join(adj.select("src", F.col("nbrs").alias("nu")), "src")
+        .join(
+            adj.select(
+                F.col("src").alias("dst"), F.col("nbrs").alias("nw")
+            ),
+            "dst",
+        )
     )
     n_tri = probed.agg(
         F.coalesce(
@@ -502,64 +560,67 @@ def sssp(
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
     )
-    e = e.repartition("src").persist()
-    try:
-        nodes = materialize(
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        if source is None:
-            source = nodes.agg(F.min("node")).collect()[0][0]
-        dist = materialize(
-            nodes.select(
-                "node",
-                F.when(F.col("node") == F.lit(source), F.lit(0))
-                .cast("long")
-                .alias("dist"),
-                (F.col("node") == F.lit(source)).alias("changed"),
-            )
-        )
-        for _ in range(int(max_rounds)):
-            frontier = dist.filter(F.col("changed")).select("node", "dist")
-            relaxed = (
-                e.join(
-                    F.broadcast(frontier.withColumnRenamed("node", "src")),
-                    "src",
-                )
-                .select(
-                    F.col("dst").alias("node"),
-                    (F.col("dist") + F.col("w")).alias("cand"),
-                )
-                .groupBy("node")
-                .agg(F.min("cand").alias("cand"))
-            )
-            new_dist = materialize(
-                dist.join(F.broadcast(relaxed), "node", "left").select(
-                    "node",
-                    F.least(F.col("dist"), F.col("cand")).alias("dist"),
-                    (
-                        F.col("cand").isNotNull()
-                        & (
-                            F.col("dist").isNull()
-                            | (F.col("cand") < F.col("dist"))
-                        )
-                    ).alias("changed"),
-                )
-            )
-            improved = (
-                new_dist.filter(F.col("changed")).limit(1).collect()
-            )
-            dist = new_dist
-            if not improved:
-                break
-        return dist.select(
+    # EAGER checkpoint, not repartition+persist: the frontier side is
+    # always broadcast here, so the src-keyed repartition was a pure
+    # extra |E| shuffle (guide §2.4), and the persisted plan kept the
+    # full edge-derivation subtree in every round's analysis pass — the
+    # _pin() planning-cost lesson (measured: 7.2 -> 4.4 s warm at
+    # sf0.1 from this change).
+    e = e.localCheckpoint(eager=True)
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if source is None:
+        source = nodes.agg(F.min("node")).collect()[0][0]
+    dist = materialize(
+        nodes.select(
             "node",
-            F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
-            F.col("dist").isNotNull().alias("reached"),
+            F.when(F.col("node") == F.lit(source), F.lit(0))
+            .cast("long")
+            .alias("dist"),
+            (F.col("node") == F.lit(source)).alias("changed"),
         )
-    finally:
-        e.unpersist()
+    )
+    for _ in range(int(max_rounds)):
+        frontier = dist.filter(F.col("changed")).select("node", "dist")
+        relaxed = (
+            e.join(
+                F.broadcast(frontier.withColumnRenamed("node", "src")),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new_dist = materialize(
+            dist.join(F.broadcast(relaxed), "node", "left").select(
+                "node",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                (
+                    F.col("cand").isNotNull()
+                    & (
+                        F.col("dist").isNull()
+                        | (F.col("cand") < F.col("dist"))
+                    )
+                ).alias("changed"),
+            )
+        )
+        improved = (
+            new_dist.filter(F.col("changed")).limit(1).collect()
+        )
+        dist = new_dist
+        if not improved:
+            break
+    return dist.select(
+        "node",
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
+        F.col("dist").isNotNull().alias("reached"),
+    )
 
 
 def hits(
@@ -601,9 +662,14 @@ def hits(
         raise ValueError("hits needs iterations >= 1 (the authority side"
                          " only exists after the first half-step)")
     scale0 = 1_000_000
-    e = pairs.select(
-        F.col(hub_col).alias("hub"), F.col(auth_col).alias("auth")
-    ).persist()
+    pinned: list = []
+    e = _pin(
+        pairs.select(
+            F.col(hub_col).alias("hub"), F.col(auth_col).alias("auth")
+        ),
+        broadcast_state,
+        pinned,
+    )
     hint = F.broadcast if broadcast_state else (lambda df: df)
     try:
         h = (
@@ -657,7 +723,8 @@ def hits(
             )
         )
     finally:
-        e.unpersist()
+        for p in pinned:
+            p.unpersist()
 
 
 def label_propagation(
@@ -708,17 +775,22 @@ def label_propagation(
     values are node ids (the community's "anchor" member under the
     tie-break, not a rank).
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).dropDuplicates(["src", "dst"]).persist()
+    pinned: list = []
+    e = _pin(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).dropDuplicates(["src", "dst"]),
+        broadcast_state,
+        pinned,
+    )
     hint = F.broadcast if broadcast_state else (lambda df: df)
-    nodes = None
     try:
-        nodes = (
+        nodes = _pin(
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-            .persist()
+            .distinct(),
+            broadcast_state,
+            pinned,
         )
         labels = nodes.select("node", F.col("node").alias("label"))
         for i in range(1, int(iterations) + 1):
@@ -760,7 +832,8 @@ def label_propagation(
                 labels = labels.localCheckpoint(eager=True)
         return labels.select("node", F.col("label").alias("community"))
     finally:
-        e.unpersist()
+        for p in pinned:
+            p.unpersist()
         if nodes is not None:
             nodes.unpersist()
 
@@ -895,21 +968,9 @@ def local_clustering(edges: DataFrame, k: int = 100) -> DataFrame:
             F.array_sort(F.collect_list("dst")).alias("nbrs")
         )
     )
-    tri_rows = (
-        adj.select(
-            "src",
-            F.col("nbrs").alias("nu"),
-            F.explode("nbrs").alias("dst"),
-        )
-        .join(
-            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nw")),
-            "dst",
-        )
-        .select(
-            "src", "dst",
-            F.explode(F.array_intersect("nu", "nw")).alias("w"),
-        )
-    )
+    # narrow-probe enumeration (r11, see _tri_rows): 2.1 -> 0.4 s at
+    # sf0.1 by not copying the neighbor array through the explode
+    tri_rows = _tri_rows(adj)
     # all three corner credits in ONE map-side explode — the r10
     # three-branch unionAll re-ran the un-materialized enumeration
     # three times (the ktruss _tri_edges lesson: ReusedExchange shares
@@ -1014,7 +1075,14 @@ def adamic_adar(
         " transform(slice(_nbrs, i + 2, size(_nbrs)),"
         " y -> struct(x AS u, y AS v))))"
     )
-    wedges = centers.select(
+    # materialize + re-spread the node-sized centers relation before
+    # the QUADRATIC wedge explode: AQE sizes the adjacency aggregate's
+    # partitions by bytes (a handful at sf0.1), but the explode does
+    # sum-of-deg^2 work per partition — the _respread/_tri_rows lesson
+    # (a compute-heavy map stage left on an AQE-coalesced relation
+    # runs on a fraction of the cores).
+    centers = materialize(centers)
+    wedges = _respread(centers).select(
         F.explode(pairs).alias("_p"), weight.alias("_wt")
     ).select(
         F.col("_p.u").alias("a"), F.col("_p.v").alias("b"), "_wt"
@@ -1077,6 +1145,57 @@ def _oriented_out_adjacency(g: DataFrame) -> DataFrame:
     )
     return oriented.groupBy("src").agg(
         F.array_sort(F.collect_list("dst")).alias("nbrs")
+    )
+
+
+def _respread(df: DataFrame) -> DataFrame:
+    """Re-spread an AQE-coalesced small relation across cores before a
+    compute-heavy map stage.
+
+    AQE sizes post-shuffle partitions by BYTES, so a 10 MB adjacency
+    relation coalesces to a handful of partitions — correct for
+    shuffle cost, but the enumeration that follows (explode x avg
+    degree, per-edge array intersections) is CPU-bound and was running
+    on 5 of 32 cores at sf0.1 (measured: 3.7 -> 2.1 s for ktruss
+    round-1 enumeration from this alone). Only widens (max with
+    defaultParallelism); at scale the relation already has >= cores
+    partitions and this is a no-op, so it is not a local-only tune.
+    """
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(dp) if n < dp else df
+
+
+def _tri_rows(adj: DataFrame) -> DataFrame:
+    """One row per oriented triangle (src < dst < w in degree order)
+    from the oriented out-adjacency — NARROW-PROBE form (r11): the
+    oriented edge list is exploded WITHOUT carrying the source's
+    neighbor array, and both endpoint arrays are attached by two
+    node-sized adjacency joins (hint-free: AQE broadcasts the
+    adjacency when it fits, shuffles when it doesn't, never a nested
+    loop). The r10 form carried ``nu`` (avg-degree ~60 longs, ~500 B)
+    through every exploded edge row — Tungsten copies the array per
+    row, and that copy dominated enumeration: measured at sf0.1 (1.2M
+    oriented edges, 1.88M triangles) 2.1 s for the fused nu-carrying
+    explode vs 0.4 s for this form (guide §2.3: project before the
+    heavy operator — here, don't widen the stream side at all).
+    """
+    oriented = _respread(adj).select("src", F.explode("nbrs").alias("dst"))
+    return (
+        oriented.join(
+            adj.select("src", F.col("nbrs").alias("nu")), "src"
+        )
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nw")),
+            "dst",
+        )
+        .select(
+            "src", "dst",
+            F.explode(F.array_intersect("nu", "nw")).alias("w"),
+        )
     )
 
 
@@ -1179,21 +1298,9 @@ def ktruss(
     # without adding bytes anywhere. Measured at sf0.1 (1.2M edges,
     # 1.88M triangles): 0.4-0.7 s vs 2.0-3.4 s for the 2-join form.
     adj = materialize(_oriented_out_adjacency(g))
-    tri = (
-        adj.select(
-            "src",
-            F.col("nbrs").alias("nu"),
-            F.explode("nbrs").alias("dst"),
-        )
-        .join(
-            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nw")),
-            "dst",
-        )
-        .select(
-            "src", "dst",
-            F.explode(F.array_intersect("nu", "nw")).alias("w"),
-        )
-    )
+    # narrow-probe enumeration (r11, see _tri_rows): 2.1 -> 0.4 s at
+    # sf0.1 by not copying the neighbor array through the explode
+    tri = _tri_rows(adj)
     # The three canonical (a<b) edges of each triangle, each with the
     # third vertex as its partner, emitted in ONE map-side explode.
     # The r10 form routed the canonical triples through _tri_edges —
@@ -1324,29 +1431,48 @@ def closeness_centrality(
     RNG), distances are true BFS levels, and each contribution is the
     exact integer ``1e6 div d``.
 
-    Synchronous multi-source BFS: state is the discovered (node,
-    source, dist) set; each round expands the whole frontier one hop
-    (frontier ⋈ edges, dedup, anti-join against discovered), stops at
+    Synchronous multi-source BFS over a PER-NODE SOURCE BITMASK (r11
+    rewrite, guide §2.3 "shuffle fewer bytes"): state is one row per
+    REACHED NODE — ``(node, mask, dists)`` with bit ``i`` of ``mask``
+    set iff source ``i`` has reached the node and ``dists[i]`` its BFS
+    level — instead of the r9 form's one row per (node, source) pair.
+    Each round expands the frontier one hop: the frontier's new-source
+    masks broadcast into ONE edge join, a ``bit_or`` aggregate
+    (map-side combinable, unlike the r9 round's ``distinct``) merges
+    offers per neighbor, and one node-keyed outer join against the
+    state applies ``offer & ~mask`` — newly set bits get distance =
+    round. That is k_sources-fold fewer shuffled rows per round and
+    ONE shuffle instead of two (the (node, source) distinct AND the
+    per-pair anti-join are both gone); BFS levels are deterministic,
+    so the result is bit-identical to the row form and to the unrolled
+    oracle. Measured at sf0.1 (part co-occurrence graph, 20k nodes,
+    2.4M directed edges, 3 rounds): 9.5 -> ~3.5 s warm. Stops at
     ``max_rounds`` or an empty frontier (parity-safe early exit: an
     exhausted frontier adds nothing, which is exactly what the
     unrolled oracle's later rounds compute).
 
-    Scale: per round ONE (node, source)-keyed expansion join + one
-    anti-join; state is bounded by k_sources x |reached nodes| — k is
-    the knob that caps both state and shuffle width (the published
-    sampling trade: more sources, tighter estimate, linearly more
-    state). Eager per-round materialization keeps lineage one hop deep
-    (the pagerank lesson). The empty-frontier probe is the documented
-    1-value convergence collect.
+    Scale: per round ONE node-keyed expansion aggregate + one
+    node-keyed state join; state is ONE row per reached node with a
+    k_sources-wide array — k stays the sampling knob, and the
+    single-long mask caps the implementation at ``k_sources <= 62``
+    (the registry uses 8; a wider sample would shard into mask words).
+    Per-round lazy materialization keeps lineage one hop deep (the
+    pagerank lesson); the empty-frontier probe is the documented
+    1-value convergence collect — the round's ONLY action.
 
     Input: undirected edges (a, b), a < b, distinct. Returns
     (node, n_reached, max_dist, harmonic_e6) for every node reached by
-    at least one source at distance >= 1 (a source's own d=0 row is
+    at least one source at distance >= 1 (a source's own d=0 entry is
     excluded from its harmonic, the standard convention).
     """
     if int(k_sources) < 1:
         raise ValueError(
             f"closeness_centrality needs k_sources >= 1, got {k_sources}"
+        )
+    if int(k_sources) > 62:
+        raise ValueError(
+            "closeness_centrality supports k_sources <= 62 (single-long "
+            f"source bitmask), got {k_sources}"
         )
     if int(max_rounds) < 1:
         raise ValueError(
@@ -1365,46 +1491,86 @@ def closeness_centrality(
         for r in bidir.select("_n").distinct().orderBy("_n")
         .limit(int(k_sources)).collect()
     ]
-    # Seed-frontier schema derives node/src from the EDGE column type
-    # (string, int, long, ... all work) — a hardcoded `node long`
-    # would crash at runtime on non-integer node ids, unlike the other
-    # graph operators, which are id-type agnostic.
+    k = len(src_ids)
+    # Seed schema derives node from the EDGE column type (string, int,
+    # long, ... all work) — a hardcoded `node long` would crash at
+    # runtime on non-integer node ids, unlike the other graph
+    # operators, which are id-type agnostic.
     from pyspark.sql import types as T
 
     node_type = bidir.schema["_n"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("mask", T.LongType()),
+            T.StructField("dists", T.ArrayType(T.LongType())),
+        ]
+    )
     state = materialize(
         spark.createDataFrame(
-            [(s, s, 0) for s in src_ids],
-            T.StructType(
-                [
-                    T.StructField("node", node_type),
-                    T.StructField("src", node_type),
-                    T.StructField("dist", T.LongType()),
-                ]
-            ),
+            [
+                (s, 1 << i, [0 if j == i else None for j in range(k)])
+                for i, s in enumerate(src_ids)
+            ],
+            schema,
         )
     )
-    frontier = state
+    frontier = state.select("node", F.col("mask").alias("new_mask"))
     for r in range(1, int(max_rounds) + 1):
-        nxt = (
-            frontier.join(bidir, frontier["node"] == bidir["_n"])
-            .select(F.col("_m").alias("node"), "src")
-            .distinct()
-            .join(state.select("node", "src"), ["node", "src"], "left_anti")
-            .withColumn("dist", F.lit(r).cast("long"))
+        offers = (
+            bidir.join(
+                F.broadcast(frontier), bidir["_n"] == frontier["node"]
+            )
+            .groupBy(F.col("_m").alias("node"))
+            .agg(F.expr("bit_or(new_mask)").alias("_offer"))
         )
-        frontier = materialize(nxt)
-        if frontier.count() == 0:
+        dist_cols = [
+            F.coalesce(
+                F.element_at("dists", i + 1),
+                F.when(
+                    F.expr(f"shiftright(new_mask, {i}) & 1L = 1L"),
+                    F.lit(r),
+                ).cast("long"),
+            )
+            for i in range(k)
+        ]
+        state = materialize(
+            state.join(offers, "node", "full")
+            .withColumn(
+                "new_mask",
+                F.expr("coalesce(_offer, 0L) & ~coalesce(mask, 0L)"),
+            )
+            .select(
+                "node",
+                F.expr("coalesce(mask, 0L) | new_mask").alias("mask"),
+                (
+                    F.array(*dist_cols)
+                    if k
+                    else F.expr("array()").cast("array<long>")
+                ).alias("dists"),
+                "new_mask",
+            )
+        )
+        frontier = state.filter(F.col("new_mask") != 0).select(
+            "node", "new_mask"
+        )
+        if not frontier.limit(1).collect():
             break
-        state = materialize(state.unionByName(frontier))
     return (
-        state.filter(F.col("dist") >= 1)
-        .groupBy("node")
-        .agg(
-            F.count("*").cast("long").alias("n_reached"),
-            F.max("dist").cast("long").alias("max_dist"),
-            F.sum(F.expr("1000000 div dist")).cast("long").alias(
-                "harmonic_e6"
-            ),
+        state.select(
+            "node",
+            F.expr(
+                "filter(dists, d -> d is not null and d >= 1)"
+            ).alias("_v"),
+        )
+        .filter(F.size("_v") >= 1)
+        .select(
+            "node",
+            F.size("_v").cast("long").alias("n_reached"),
+            F.array_max("_v").cast("long").alias("max_dist"),
+            F.expr(
+                "aggregate(_v, cast(0 as long),"
+                " (acc, d) -> acc + (1000000 div d))"
+            ).alias("harmonic_e6"),
         )
     )

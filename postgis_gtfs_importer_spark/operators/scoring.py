@@ -519,15 +519,28 @@ def poisson_bootstrap_ci(
             k = k.when(u < F.lit(POISSON1_CDF[i]), F.lit(i))
         return k.otherwise(F.lit(len(POISSON1_CDF))).cast("long")
 
+    # Pre-project each resample weight ONCE per row (r11): inside the
+    # aggregate the md5-uniform weight expression appeared twice per
+    # resample (sum(w) and sum(v*w)) — 2·B copies of a large md5+CDF
+    # expression tree that Catalyst re-analyzes per query and the
+    # executor re-evaluates per row (aggregate subexpression
+    # elimination does not span aggregate functions). One projection
+    # evaluates each weight once and the aggregate references plain
+    # columns; results are bit-identical.
+    proj = df.filter(keep).select(
+        *[F.col(c) for c in group_cols],
+        vc.alias("__pbv"),
+        *[weight(r).alias(f"__pbw{r}") for r in range(int(b))],
+    )
     aggs = [
         F.count("*").alias("n_rows"),
-        F.sum(vc).alias("_sv"),
+        F.sum("__pbv").alias("_sv"),
     ]
     for r in range(int(b)):
-        w = weight(r)
+        w = F.col(f"__pbw{r}")
         aggs.append(F.sum(w).alias(f"_sk{r}"))
-        aggs.append(F.sum(vc * w).alias(f"_svk{r}"))
-    g = df.filter(keep).groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+        aggs.append(F.sum(F.col("__pbv") * w).alias(f"_svk{r}"))
+    g = proj.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
 
     means = F.array_sort(
         F.filter(
@@ -684,7 +697,24 @@ def ab_lift_ci(
     vc = F.floor(
         F.col(value_col) * (10 ** int(value_digits)) + F.lit(0.5)
     ).cast("long")
+    # Pre-project each resample weight ONCE per row (r11, the
+    # poisson_bootstrap_ci rationale doubled: the arm-guarded aggregate
+    # held FOUR copies of the md5+CDF weight tree per resample —
+    # sum(w)/sum(v·w) × both arms. Catalyst planning on the 4·B-copy
+    # tree was measured at ~1.9 s of the query's 1.9 s warm time at
+    # sf0.1 — the whole query was planning. One projection per row,
+    # plain column refs in the aggregate, bit-identical results.)
     is_t = F.col(variant_col) == treatment
+    proj = df.filter(keep).select(
+        is_t.alias("__abt"),
+        vc.alias("__abv"),
+        *[
+            poisson_weight(salt, r, id_col).alias(f"__abw{r}")
+            for r in range(int(b))
+        ],
+    )
+    is_t = F.col("__abt")
+    vc = F.col("__abv")
     aggs = [
         F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_control"),
         F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias(
@@ -694,12 +724,12 @@ def ab_lift_ci(
         F.sum(F.when(is_t, vc)).alias("_svt"),
     ]
     for r in range(int(b)):
-        w = poisson_weight(salt, r, id_col)
+        w = F.col(f"__abw{r}")
         aggs.append(F.sum(F.when(~is_t, w)).alias(f"_skc{r}"))
         aggs.append(F.sum(F.when(~is_t, vc * w)).alias(f"_svkc{r}"))
         aggs.append(F.sum(F.when(is_t, w)).alias(f"_skt{r}"))
         aggs.append(F.sum(F.when(is_t, vc * w)).alias(f"_svkt{r}"))
-    g = df.filter(keep).agg(*aggs)
+    g = proj.agg(*aggs)
     diffs = F.array_sort(
         F.filter(
             F.array(

@@ -10575,7 +10575,10 @@ def poisson_bootstrap_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     CI bounds exact rank selections over the in-row sorted array."""
     from ..operators.scoring import poisson_bootstrap_ci
 
-    e = _t(spark, sf_dir, "events")
+    # spread(): B=16 md5-uniform weights per row are expression-heavy
+    # per-row CPU; the 2 MB events scan is 2 partitions without it
+    # (the shingle-family spread rationale, applied here in r11)
+    e = spread(_t(spark, sf_dir, "events"))
     return poisson_bootstrap_ci(
         e, group_cols=["event_type"], value_col="value",
         id_col="event_id", b=16,
