@@ -342,7 +342,12 @@ def connected_components(
     """
     if algorithm == "star":
         return _cc_star(pairs, max_iters)
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # cut the pair pipeline once before mirroring (same r11 rationale
+    # as _cc_star's raw checkpoint: the union's two branches otherwise
+    # re-execute the caller's derivation twice in one materialization)
+    edges = materialize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
     edges = materialize(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -401,7 +406,15 @@ def _cc_star(pairs: DataFrame, max_iters: int = 12) -> DataFrame:
     component's minimum id. Convergence is detected with a cheap
     (count, xor-of-hashes) fingerprint instead of a full set compare.
     """
-    raw = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # materialize the RAW pair relation ONCE (r11): nodes and edges
+    # below are independent lazy checkpoints — without this cut each
+    # re-executed the caller's full pair-derivation pipeline (for the
+    # minhash consumers, a second complete shingle+signature+band-join
+    # pass; ReusedExchange only dedups within one executed plan, never
+    # across separate checkpoint materializations)
+    raw = materialize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
     # nodes from the RAW pairs: a self-loop-only node is its own component
     nodes = materialize(
         raw.select(F.col("src").alias("id"))

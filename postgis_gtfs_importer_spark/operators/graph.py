@@ -25,8 +25,9 @@ Scale design:
   is EAGERLY localCheckpointed once (``_pin``): the loop-invariant
   relation becomes a LogicalRDD leaf, so each round's analysis pass
   stops re-walking the edge-derivation subtree — per-round PLANNING,
-  not execution, dominates iterative wall time (measured r11: sssp
-  7.2 -> 4.4 s warm from this change alone). On the sort-merge fallback
+  not execution, dominates iterative wall time (measured r11: the
+  shortest-paths loop went 7.2 -> 4.4 s warm from this change alone).
+  On the sort-merge fallback
   (``broadcast_state=False``) it is repartitioned **once** by source
   and persisted — InMemoryRelation preserves the partitioning, so every
   iteration's contribution join reuses the co-location.
@@ -66,8 +67,8 @@ def _pin(df: DataFrame, checkpoint: bool, pinned: list) -> DataFrame:
     (with ``persist()`` the logical plan keeps the whole upstream
     pipeline and every round's planning pass re-walks it for the cache
     lookup). Measured at sf0.1 (r11): the per-round PLANNING pass, not
-    execution, dominates iterative wall time in local mode — sssp went
-    7.2 -> 4.4 s warm from this change alone; a trivial pre-planned
+    execution, dominates iterative wall time in local mode — the
+    shortest-paths loop went 7.2 -> 4.4 s warm from this change alone; a trivial pre-planned
     1-row collect is ~15 ms while the same collect behind a fresh
     count() is ~120 ms. At cluster scale the same effect multiplies by
     rounds x (driver planning latency), and the checkpointed relation
@@ -1156,7 +1157,7 @@ def _respread(df: DataFrame) -> DataFrame:
     relation coalesces to a handful of partitions — correct for
     shuffle cost, but the enumeration that follows (explode x avg
     degree, per-edge array intersections) is CPU-bound and was running
-    on 5 of 32 cores at sf0.1 (measured: 3.7 -> 2.1 s for ktruss
+    on 5 of 32 cores at sf0.1 (measured: 3.7 -> 2.1 s for the k-truss
     round-1 enumeration from this alone). Only widens (max with
     defaultParallelism); at scale the relation already has >= cores
     partitions and this is a no-op, so it is not a local-only tune.
@@ -1481,9 +1482,14 @@ def closeness_centrality(
     from .dedup import materialize
 
     spark = edges.sparkSession
+    # cut the caller's edge pipeline ONCE before mirroring: the union
+    # references it twice, and un-cut both branches re-executed the
+    # full derivation (for the registry graph, a second complete
+    # co-occurrence build) inside the bidir materialization
+    e0 = materialize(edges.select("a", "b"))
     bidir = materialize(
-        edges.select("a", "b").union(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        e0.union(
+            e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).select(F.col("a").alias("_n"), F.col("b").alias("_m"))
     )
     src_ids = [

@@ -71,10 +71,40 @@ def register(name: str, oracle: str | None):
 #: local_clustering (same module reach). All oracle-parity green
 #: locally at sf0.01 (ktruss/triangle_count additionally at sf0.1)
 #: post-change.
+#: … and the r11 OPTIMIZATION pass (this round): the iterative-loop
+#: planning-cost rewrite (persist -> eager localCheckpoint via _pin,
+#: conditional repartition), the closeness bitmask BFS, the
+#: narrow-probe triangle enumeration (_tri_rows/_respread), the
+#: kmeans loop pin, the bootstrap weight pre-projection, and the
+#: connected-components double-execution cut (materialize the raw
+#: pair relation once before mirroring) restales — at whole-module
+#: digest granularity — every entry reaching operators/graph.py,
+#: operators/clustering.py, operators/scoring.py or
+#: operators/dedup.py's component machinery. Every one re-verified
+#: value-level against its oracle at sf0.1 this session (zero
+#: mismatches) before commit.
 _RESTALE_R11: list[str] = [
+    "ab_lift_ci",
+    "adamic_adar",
+    "association_rules",
     "canonical_by_quality",
+    "closeness_centrality",
+    "dedup_clusters",
+    "degree_assortativity",
+    "eigenvector_centrality",
+    "entity_resolution",
+    "hits_trade",
+    "item_similarity",
+    "kcore_membership",
+    "kmeans_lloyd",
     "ktruss",
+    "label_propagation",
     "local_clustering",
+    "neardup_incremental",
+    "pagerank_trade",
+    "poisson_bootstrap_ci",
+    "simplified_silhouette",
+    "sssp_trade",
     "triangle_count",
     "trigram_backoff_lm",
 ]
@@ -105,10 +135,16 @@ _ADDITIONS_R11: list[str] = [
 #: r11 no driver row predates r7 and r12 starts draining the 37 r7
 #: rows. These are VERIFIED entries filling spare capacity, not stale
 #: ones: the ledger attests their digests unchanged since their
-#: recorded rows. 5 restales + 1 addition + 44 rotation = exactly 50:
-#: the window is FULL — any further restale this round must displace
-#: a rotation slot or go through _OVERFLOW_QUEUE per the SURVEY §8
-#: freeze policy.
+#: recorded rows. The r11 OPTIMIZATION restales grew the stale set to
+#: 23 + 1 addition (dedup_clusters and entity_resolution moved from
+#: this rotation into _RESTALE_R11 when the connected-components cut
+#: re-digested dedup.py), so the rotation takes the FIRST 26 of the
+#: 44 r6-row entries (name order — the committed drain order,
+#: dedup_clusters/entity_resolution already covered above); the 16
+#: displaced (shape_lengths, rolling_fingerprint ..
+#: translations_feedwide) stay ledger-attested and head the r12
+#: rotation. 23 restales + 1 addition + 26 rotation = exactly 50:
+#: the window is FULL.
 _ROTATION_R11: list[str] = [
     "balanced_mixture",
     "bigram_lm_scores",
@@ -116,12 +152,10 @@ _ROTATION_R11: list[str] = [
     "chunk_documents",
     "classifier_scores",
     "cms_token_counts",
-    "dedup_clusters",
     "dedup_incremental",
     "departures_at_station",
     "embedding_cosine_pairs",
     "embedding_topk",
-    "entity_resolution",
     "hash_split",
     "inverted_index",
     "lexical_rarity",
@@ -136,24 +170,8 @@ _ROTATION_R11: list[str] = [
     "pmi_bigrams",
     "quality_gate",
     "repetition_profile",
-    "rolling_fingerprint",
     "score_quantile_norm",
     "semantic_dedup",
-    "shape_lengths",
-    "simhash_pairs",
-    "source_cap",
-    "stops_radius_pairs",
-    "stratified_sample",
-    "streaming_corpus_gate",
-    "streaming_dedup",
-    "streaming_enrich",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_sessionize",
-    "streaming_windowed_stats",
-    "temperature_sample",
-    "tfidf_distinctive",
-    "translations_feedwide",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
