@@ -680,7 +680,7 @@ class PsqlCatalog:
         tables: dict[str, DataFrame],
         partition_by: dict[str, list[str]] | None = None,
     ) -> None:
-        from .sinks.pg_copy import copy_dataframe_psql
+        from .sinks.pg_copy import copy_lines_expr, copy_lines_psql
         from .sinks.postgis import (
             _flatten_for_jdbc,
             post_load_ddl,
@@ -700,10 +700,18 @@ class PsqlCatalog:
             self._once(
                 db_name, [spark_schema_to_pg_ddl(name, flat.schema, schema)]
             )
-            copy_dataframe_psql(
-                flat.repartition(self.load_partitions),
+            # build the COPY text lines in the JVM BEFORE the load
+            # repartition: the per-field formatting runs under codegen
+            # at full upstream parallelism, the exchange carries one
+            # string column, and only that string crosses the
+            # JVM→Python boundary (r11, guide §4/§2.3 — the
+            # row-at-a-time rows_to_copy_text path was the bulk load's
+            # dominant cost, not the COPY wire).
+            copy_lines_psql(
+                copy_lines_expr(flat).repartition(self.load_partitions),
                 self.host, self.port, self.user, db_name,
                 f'{schema}."{name}"',
+                list(flat.columns),
             )
         for stmt in post_load_ddl(set(tables), schema, partition_by):
             if not with_postgis and (

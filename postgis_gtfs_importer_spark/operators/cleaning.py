@@ -484,7 +484,19 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
     the loop is driver-side but each pass is one distributed plan.
     """
     out = dict(tables)
-    prev_counts: tuple[int, ...] | None = None
+    # Seed the fixpoint fingerprint from the INPUT cascade roots (r11):
+    # the passes only ever DELETE rows, so unchanged (trips, stop_times,
+    # stops) counts across a pass prove that pass was the identity and
+    # every later pass would be too (all rules are semi-joins against
+    # these roots or relations derived from them, and semi-joins are
+    # idempotent). Seeding from the input lets an orphan-free feed — the
+    # common case — stop after ONE pass instead of running a second full
+    # cascade just to observe it changed nothing. The input tables are
+    # checkpoint leaves under the pipeline's materialize=True, so the
+    # seed counts are cheap scans.
+    prev_counts: tuple[int, ...] | None = tuple(
+        out[t].count() for t in ("trips", "stop_times", "stops") if t in out
+    ) or None
     for _ in range(max_iters):
         if "trips" in out:
             t = out["trips"]
@@ -818,8 +830,30 @@ def truncate_lineage(tables: Tables) -> Tables:
     (lazy) truncates to an RDD barrier locally; the production pipeline
     writes a Parquet staging dir instead (sinks.staging) which also
     survives executor loss.
+
+    A table that is ALREADY a bare checkpoint leaf (untouched since the
+    previous barrier) is passed through unchanged: ``localCheckpoint``
+    is lazy about execution but eager about physical planning
+    (``queryExecution.toRdd``), so re-checkpointing a leaf pays a full
+    Catalyst pass per table per barrier for nothing — measured r11,
+    this planning (not execution) dominated the import build phase.
     """
-    return {name: df.localCheckpoint(eager=False) for name, df in tables.items()}
+    return {
+        name: df if _is_checkpoint_leaf(df) else df.localCheckpoint(eager=False)
+        for name, df in tables.items()
+    }
+
+
+def _is_checkpoint_leaf(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan is a bare LogicalRDD leaf —
+    i.e. a prior localCheckpoint with no transformations on top."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:  # never let introspection break the pipeline
+        return False
 
 
 def clean_feed(tables: Tables, cfg: CleaningConfig | None = None) -> Tables:
@@ -840,6 +874,15 @@ def clean_feed(tables: Tables, cfg: CleaningConfig | None = None) -> Tables:
     t = dict(tables)
     t = apply_enum_policy(t, cfg)
     t = drop_invalid_rows(t, cfg)
+    # cut ONCE right after the typed/validated read (r11): the dedup
+    # family below cross-references tables (each pass's rewrite embeds
+    # other tables' plans), so letting it compose over the raw
+    # read+policy+validation trees made the post-family barrier's
+    # physical planning the single most expensive step of the whole
+    # import build (~10 s at sf1-class, pure Catalyst). Over leaves the
+    # same passes plan in a fraction of that; the extra barrier itself
+    # plans shallow scan trees, which is cheap.
+    t = barrier(t)
     if cfg.remove_red_agencies and "agency" in t:
         t = remove_redundant_agencies(t)
     if cfg.remove_red_routes and "routes" in t:

@@ -766,7 +766,15 @@ def knn_graph(
             6,
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(
+    # Window by (cid, vec_id), not vec_id alone (r11, guide §2.4):
+    # the argmin assignment puts each vec_id in exactly ONE cell, so
+    # the grouping is identical — but the cell join's hash(cid) output
+    # partitioning already satisfies the (cid, vec_id) clustering, and
+    # the top-k needs only a local sort instead of re-shuffling the
+    # full scored pair explosion by vec_id (the largest exchange in
+    # the plan at scale; under a broadcast cell join the partitioning
+    # is unknown either way and the exchange cost is unchanged).
+    w = Window.partitionBy("cid", "vec_id").orderBy(
         F.desc("score"), F.asc("nbr_id")
     )
     return (

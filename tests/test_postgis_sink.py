@@ -115,3 +115,53 @@ def test_spatial_ddl_golden():
         stmts.index(s) for s in spatial
     )
     assert stmts[-1] == "CREATE INDEX trips_service_id_idx ON public.trips (service_id)"
+
+
+def test_copy_lines_expr_matches_python_serializer(spark):
+    """The JVM-built COPY line stream (r11 fast path in
+    PsqlCatalog.write_tables) is byte-identical to rows_to_copy_text for
+    strings (all four escapes), bools, ints, NULLs, dates and decimals —
+    and value-equivalent for doubles/timestamps, where only the surface
+    form may differ (1.0E7 vs 10000000.0; both parse to the same stored
+    value, asserted via float() reparse)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from postgis_gtfs_importer_spark.sinks.pg_copy import (
+        copy_lines_expr,
+        rows_to_copy_text,
+    )
+
+    rows = [
+        ("plain", 1, True, dt.date(2024, 3, 31), Decimal("12.340"), 1.5,
+         dt.datetime(2024, 3, 31, 1, 10, 0)),
+        ("tab\there \\ and\nnl\rcr", -2, False, None, Decimal("-0.005"),
+         -0.25, dt.datetime(2000, 1, 1, 0, 0, 0)),
+        (None, None, None, dt.date(1999, 12, 31), None, None, None),
+        ("ünïcödé — ∑", 0, True, dt.date(2024, 10, 27), Decimal("0.000"),
+         2.0 ** -40, dt.datetime(2024, 10, 27, 0, 30, 0)),
+    ]
+    schema = ("s string, i long, b boolean, d date, m decimal(10,3),"
+              " x double, ts timestamp")
+    df = spark.createDataFrame(rows, schema)
+    jvm_lines = sorted(r[0] + "\n" for r in copy_lines_expr(df).collect())
+    py_lines = sorted(rows_to_copy_text(df.collect(), len(df.columns)))
+    assert len(jvm_lines) == len(py_lines)
+    for jl, pl in zip(jvm_lines, py_lines):
+        jf, pf = jl[:-1].split("\t"), pl[:-1].split("\t")
+        assert len(jf) == len(pf) == 7
+        # byte-identical columns: string, int, bool, date, decimal
+        assert jf[:5] == pf[:5]
+        # value-identical: double (surface form may be E-notation)
+        for a, b in zip(jf[5:6], pf[5:6]):
+            assert (a == b == "\\N") or float(a) == float(b)
+        # timestamp: same instant; Spark may append .0-less seconds both
+        # sides here (naive UTC) — compare parsed
+        a, b = jf[6], pf[6]
+        if a == "\\N":
+            assert b == "\\N"
+        else:
+            fmt = "%Y-%m-%d %H:%M:%S"
+            pa = dt.datetime.strptime(a.split(".")[0], fmt)
+            pb = dt.datetime.strptime(b.split(".")[0], fmt)
+            assert pa == pb
