@@ -695,7 +695,8 @@ class PsqlCatalog:
             self._once(
                 db_name, [f'CREATE SCHEMA IF NOT EXISTS "{schema}"']
             )
-        for name, df in tables.items():
+        def load_one(item: tuple[str, DataFrame]) -> None:
+            name, df = item
             flat = _flatten_for_jdbc(df)
             self._once(
                 db_name, [spark_schema_to_pg_ddl(name, flat.schema, schema)]
@@ -713,6 +714,25 @@ class PsqlCatalog:
                 f'{schema}."{name}"',
                 list(flat.columns),
             )
+
+        # Tables load independently (plain CREATE TABLE + COPY; all
+        # cross-table constraints/indexes arrive only in post_load_ddl
+        # below), so overlap 3 loads at a time (guide §2.6): the small
+        # tables' per-job latency hides under the big COPYs, and a big
+        # COPY's psql/server tail back-fills with the next job's tasks.
+        # Each _once/psql is its own subprocess; Spark jobs submitted
+        # from a thread pool are the documented concurrent-jobs pattern.
+        # Any failure propagates and fails the import before the flip
+        # (the surrounding transaction bracket GCs the half-built DB).
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(tables.items())
+        if len(items) > 1:
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(load_one, items))
+        else:
+            for item in items:
+                load_one(item)
         for stmt in post_load_ddl(set(tables), schema, partition_by):
             if not with_postgis and (
                 "geography(" in stmt or "USING GIST" in stmt

@@ -483,6 +483,30 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
     of iterations reaches the fixpoint for real feeds (chains are short);
     the loop is driver-side but each pass is one distributed plan.
     """
+
+    def _root_counts(t: Tables) -> tuple[int, ...]:
+        """Cardinalities of the cascade roots, as ONE Spark action: the
+        three per-table count() jobs each paid a full plan+schedule
+        round trip (r11, guide §1 — actions are planning-bound here);
+        a union of the three aggregates is a single job whose stages
+        also materialize the roots' lazy checkpoints concurrently."""
+        roots = [r for r in ("trips", "stop_times", "stops") if r in t]
+        if not roots:
+            return ()
+        if len(roots) == 1:
+            return (t[roots[0]].count(),)
+        parts = [
+            t[r].agg(F.count(F.lit(1)).alias("c")).select(
+                F.lit(i).alias("i"), "c"
+            )
+            for i, r in enumerate(roots)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        by_i = {row["i"]: row["c"] for row in u.collect()}
+        return tuple(by_i[i] for i in range(len(roots)))
+
     out = dict(tables)
     # Seed the fixpoint fingerprint from the INPUT cascade roots (r11):
     # the passes only ever DELETE rows, so unchanged (trips, stop_times,
@@ -494,9 +518,7 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
     # cascade just to observe it changed nothing. The input tables are
     # checkpoint leaves under the pipeline's materialize=True, so the
     # seed counts are cheap scans.
-    prev_counts: tuple[int, ...] | None = tuple(
-        out[t].count() for t in ("trips", "stop_times", "stops") if t in out
-    ) or None
+    prev_counts: tuple[int, ...] | None = _root_counts(out) or None
     for _ in range(max_iters):
         if "trips" in out:
             t = out["trips"]
@@ -582,12 +604,10 @@ def delete_orphans(tables: Tables, max_iters: int = 3, materialize: bool = False
         # REAL fixpoint detection: the old `changed` flag was set
         # unconditionally whenever trips existed, so the loop always ran
         # all max_iters passes. Compare cascade-root cardinalities across
-        # passes instead — three small count actions per pass (cheap
-        # under materialize=True, the pipeline's setting; without it each
+        # passes instead — one fused count action per pass (cheap under
+        # materialize=True, the pipeline's setting; without it each
         # count re-executes the pass chain, which max_iters bounds).
-        counts = tuple(
-            out[t].count() for t in ("trips", "stop_times", "stops") if t in out
-        )
+        counts = _root_counts(out)
         if counts == prev_counts:
             break
         prev_counts = counts
@@ -837,11 +857,34 @@ def truncate_lineage(tables: Tables) -> Tables:
     (``queryExecution.toRdd``), so re-checkpointing a leaf pays a full
     Catalyst pass per table per barrier for nothing — measured r11,
     this planning (not execution) dominated the import build phase.
+
+    The per-table Catalyst passes are independent single-threaded
+    driver work, so they run on a small thread pool (guide §2.6 —
+    overlap independent driver-side work): planning the ~17 feed tables
+    concurrently hides most of the barrier latency. Threads only PLAN
+    (no job is submitted; execution stays lazy), so scheduler-pool and
+    job-group thread-locals are irrelevant here.
     """
-    return {
-        name: df if _is_checkpoint_leaf(df) else df.localCheckpoint(eager=False)
-        for name, df in tables.items()
-    }
+    todo = [
+        (name, df) for name, df in tables.items()
+        if not _is_checkpoint_leaf(df)
+    ]
+    if len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+            cut = dict(
+                zip(
+                    (name for name, _ in todo),
+                    pool.map(
+                        lambda pair: pair[1].localCheckpoint(eager=False),
+                        todo,
+                    ),
+                )
+            )
+    else:
+        cut = {name: df.localCheckpoint(eager=False) for name, df in todo}
+    return {name: cut.get(name, df) for name, df in tables.items()}
 
 
 def _is_checkpoint_leaf(df: DataFrame) -> bool:
