@@ -93,10 +93,12 @@ _RESTALE_R11: list[str] = [
     "degree_assortativity",
     "eigenvector_centrality",
     "entity_resolution",
+    "hard_negatives",
     "hits_trade",
     "item_similarity",
     "kcore_membership",
     "kmeans_lloyd",
+    "knn_graph",
     "ktruss",
     "label_propagation",
     "local_clustering",
@@ -136,15 +138,17 @@ _ADDITIONS_R11: list[str] = [
 #: rows. These are VERIFIED entries filling spare capacity, not stale
 #: ones: the ledger attests their digests unchanged since their
 #: recorded rows. The r11 OPTIMIZATION restales grew the stale set to
-#: 23 + 1 addition (dedup_clusters and entity_resolution moved from
+#: 25 + 1 addition (dedup_clusters and entity_resolution moved from
 #: this rotation into _RESTALE_R11 when the connected-components cut
-#: re-digested dedup.py), so the rotation takes the FIRST 26 of the
-#: 44 r6-row entries (name order — the committed drain order,
-#: dedup_clusters/entity_resolution already covered above); the 16
-#: displaced (shape_lengths, rolling_fingerprint ..
-#: translations_feedwide) stay ledger-attested and head the r12
-#: rotation. 23 restales + 1 addition + 26 rotation = exactly 50:
-#: the window is FULL.
+#: re-digested dedup.py; knn_graph and hard_negatives joined when the
+#: knn top-k window switched to the cell join's (cid, vec_id)
+#: partitioning in similarity.py), so the rotation takes the FIRST 24
+#: of the 44 r6-row entries (name order — the committed drain order,
+#: dedup_clusters/entity_resolution already covered above); the 18
+#: displaced (score_quantile_norm, semantic_dedup, shape_lengths,
+#: rolling_fingerprint .. translations_feedwide) stay ledger-attested
+#: and head the r12 rotation. 25 restales + 1 addition + 24 rotation
+#: = exactly 50: the window is FULL.
 _ROTATION_R11: list[str] = [
     "balanced_mixture",
     "bigram_lm_scores",
@@ -170,8 +174,6 @@ _ROTATION_R11: list[str] = [
     "pmi_bigrams",
     "quality_gate",
     "repetition_profile",
-    "score_quantile_norm",
-    "semantic_dedup",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
