@@ -881,7 +881,12 @@ def main() -> None:
             t0 = time.monotonic()
             registry[name](spark, sf_dir).count()
             rt = time.monotonic() - t0
-        except Exception:
+        except Exception as e:
+            # record WHY the retime failed — a silently swallowed
+            # exception here looked identical to "still slow" in the
+            # artifact (r11: two retimes threw, indistinguishable from
+            # genuine regressions until rerun in isolation)
+            detail[name]["retime_error"] = f"{type(e).__name__}: {e}"[:300]
             still_regressed.append(name)
             continue
         detail[name]["retime_warm"] = round(rt, 3)

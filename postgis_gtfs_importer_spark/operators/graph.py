@@ -548,7 +548,10 @@ def sssp(
     per-round checkpoint cost is the floor, unlike pagerank's cadence
     trade-off). The changed flag rides ALONG the distance relation, so
     the fixpoint probe and next round's frontier read the same
-    materialization — one job per round.
+    materialization — and the probe runs at HALF cadence (odd rounds
+    only): convergence is stable under extra rounds, so late detection
+    costs at most one identity round while halving the driver's
+    action count.
     """
     from .dedup import materialize
 
@@ -584,7 +587,7 @@ def sssp(
             (F.col("node") == F.lit(source)).alias("changed"),
         )
     )
-    for _ in range(int(max_rounds)):
+    for rnd in range(int(max_rounds)):
         frontier = dist.filter(F.col("changed")).select("node", "dist")
         relaxed = (
             e.join(
@@ -611,12 +614,20 @@ def sssp(
                 ).alias("changed"),
             )
         )
-        improved = (
-            new_dist.filter(F.col("changed")).limit(1).collect()
-        )
         dist = new_dist
-        if not improved:
-            break
+        # Fixpoint probe at HALF cadence (r11, guide §1.2): the probe is
+        # pure convergence detection — a converged distance relation is
+        # stable under further relaxation (empty frontier -> empty
+        # relaxed -> identical dist, changed all false), so probing on
+        # odd rounds only halves the driver's action count (each action
+        # pays a fresh plan+schedule; the lazy checkpoints of the
+        # skipped round materialize inside the next probe's action) at
+        # the cost of at most ONE identity round past the fixpoint.
+        # Distances are bit-identical either way.
+        if rnd % 2 == 1 or rnd == int(max_rounds) - 1:
+            improved = dist.filter(F.col("changed")).limit(1).collect()
+            if not improved:
+                break
     return dist.select(
         "node",
         F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist"),
@@ -1560,8 +1571,14 @@ def closeness_centrality(
         frontier = state.filter(F.col("new_mask") != 0).select(
             "node", "new_mask"
         )
-        if not frontier.limit(1).collect():
-            break
+        # Frontier-empty probe at HALF cadence (r11, the sssp pattern):
+        # a drained frontier is stable — the next round's offers are
+        # empty, masks and dists unchanged — so probing every 2nd round
+        # halves the driver actions at the cost of at most one identity
+        # round past BFS completion. Distances are bit-identical.
+        if r % 2 == 0 or r == int(max_rounds):
+            if not frontier.limit(1).collect():
+                break
     return (
         state.select(
             "node",

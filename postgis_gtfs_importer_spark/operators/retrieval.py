@@ -176,9 +176,20 @@ def mmr_select(
     comp = int(lam_den) - int(lam_num)
     picks: list[tuple] = []
     for r in range(1, int(k) + 1):
+        # the argmax probe also carries the winner's vector + norm out
+        # to the driver (r11, guide §1.2): the picked row's embedding
+        # used to be re-read from `remaining` via a filter +
+        # broadcast-build job per round; collecting it here and
+        # re-injecting it as a LITERAL array removes that scan+broadcast
+        # entirely — the redundancy update becomes a pure map-side
+        # projection. TakeOrdered keeps one row, so the extra payload
+        # never amplifies. Bit-parity: collect() round-trips doubles
+        # exactly (and float32 -> Python float -> double literal equals
+        # the engine's own float->double cast), so the literal-vector
+        # dot is the identical IEEE expression the broadcast join fed.
         best = (
             remaining.select(
-                "_id", "_rel", "_red",
+                "_id", "_rel", "_red", "_v", "_nrm",
                 (F.lit(int(lam_num)) * F.col("_rel")
                  - F.lit(comp) * F.col("_red")).alias("_mmr"),
             )
@@ -190,13 +201,20 @@ def mmr_select(
             break
         row = best[0]
         picks.append((r, row["_id"], row["_rel"], row["_red"], row["_mmr"]))
-        sel = remaining.filter(F.col("_id") == F.lit(row["_id"])).select(
-            F.col("_v").alias("_sv"), F.col("_nrm").alias("_snrm")
+        _dnull = F.lit(None).cast("double")
+        sel_v = F.array(
+            *[
+                F.lit(float(x)) if x is not None else _dnull
+                for x in row["_v"]
+            ]
+        )
+        sel_nrm = (
+            F.lit(float(row["_nrm"])) if row["_nrm"] is not None else _dnull
         )
         sim = F.floor(
             F.round(
-                V.dot(F.col("_v"), F.col("_sv"))
-                / (F.col("_nrm") * F.col("_snrm")),
+                V.dot(F.col("_v"), sel_v)
+                / (F.col("_nrm") * sel_nrm),
                 6,
             )
             * 1_000_000
@@ -207,7 +225,6 @@ def mmr_select(
         new_red = sim if r == 1 else F.greatest(F.col("_red"), sim)
         remaining = materialize(
             remaining.filter(F.col("_id") != F.lit(row["_id"]))
-            .crossJoin(F.broadcast(sel))
             .select("_id", "_v", "_rel", "_nrm", new_red.alias("_red"))
         )
     return spark.createDataFrame(

@@ -103,8 +103,10 @@ _RESTALE_R11: list[str] = [
     "label_propagation",
     "local_clustering",
     "neardup_incremental",
+    "mmr_select",
     "pagerank_trade",
     "poisson_bootstrap_ci",
+    "rrf_fusion",
     "simplified_silhouette",
     "sssp_trade",
     "triangle_count",
@@ -138,17 +140,20 @@ _ADDITIONS_R11: list[str] = [
 #: rows. These are VERIFIED entries filling spare capacity, not stale
 #: ones: the ledger attests their digests unchanged since their
 #: recorded rows. The r11 OPTIMIZATION restales grew the stale set to
-#: 25 + 1 addition (dedup_clusters and entity_resolution moved from
+#: 27 + 1 addition (dedup_clusters and entity_resolution moved from
 #: this rotation into _RESTALE_R11 when the connected-components cut
 #: re-digested dedup.py; knn_graph and hard_negatives joined when the
 #: knn top-k window switched to the cell join's (cid, vec_id)
-#: partitioning in similarity.py), so the rotation takes the FIRST 24
-#: of the 44 r6-row entries (name order — the committed drain order,
-#: dedup_clusters/entity_resolution already covered above); the 18
-#: displaced (score_quantile_norm, semantic_dedup, shape_lengths,
-#: rolling_fingerprint .. translations_feedwide) stay ledger-attested
-#: and head the r12 rotation. 25 restales + 1 addition + 24 rotation
-#: = exactly 50: the window is FULL.
+#: partitioning in similarity.py; mmr_select and rrf_fusion joined
+#: when mmr_select's literal-vector redundancy update re-digested
+#: retrieval.py), so the rotation takes the FIRST 22 of the 44 r6-row
+#: entries (name order — the committed drain order,
+#: dedup_clusters/entity_resolution already covered above); the 20
+#: displaced (quality_gate, repetition_profile, score_quantile_norm,
+#: semantic_dedup, shape_lengths, rolling_fingerprint ..
+#: translations_feedwide) stay ledger-attested and head the r12
+#: rotation. 27 restales + 1 addition + 22 rotation = exactly 50: the
+#: window is FULL.
 _ROTATION_R11: list[str] = [
     "balanced_mixture",
     "bigram_lm_scores",
@@ -172,8 +177,6 @@ _ROTATION_R11: list[str] = [
     "pack_sequences",
     "pii_redaction",
     "pmi_bigrams",
-    "quality_gate",
-    "repetition_profile",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
