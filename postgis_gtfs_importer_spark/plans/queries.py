@@ -6105,7 +6105,14 @@ def pagerank_trade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spread(_t(spark, sf_dir, "orders"))
     lineitem = spread(_t(spark, sf_dir, "lineitem"))
     edges = trade_graph_edges(orders, lineitem)
-    ranks = pagerank(edges, iterations=4)
+    # checkpoint_every=2 (r11): pagerank's per-round tree is one
+    # join+agg, shallow enough that a 2-round nest plans cheaply while
+    # halving the blocking eager-checkpoint barriers (A/B at sf0.1:
+    # 3.82 / 3.33 / 3.19 s median for cadence 1/2/4; 2 keeps plan depth
+    # bounded for the cluster case where a round is hours of lineage).
+    # LPA measured FLAT at cadence 2 and 1.6x WORSE at 4 (two joins +
+    # struct-max agg per round nest badly), so it stays at 1.
+    ranks = pagerank(edges, iterations=4, checkpoint_every=2)
     return (
         ranks.select(
             "node",
