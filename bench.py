@@ -774,8 +774,13 @@ def main() -> None:
         for r in brute_force_topk(corpus, sample, k=10).collect():
             truth.setdefault(r.q_id, set()).add(r.vec_id)
         hits_n = sum(len(by_vec.get(v, set()) & s) for v, s in truth.items())
-        total = sum(len(s) for s in truth.values())
-        nsmoke["knn_graph_recall_at_10"] = round(hits_n / total, 4)
+        # NOT `total`: that name is main()'s suite cold-time accumulator,
+        # and shadowing it here froze the stdout headline `value` at
+        # exactly 200 (20 sample ids x k=10) for rounds 9-11 (VERDICT r11
+        # item 1). The guard before the final print() now pins the
+        # invariant mechanically.
+        truth_n = sum(len(s) for s in truth.values())
+        nsmoke["knn_graph_recall_at_10"] = round(hits_n / truth_n, 4)
         detail["scale_smoke_knn_graph"] = nsmoke
         print(f"# scale_smoke_knn_graph: {nsmoke}", flush=True)
     except Exception as e:
@@ -934,6 +939,20 @@ def main() -> None:
             round(sum(core_prev), 2) if len(core_prev) == len(CORE_30) else None
         ),
     }
+
+    # Headline-integrity guard (VERDICT r11 item 1): the stdout `value`
+    # must be the sum of the per-query cold timings — a later block
+    # reusing the accumulator name (the r9 `total = sum(...)` recall
+    # denominator) silently corrupted it for three rounds. Each recorded
+    # cold is rounded to 3 decimals, so allow that rounding slack.
+    cold_sum = sum(
+        v["cold"] for v in detail.values()
+        if isinstance(v, dict) and "cold" in v and "warm" in v
+    )
+    assert abs(total - cold_sum) < 0.001 * len(detail) + 1e-6, (
+        f"suite cold accumulator ({total:.3f}) != sum of per-query colds "
+        f"({cold_sum:.3f}) — a local variable is shadowing `total` again"
+    )
 
     detail_paths = ["BENCH_DETAIL.json"]
     rnd = os.environ.get("SPARK_GRAFT_ROUND")

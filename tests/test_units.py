@@ -174,3 +174,40 @@ def test_bench_line_budget():
         f"worst-case bench line = {len(line)} bytes; trim STDOUT_KEEP "
         "before the driver's tail capture truncates it"
     )
+
+
+def test_bench_total_accumulator_not_shadowed():
+    """VERDICT r11 item 1: a smoke block's `total = sum(...)` recall
+    denominator shadowed main()'s suite cold-time accumulator, freezing
+    the stdout headline `value` at exactly 200 for rounds 9-11. Pin the
+    invariant structurally: inside bench.main() the name `total` may be
+    plain-assigned exactly once (the 0.0 init) and otherwise only
+    augmented (`total += dt`). bench.py additionally asserts at runtime
+    that `value` equals the sum of per-query colds before printing."""
+    import ast
+    import inspect
+
+    import bench
+
+    tree = ast.parse(inspect.getsource(bench.main))
+    fn = tree.body[0]
+    assigns, augs = 0, 0
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name) and t.id == "total":
+                    assigns += 1
+        elif isinstance(node, ast.AugAssign):
+            t = node.target
+            if isinstance(t, ast.Name) and t.id == "total":
+                augs += 1
+    assert assigns == 1, (
+        f"`total` is plain-assigned {assigns} times inside bench.main(); "
+        "a second assignment shadows the suite accumulator (the r9-r11 "
+        "frozen-headline bug) — rename the local"
+    )
+    assert augs >= 1, "suite accumulator no longer accumulates (`total +=`)"
+    src = inspect.getsource(bench.main)
+    assert "suite cold accumulator" in src, (
+        "the runtime headline-integrity assert was removed from bench.main"
+    )
