@@ -1172,6 +1172,15 @@ def _respread(df: DataFrame) -> DataFrame:
     round-1 enumeration from this alone). Only widens (max with
     defaultParallelism); at scale the relation already has >= cores
     partitions and this is a no-op, so it is not a local-only tune.
+
+    CONSTRAINT (VERDICT r11 item 4): ``df.rdd.getNumPartitions()``
+    forces a physical-planning pass (``toRdd``) for the probe — call
+    this ONLY on relations that are already materialized
+    (localCheckpoint/persist leaves), where the probe resolves a
+    LogicalRDD leaf and the planning pass is trivial. Every current
+    call site (ktruss/triangle/local_clustering adjacency,
+    adamic_adar's wedge input) satisfies that; do not point it at a
+    deep unmaterialized derivation.
     """
     dp = df.sparkSession.sparkContext.defaultParallelism
     try:

@@ -214,6 +214,43 @@ def test_mmr_stops_early_and_validates(spark):
         mmr_select(pool, k=1, lam_num=0)
 
 
+def test_mmr_literal_and_broadcast_paths_agree(spark, monkeypatch):
+    """The r12 dim guard (MMR_LITERAL_DIM_MAX): above the threshold the
+    redundancy update re-reads the picked row and broadcasts it instead
+    of embedding a dim-wide literal array in the plan. Both paths must
+    be BIT-identical — force the broadcast path by shrinking the
+    threshold and compare full greedy traces."""
+    from postgis_gtfs_importer_spark.operators import retrieval as R
+
+    import math
+
+    th = math.atan2(0.3122498999199199, 0.95)
+    a = [0.95, 0.3122498999199199, 0.0]
+    b = [math.cos(th + 0.01), math.sin(th + 0.01), 0.0]
+    c = [0.6, 0.0, 0.8]
+    rel = lambda v: int(round(v[0], 6) * 1e6)
+    pool = _pool(spark, [(1, a, rel(a)), (2, b, rel(b)), (3, c, rel(c))])
+    lit_trace = [
+        tuple(r) for r in mmr_select(pool, k=3, lam_num=5, lam_den=10).collect()
+    ]
+    monkeypatch.setattr(R, "MMR_LITERAL_DIM_MAX", 0)  # every vec is "wide"
+    bc_trace = [
+        tuple(r)
+        for r in R.mmr_select(pool, k=3, lam_num=5, lam_den=10).collect()
+    ]
+    assert bc_trace == lit_trace
+    # NULL vector elements propagate identically through both paths
+    pool2 = _pool(
+        spark,
+        [(1, [1.0, 0.0], 900_000), (2, [None, 1.0], 100_000)],
+    )
+    monkeypatch.setattr(R, "MMR_LITERAL_DIM_MAX", 256)
+    t1 = [tuple(r) for r in R.mmr_select(pool2, k=2).collect()]
+    monkeypatch.setattr(R, "MMR_LITERAL_DIM_MAX", 0)
+    t2 = [tuple(r) for r in R.mmr_select(pool2, k=2).collect()]
+    assert t1 == t2
+
+
 def test_mmr_null_rows_excluded(spark):
     pool = _pool(
         spark,
