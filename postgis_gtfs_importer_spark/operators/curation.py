@@ -842,13 +842,38 @@ def dsir_resample(
             "_id", hash_bucket("_g", salt=salt, buckets=b).alias("_b")
         )
 
-    rg = gram_rows(raw)
+    # r12 (guide §1.2 "don't compute things you throw away"): ONE gram
+    # pass over the raw corpus. The raw gram stream (tokenize + explode
+    # + per-gram md5) used to be derived THREE times — bucket counts,
+    # corpus total, per-doc scoring — and the target's twice. Now the
+    # raw stream is materialized once (narrow (_id, _b) rows — the
+    # minhash shingle-relation discipline; production stages to parquet
+    # per materialize()'s note), the corpus totals are the SUMS of the
+    # B-bounded bucket counts (the same BIGINTs — every gram row has
+    # exactly one bucket; coalesce keeps the empty-corpus total at 0
+    # where sum() yields NULL), and the target explodes once. Measured
+    # ABBA at sf0.1 (460k raw gram rows): materialized 1.84/2.00 s vs
+    # un-materialized 3.35/4.56 s medians. A per-(doc, bucket)
+    # pre-aggregate was also tried and REJECTED: gram rows are mostly
+    # unique per doc, so it pays a full-stream (id, b) exchange that
+    # map-side partial aggregation of the doc-keyed sum never needs.
+    from .dedup import materialize
+
+    rg = materialize(gram_rows(raw))
     tg = gram_rows(target)
     q = rg.groupBy("_b").agg(F.count("*").alias("_cq"))
     p = tg.groupBy("_b").agg(F.count("*").alias("_cp"))
     tot = (
-        rg.agg(F.count("*").alias("_nq"))
-        .crossJoin(F.broadcast(tg.agg(F.count("*").alias("_np"))))
+        q.agg(F.coalesce(F.sum("_cq"), F.lit(0).cast("long")).alias("_nq"))
+        .crossJoin(
+            F.broadcast(
+                p.agg(
+                    F.coalesce(F.sum("_cp"), F.lit(0).cast("long")).alias(
+                        "_np"
+                    )
+                )
+            )
+        )
     )
     # only buckets PRESENT in the raw corpus can score a raw doc; a
     # bucket unseen in the target smooths to (0 + 1)
