@@ -1221,27 +1221,34 @@ def _tri_rows(adj: DataFrame) -> DataFrame:
 
 
 def _tri_edges(tri: DataFrame) -> DataFrame:
-    """The three canonical (a, b) edges of each (x, y, z) triangle row,
-    each paired with the triangle's third vertex as ``w`` (the partner
-    the edge loses when the triangle dies)."""
-    return (
-        tri.select(
-            F.col("x").alias("a"), F.col("y").alias("b"),
-            F.col("z").alias("w"),
-        )
-        .unionAll(
-            tri.select(
-                F.col("x").alias("a"), F.col("z").alias("b"),
-                F.col("y").alias("w"),
+    """The three canonical (a, b) edges of each canonical (x < y < z)
+    triangle row, each paired with the triangle's third vertex as ``w``
+    (the partner the edge loses when the triangle dies), emitted in ONE
+    map-side explode — a single scan of the input instead of the three
+    a unionAll of per-edge projections costs (r12; the input is the
+    materialized triangle stream, so even the unionAll form only re-read
+    a checkpoint, but one scan is still strictly less work and one plan
+    branch instead of three). Canonical order makes least/greatest
+    unnecessary: x < y < z implies every emitted pair is already
+    (a < b)."""
+    return tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x").alias("a"), F.col("y").alias("b"),
+                    F.col("z").alias("w"),
+                ),
+                F.struct(
+                    F.col("x").alias("a"), F.col("z").alias("b"),
+                    F.col("y").alias("w"),
+                ),
+                F.struct(
+                    F.col("y").alias("a"), F.col("z").alias("b"),
+                    F.col("x").alias("w"),
+                ),
             )
-        )
-        .unionAll(
-            tri.select(
-                F.col("y").alias("a"), F.col("z").alias("b"),
-                F.col("x").alias("w"),
-            )
-        )
-    )
+        ).alias("_e")
+    ).select("_e.a", "_e.b", "_e.w")
 
 
 def ktruss(
@@ -1256,21 +1263,28 @@ def ktruss(
     primitive for "cohesive group" extraction over co-occurrence
     graphs.
 
-    INCREMENTAL peeling over per-edge PARTNER LISTS (VERDICT r9 item
-    2): round 1 enumerates every triangle once via the triangle_count
-    degree-orientation machinery (output-bounded 3·|triangles| credit
-    rows) and aggregates, per edge, the sorted list of its triangle
-    partners — ``support == size(partners)`` by construction. Rounds
-    2+ never touch the graph again: a removed edge's destroyed
-    triangles are read STRAIGHT OFF ITS OWN ROW (each partner w names
-    triangle {a, b, w}), deduped across removed edges (a triangle
-    losing two edges in one round still decrements its survivor
-    exactly once), and each surviving edge of a destroyed triangle
-    drops that partner — so every later round costs O(cascade
-    neighborhood), not O(graph). The maintained counts are
-    bit-identical to a full recompute, so the unrolled-CTE oracle that
-    recomputes support per round agrees exactly. Stops at the fixpoint
-    (no removals) or ``max_rounds``.
+    INCREMENTAL peeling over COUNT-ONLY support state + a materialized
+    triangle stream (r12, VERDICT r11 item 3; supersedes the r9-r11
+    per-edge partner LISTS): round 1 enumerates every triangle once via
+    the triangle_count degree-orientation machinery, materializes the
+    canonical (x < y < z) triple stream, and aggregates per edge a
+    plain ``count(*)`` — map-side combinable, so round 1's state
+    shuffle carries one long per (edge, partition) instead of every
+    partner id into a ``collect_list``/``array_sort`` array (guide
+    §2.3 "aggregate before you shuffle"), and every round's state
+    checkpoint stores narrow (a, b, support) rows instead of partner
+    arrays. Rounds 2+ find a removed edge's destroyed triangles by a
+    semi-join of the materialized triple stream's edge expansion
+    against the removed set, anti-joined against the CUMULATIVE
+    destroyed set (a triangle already destroyed in an earlier round
+    must not decrement twice — the partner-list form got this for free
+    because the partner had been deleted from the list; the count form
+    tracks it explicitly). Each surviving edge of a newly destroyed
+    triangle is decremented by one per triangle. The maintained counts
+    are bit-identical to the partner-list form and to a full
+    recompute, so the unrolled-CTE oracle that recomputes support per
+    round agrees exactly. Stops at the fixpoint (no removals) or
+    ``max_rounds``.
 
     Returns the surviving edges as (a, b, support) with each edge's
     support as computed in its FINAL round's input graph — at the
@@ -1278,20 +1292,23 @@ def ktruss(
     floats, pure integer counting.
 
     Scale: the graph-sized triangle join runs ONCE; each later round
-    is one explode of the removed edges' (short — every removed edge
-    has support < k-2) partner lists, one cascade-sized dedup +
-    decrement aggregate, and one AQE-sized join back onto the state.
-    The partner lists add one |triangles|-proportional shuffle column
-    to round 1's existing credit aggregate — the same asymptotic class
-    — and a surviving HUB edge's list is bounded by its support (max
-    common-neighborhood ≈ max degree, the documented adamic_adar
-    adjacency-array cap). State is eagerly materialized per round so
-    lineage stays one round deep (the pagerank checkpoint lesson); the
-    per-round removed-count probe is a 1-value convergence collect
-    (the documented class). No explicit broadcast hints: a
-    pathological round can remove a graph-sized edge set, and a forced
-    broadcast would OOM where AQE's runtime-sized plan degrades to a
-    shuffle gracefully.
+    is one scan of the materialized triple stream (semi-join against
+    the removed set — AQE broadcasts it when small), one cascade-sized
+    dedup + decrement aggregate, and one AQE-sized join back onto the
+    state. Trade vs the partner-list form: a per-round O(|triangles|)
+    checkpoint SCAN (narrow, no shuffle) replaces carrying
+    O(|triangles|) partner ids through round 1's shuffle AND through
+    every round's state rewrite — strictly fewer shuffled bytes, and
+    the hub-edge array-width cap disappears. State is eagerly
+    materialized per round so lineage stays one round deep (the
+    pagerank checkpoint lesson); each round's newly destroyed triples
+    are materialized too (cascade-sized) so later rounds' cumulative
+    anti-join reads checkpoints instead of re-deriving every prior
+    round's semi-join. The per-round removed-count probe is a 1-value
+    convergence collect (the documented class). No explicit broadcast
+    hints: a pathological round can remove a graph-sized edge set, and
+    a forced broadcast would OOM where AQE's runtime-sized plan
+    degrades to a shuffle gracefully.
     """
     if int(k) < 3:
         raise ValueError(f"ktruss needs k >= 3, got {k}")
@@ -1320,119 +1337,106 @@ def ktruss(
     # 1.88M triangles): 0.4-0.7 s vs 2.0-3.4 s for the 2-join form.
     adj = materialize(_oriented_out_adjacency(g))
     # narrow-probe enumeration (r11, see _tri_rows): 2.1 -> 0.4 s at
-    # sf0.1 by not copying the neighbor array through the explode
-    tri = _tri_rows(adj)
-    # The three canonical (a<b) edges of each triangle, each with the
-    # third vertex as its partner, emitted in ONE map-side explode.
-    # The r10 form routed the canonical triples through _tri_edges —
-    # three unionAll branches over the UN-materialized enumeration,
-    # so the intersect explode executed three times (ReusedExchange
-    # shares the join's build side, not the probe-side map work).
+    # sf0.1 by not copying the neighbor array through the explode.
+    # Materialized as CANONICAL (x < y < z) triples (r12): every round
+    # reads this stream — round 1 for the support counts, rounds 2+
+    # for the destroyed-triangle semi-join — so it checkpoints once.
+    # The canonical sort here makes every downstream edge expansion
+    # least/greatest-free and the destroyed-set dedup a plain distinct.
+    tri_sorted = _tri_rows(adj).select(
+        F.array_sort(F.array("src", "dst", "w")).alias("_t")
+    )
+    tri_m = materialize(
+        tri_sorted.select(
+            F.element_at("_t", 1).alias("x"),
+            F.element_at("_t", 2).alias("y"),
+            F.element_at("_t", 3).alias("z"),
+        )
+    )
     # Zero-triangle edges are deliberately absent from the state: they
-    # can never survive (min_sup >= 1 for k >= 3), own no partners,
+    # can never survive (min_sup >= 1 for k >= 3), own no triangles,
     # and belong to no destroyable triangle, so the r10 plan's
-    # graph-sized LEFT join attaching empty lists bought nothing.
-    tri_edges = tri.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.least("src", "dst").alias("a"),
-                    F.greatest("src", "dst").alias("b"),
-                    F.col("w").alias("w"),
-                ),
-                F.struct(
-                    F.least("src", "w").alias("a"),
-                    F.greatest("src", "w").alias("b"),
-                    F.col("dst").alias("w"),
-                ),
-                F.struct(
-                    F.least("dst", "w").alias("a"),
-                    F.greatest("dst", "w").alias("b"),
-                    F.col("src").alias("w"),
-                ),
-            )
-        ).alias("_e")
-    ).select("_e.a", "_e.b", "_e.w")
+    # graph-sized LEFT join attaching empty support bought nothing.
+    # count(*) partial-aggregates map-side; the r9-r11 collect_list
+    # shuffled every partner id and stored arrays in the checkpoint.
     state = materialize(
-        tri_edges.groupBy("a", "b").agg(
-            F.array_sort(F.collect_list("w")).alias("partners")
+        _tri_edges(tri_m).groupBy("a", "b").agg(
+            F.count("*").cast("long").alias("support")
         )
     )
     # out/removed are filters over the checkpointed state (a second
     # checkpoint of the same rows would double the materialization
-    # cost for no lineage benefit); support == size(partners)
-    sup_col = F.size("partners").cast("long").alias("support")
-    out = state.select("a", "b", sup_col, "partners").filter(
-        F.col("support") >= min_sup
-    )
-    removed = state.select("a", "b", sup_col, "partners").filter(
-        F.col("support") < min_sup
-    )
+    # cost for no lineage benefit)
+    out = state.filter(F.col("support") >= min_sup)
+    removed = state.filter(F.col("support") < min_sup)
+    # cumulative destroyed-triangle checkpoints, one small frame per
+    # completed round (never rewritten — the union is over
+    # materialized leaves, so the anti-join below re-reads, not
+    # re-derives, prior rounds' work)
+    destroyed_parts: list[DataFrame] = []
     for r in range(2, int(max_rounds) + 1):
         if removed.count() == 0:
             break
-        # destroyed triangles, one row each, straight off the removed
-        # edges' partner lists ({a, b, w} per partner; the dedup
-        # handles a triangle reached from two removed edges)
-        destroyed = (
-            removed.select(
-                "a", "b", F.explode("partners").alias("w")
-            )
-            .select(F.array_sort(F.array("a", "b", "w")).alias("_t"))
-            .distinct()
-            .select(
-                F.element_at("_t", 1).alias("x"),
-                F.element_at("_t", 2).alias("y"),
-                F.element_at("_t", 3).alias("z"),
-            )
-        )
         rem = removed.select("a", "b")
-        if r == int(max_rounds):
-            # FINAL round: no later round will read partner lists, so
-            # skip the (|triangles|-proportional) state rewrite — a
-            # count decrement over the cascade plus one AQE-sized join
-            # finishes the answer lazily off the last checkpoint
-            dec = (
-                _tri_edges(destroyed)
-                .select("a", "b")
-                .join(rem, ["a", "b"], "left_anti")
-                .groupBy("a", "b")
-                .agg(F.count("*").cast("long").alias("_dec"))
+        # triangles destroyed THIS round: still-alive triangles (not
+        # in any earlier round's destroyed set) that contain a newly
+        # removed edge. One scan of the materialized triple stream;
+        # the distinct dedups a triangle reached from two removed
+        # edges in the same round.
+        cand = (
+            tri_m.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("x").alias("a"), F.col("y").alias("b")
+                        ),
+                        F.struct(
+                            F.col("x").alias("a"), F.col("z").alias("b")
+                        ),
+                        F.struct(
+                            F.col("y").alias("a"), F.col("z").alias("b")
+                        ),
+                    )
+                ).alias("_e"),
+                "x", "y", "z",
             )
-            final = out.join(dec, ["a", "b"], "left").select(
-                "a",
-                "b",
-                (F.col("support") - F.coalesce("_dec", F.lit(0)))
-                .cast("long")
-                .alias("support"),
-            )
-            return final.filter(F.col("support") >= min_sup)
-        # per surviving edge: the partners it loses this round
+            .select("_e.a", "_e.b", "x", "y", "z")
+            .join(rem, ["a", "b"], "left_semi")
+            .select("x", "y", "z")
+            .distinct()
+        )
+        for prior in destroyed_parts:
+            cand = cand.join(prior, ["x", "y", "z"], "left_anti")
+        # per surviving edge: how many of its triangles die this round
         # ("surviving" = not removed — every edge of a destroyed
         # triangle existed in this round's input graph)
-        lost = (
+        if r == int(max_rounds):
+            # FINAL round: no later round will read the destroyed set,
+            # so skip its checkpoint — the decrement plus one
+            # AQE-sized join finishes the answer lazily
+            destroyed = cand
+        else:
+            destroyed = materialize(cand)
+            destroyed_parts.append(destroyed)
+        dec = (
             _tri_edges(destroyed)
+            .select("a", "b")
             .join(rem, ["a", "b"], "left_anti")
             .groupBy("a", "b")
-            .agg(F.collect_list("w").alias("_lost"))
+            .agg(F.count("*").cast("long").alias("_dec"))
         )
-        state = materialize(
-            out.join(lost, ["a", "b"], "left").select(
-                "a",
-                "b",
-                F.when(
-                    F.col("_lost").isNull(), F.col("partners")
-                ).otherwise(
-                    F.array_except("partners", "_lost")
-                ).alias("partners"),
-            )
+        new_state = out.join(dec, ["a", "b"], "left").select(
+            "a",
+            "b",
+            (F.col("support") - F.coalesce("_dec", F.lit(0)))
+            .cast("long")
+            .alias("support"),
         )
-        out = state.select("a", "b", sup_col, "partners").filter(
-            F.col("support") >= min_sup
-        )
-        removed = state.select("a", "b", sup_col, "partners").filter(
-            F.col("support") < min_sup
-        )
+        if r == int(max_rounds):
+            return new_state.filter(F.col("support") >= min_sup)
+        state = materialize(new_state)
+        out = state.filter(F.col("support") >= min_sup)
+        removed = state.filter(F.col("support") < min_sup)
     return out.select("a", "b", "support")
 
 
