@@ -57,126 +57,93 @@ def register(name: str, oracle: str | None):
 #: failure. Run `python -m postgis_gtfs_importer_spark.plans.ledger
 #: refresh` at round start, before any edit.
 
-#: Round-11 window. The r10 window landed 50/50 green
-#: (CORRECTNESS_r10); the round-start incremental ledger refresh folded
-#: all 50 rows in (stale set 0). The stale set below is what THIS
-#: round's work re-staled: the two behavior-adjacent r10 ADVICE fixes
-#: (canonical_by_quality's NaN-election docstring — comment-only but
-#: digest-visible; trigram_backoff_lm via the documented
-#: trigram-interior-counts approximation note) plus the ktruss round-1
-#: enumeration rewrite (VERDICT r10 item 2: explode-form probe,
-#: single-pass tri-edge emission, no graph-sized state join — 8.7 s
-#: median warm from ~9.9, interleaved A/B), which also re-digests
-#: triangle_count (shares _oriented_out_adjacency) and
-#: local_clustering (same module reach). All oracle-parity green
-#: locally at sf0.01 (ktruss/triangle_count additionally at sf0.1)
-#: post-change.
-#: … and the r11 OPTIMIZATION pass (this round): the iterative-loop
-#: planning-cost rewrite (persist -> eager localCheckpoint via _pin,
-#: conditional repartition), the closeness bitmask BFS, the
-#: narrow-probe triangle enumeration (_tri_rows/_respread), the
-#: kmeans loop pin, the bootstrap weight pre-projection, and the
-#: connected-components double-execution cut (materialize the raw
-#: pair relation once before mirroring) restales — at whole-module
-#: digest granularity — every entry reaching operators/graph.py,
-#: operators/clustering.py, operators/scoring.py or
-#: operators/dedup.py's component machinery. Every one re-verified
-#: value-level against its oracle at sf0.1 this session (zero
-#: mismatches) before commit.
-_RESTALE_R11: list[str] = [
-    "ab_lift_ci",
+#: Round-12 window (optimization round 2). The r11 window landed 50/50
+#: green (CORRECTNESS_r11); the round-start incremental ledger refresh
+#: folded all 50 rows in (stale set 0). The stale set below is what
+#: THIS round's optimization work re-staled, at the ledger's
+#: per-definition digest granularity:
+#: - trip_overtaking: enrich-then-pair join order (derivations.py) —
+#:   the pair-multiplied stream is never reshuffled.
+#: - dsir_resample: single materialization of the raw gram stream,
+#:   corpus totals derived from bucket counts (curation.py).
+#: - mmr_select + rrf_fusion: the literal re-injection dim guard
+#:   (MMR_LITERAL_DIM_MAX broadcast fallback) re-digested retrieval.py.
+#: - ktruss + adamic_adar/local_clustering/triangle_count: the
+#:   count-only support state rewrite (canonical triple stream,
+#:   cumulative destroyed-set anti-join) re-digested _tri_edges/
+#:   _respread reach in graph.py.
+#: Every one re-verified value-level against its oracle at sf0.01
+#: (and the restructured ones additionally at sf0.1) post-change.
+_RESTALE_R12: list[str] = [
     "adamic_adar",
-    "association_rules",
-    "canonical_by_quality",
-    "closeness_centrality",
-    "dedup_clusters",
-    "degree_assortativity",
-    "eigenvector_centrality",
-    "entity_resolution",
-    "hard_negatives",
-    "hits_trade",
-    "item_similarity",
-    "kcore_membership",
-    "kmeans_lloyd",
-    "knn_graph",
+    "dsir_resample",
     "ktruss",
-    "label_propagation",
     "local_clustering",
-    "neardup_incremental",
     "mmr_select",
-    "pagerank_trade",
-    "poisson_bootstrap_ci",
     "rrf_fusion",
-    "simplified_silhouette",
-    "sssp_trade",
     "triangle_count",
-    "trigram_backoff_lm",
+    "trip_overtaking",
 ]
 
-#: Round-11 additions (VERDICT r10 item 3). Never driver-verified ->
-#: window-resident.
-_ADDITIONS_R11: list[str] = [
-    # mergeable bottom-k quantile sketch — the quantile member of the
-    # sketch family (KMV:distincts :: this:ranks): hash-coordinated
-    # bottom-k row sample with EXACT set-identity merge
-    # (shard-then-merge == global, bit-equal, property-tested) and a
-    # bit-identical DuckDB replay (h60 key, Chernoff-safe oversample
-    # pre-filter, integer rank selection). Chosen over KLL/t-digest
-    # whose randomized/order-dependent compactions can satisfy
-    # neither contract.
-    "quantile_sketch",
-]
+#: Round-12 additions: NONE (optimization round — no new features; the
+#: staged PCA family from the interrupted r11 build stays unregistered,
+#: documented in OPTIMIZATION_r12.md).
+_ADDITIONS_R12: list[str] = []
 
-#: Freshness rotation (VERDICT r10 item 1 / the committed plan): the
-#: remaining 44 slots take ALL 44 entries whose newest green driver
-#: row is r6 (computed from CORRECTNESS_r01..r10 union at round
-#: start: histogram r6=44, r7=37, r8=45, r9=42, r10=50), name order —
-#: the 36 named in the r10 rotation comment plus balanced_mixture,
-#: streaming_enrich, streaming_interval_join,
-#: streaming_interval_join_outer, streaming_sessionize,
-#: streaming_windowed_stats, temperature_sample, tfidf_distinctive,
-#: translations_feedwide displaced by earlier waves. After a green
-#: r11 no driver row predates r7 and r12 starts draining the 37 r7
-#: rows. These are VERIFIED entries filling spare capacity, not stale
-#: ones: the ledger attests their digests unchanged since their
-#: recorded rows. The r11 OPTIMIZATION restales grew the stale set to
-#: 27 + 1 addition (dedup_clusters and entity_resolution moved from
-#: this rotation into _RESTALE_R11 when the connected-components cut
-#: re-digested dedup.py; knn_graph and hard_negatives joined when the
-#: knn top-k window switched to the cell join's (cid, vec_id)
-#: partitioning in similarity.py; mmr_select and rrf_fusion joined
-#: when mmr_select's literal-vector redundancy update re-digested
-#: retrieval.py), so the rotation takes the FIRST 22 of the 44 r6-row
-#: entries (name order — the committed drain order,
-#: dedup_clusters/entity_resolution already covered above); the 20
-#: displaced (quality_gate, repetition_profile, score_quantile_norm,
-#: semantic_dedup, shape_lengths, rolling_fingerprint ..
-#: translations_feedwide) stay ledger-attested and head the r12
-#: rotation. 27 restales + 1 addition + 22 rotation = exactly 50: the
-#: window is FULL.
-_ROTATION_R11: list[str] = [
-    "balanced_mixture",
-    "bigram_lm_scores",
-    "bm25_topk",
-    "chunk_documents",
-    "classifier_scores",
-    "cms_token_counts",
-    "dedup_incremental",
-    "departures_at_station",
-    "embedding_cosine_pairs",
-    "embedding_topk",
-    "hash_split",
-    "inverted_index",
-    "lexical_rarity",
-    "mad_outliers",
-    "minhash_lsh_pairs",
-    "nearest_stops",
-    "negative_samples",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "pii_redaction",
-    "pmi_bigrams",
+#: Freshness rotation (the committed drain order): the remaining slots
+#: take the verified entries with the OLDEST green driver rows —
+#: computed from the ledger at round start (histogram r6=20, r7=36,
+#: r8=37, r9=36, r10=40, r11=50) — name order within a round: first
+#: the 20 r6-row entries displaced by the r11 restale wave
+#: (quality_gate .. translations_feedwide), then the r7-row drain in
+#: name order until the window holds exactly 50. These are VERIFIED
+#: entries filling spare capacity, not stale ones: the ledger attests
+#: their digests unchanged since their recorded rows. Restales from
+#: later edits this round displace rotation entries from the tail
+#: (stale set + rotation = exactly 50; the window stays FULL).
+_ROTATION_R12: list[str] = [
+    "quality_gate",
+    "repetition_profile",
+    "rolling_fingerprint",
+    "score_quantile_norm",
+    "semantic_dedup",
+    "shape_lengths",
+    "simhash_pairs",
+    "source_cap",
+    "stops_radius_pairs",
+    "stratified_sample",
+    "streaming_corpus_gate",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_sessionize",
+    "streaming_windowed_stats",
+    "temperature_sample",
+    "tfidf_distinctive",
+    "translations_feedwide",
+    "audio_features",
+    "bloom_membership",
+    "bpe_encode",
+    "bpe_merges",
+    "corpus_curation",
+    "dedup_exact",
+    "doc_fingerprint",
+    "frame_sample_stats",
+    "funnel_conversion",
+    "greedy_set_cover",
+    "hilbert_hist",
+    "hll_distinct_users",
+    "hll_merge_shards",
+    "kmv_distinct_users",
+    "lang_id",
+    "market_share",
+    "merge_upsert",
+    "multimodal_features",
+    "oov_rate",
+    "pareto_customers",
+    "peak_concurrency",
+    "pricing_summary",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
@@ -184,12 +151,12 @@ _OVERFLOW_QUEUE: list[str] = []
 #: Human-readable subset of the ledger's stale set (changed-since rows
 #: + never-verified additions). Enforced against the ledger by
 #: tests/test_registry_ledger.py (both directions).
-_MUST_VERIFY: list[str] = [*_RESTALE_R11, *_ADDITIONS_R11]
+_MUST_VERIFY: list[str] = [*_RESTALE_R12, *_ADDITIONS_R12]
 
 _FRONT: list[str] = [
-    *_RESTALE_R11,
-    *_ADDITIONS_R11,
-    *_ROTATION_R11,
+    *_RESTALE_R12,
+    *_ADDITIONS_R12,
+    *_ROTATION_R12,
     *_OVERFLOW_QUEUE,
 ]
 
