@@ -29,6 +29,35 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def double_array(a: Column | str) -> Column:
+    """The float->double widening ``dot()`` applies to each operand,
+    exposed so PAIR-EXPLOSION call sites can hoist it to a per-ROW
+    projection (guide §1.2 "per-task work"): a bucket/cell self-join
+    evaluates the dot once per candidate PAIR, and the interpreted
+    ``transform`` lambda was re-casting the same row's array once per
+    partner. Same expression, same exact widening — only WHERE it runs
+    changes."""
+    return _d(a)
+
+
+def dot_double(a: Column | str, b: Column | str) -> Column:
+    """``dot()`` over arrays already widened by :func:`double_array`.
+
+    Bit-identical to ``dot()`` on the float originals: float->double is
+    exact, the products multiply the same doubles, and the fold runs in
+    the same left-to-right order from the same 0.0 seed — only the cast
+    layer moved out of the per-pair loop. Measured on the sf0.1 cosine
+    pair stage (125k candidate pairs x dim 64): 1.64 -> 1.10 s warm,
+    byte-equal scores. (An unrolled element_at form was ALSO tried and
+    measured 3x SLOWER — 64-term trees fall out of codegen; the
+    negative result is recorded in OPTIMIZATION_r12.md.)"""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -39,22 +39,23 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_emb"),
+        V.double_array(F.col(vec_col)).alias("q_emb"),
         V.l2_norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("emb"),
+        V.double_array(F.col(vec_col)).alias("emb"),
         V.l2_norm(F.col(vec_col)).alias("nrm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        # norms precomputed per row (same expression → bit-identical to
-        # inline cosine); the per-pair work is one fold + one division
+        # norms AND the double widening precomputed per row (same
+        # expressions → bit-identical to inline cosine); the per-pair
+        # work is one fold + one division
         .withColumn(
             "score",
             F.round(
-                V.dot(F.col("q_emb"), F.col("emb"))
+                V.dot_double(F.col("q_emb"), F.col("emb"))
                 / (F.col("q_nrm") * F.col("nrm")),
                 6,
             ),
@@ -160,12 +161,13 @@ def cosine_dup_pairs(
     deterministic and oracle-replayable: id_a < id_b, score rounded e6.
     """
     planes = fixed_planes(dim, n_planes, seed)
-    # norms precomputed ONCE per row, not per candidate pair: cosine at
-    # pair time is a single zip_with fold + a division. Same expression →
+    # norms AND the float->double widening precomputed ONCE per row, not
+    # per candidate pair (r12, V.dot_double): cosine at pair time is a
+    # single zip_with fold + a division. Same expressions →
     # bit-identical doubles → the oracle comparison is unaffected.
     side = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("emb"),
+        V.double_array(F.col(vec_col)).alias("emb"),
         V.l2_norm(F.col(vec_col)).alias("nrm"),
         V.hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
     )
@@ -182,7 +184,7 @@ def cosine_dup_pairs(
         .withColumn(
             "score_e6",
             F.floor(
-                V.dot(F.col("a.emb"), F.col("b.emb"))
+                V.dot_double(F.col("a.emb"), F.col("b.emb"))
                 / (F.col("a.nrm") * F.col("b.nrm"))
                 * F.lit(1e6)
                 + F.lit(0.5)
@@ -330,10 +332,14 @@ def ivf_topk(
     cent = F.broadcast(
         materialize(_centroid_table(corpus, n_centroids, id_col, vec_col, centroids))
     )
+    # the corpus side carries the PRE-WIDENED double array (r12): every
+    # probed pair below re-ran the float->double transform per
+    # candidate; V.dot handles the already-double input identically in
+    # the assignment pass
     side = materialize(
         corpus.select(
             F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("emb"),
+            V.double_array(F.col(vec_col)).alias("emb"),
             V.l2_norm(F.col(vec_col)).alias("nrm"),
         )
     )
@@ -347,7 +353,7 @@ def ivf_topk(
     probes = (
         queries.select(
             F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("q_emb"),
+            V.double_array(F.col(vec_col)).alias("q_emb"),
             V.l2_norm(F.col(vec_col)).alias("q_nrm"),
         )
         .join(cent, F.lit(True))
@@ -374,7 +380,7 @@ def ivf_topk(
         .withColumn(
             "score",
             F.round(
-                V.dot(F.col("q_emb"), F.col("emb"))
+                V.dot_double(F.col("q_emb"), F.col("emb"))
                 / (F.col("q_nrm") * F.col("nrm")),
                 6,
             ),
@@ -405,13 +411,13 @@ def lsh_topk(
     planes = fixed_planes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_emb"),
+        V.double_array(F.col(vec_col)).alias("q_emb"),
         V.l2_norm(F.col(vec_col)).alias("q_nrm"),
         V.hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("emb"),
+        V.double_array(F.col(vec_col)).alias("emb"),
         V.l2_norm(F.col(vec_col)).alias("nrm"),
         V.hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
     )
@@ -421,7 +427,7 @@ def lsh_topk(
         .withColumn(
             "score",
             F.round(
-                V.dot(F.col("q_emb"), F.col("emb"))
+                V.dot_double(F.col("q_emb"), F.col("emb"))
                 / (F.col("q_nrm") * F.col("nrm")),
                 6,
             ),
@@ -583,20 +589,22 @@ def semantic_dedup(
         )
     )
     assigned = materialize(_assign(side, cent))
+    # the cluster self-join pays the dot per candidate pair: widen the
+    # arrays once per row here, not per pair (r12, V.dot_double)
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
-        F.col("emb").alias("emb_a"),
+        V.double_array(F.col("emb")).alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
         "cid",
     )
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
-        F.col("emb").alias("emb_b"),
+        V.double_array(F.col("emb")).alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
         "cid",
     )
     score_e6 = F.floor(
-        V.dot(F.col("emb_a"), F.col("emb_b"))
+        V.dot_double(F.col("emb_a"), F.col("emb_b"))
         / (F.col("nrm_a") * F.col("nrm_b"))
         * F.lit(1e6)
         + F.lit(0.5)
@@ -745,23 +753,27 @@ def knn_graph(
         V.l2_norm(F.col(vec_col)).alias("nrm"),
     )
     assigned = materialize(_assign(side, cent))
+    # float->double widening hoisted to these per-ROW projections (r12,
+    # V.dot_double): the cell join multiplies rows into candidate pairs,
+    # and the interpreted cast transform was re-running per pair. The
+    # checkpoint itself stays float-narrow.
     a = assigned.select(
         F.col("cid"),
         F.col("vec_id"),
-        F.col("emb").alias("a_emb"),
+        V.double_array(F.col("emb")).alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
     b = assigned.select(
         F.col("cid"),
         F.col("vec_id").alias("nbr_id"),
-        F.col("emb").alias("b_emb"),
+        V.double_array(F.col("emb")).alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
     pairs = a.join(b, "cid").filter(F.col("vec_id") != F.col("nbr_id"))
     scored = pairs.withColumn(
         "score",
         F.round(
-            V.dot(F.col("a_emb"), F.col("b_emb"))
+            V.dot_double(F.col("a_emb"), F.col("b_emb"))
             / (F.col("a_nrm") * F.col("b_nrm")),
             6,
         ),

@@ -72,15 +72,33 @@ def register(name: str, oracle: str | None):
 #:   count-only support state rewrite (canonical triple stream,
 #:   cumulative destroyed-set anti-join) re-digested _tri_edges/
 #:   _respread reach in graph.py.
+#: - the similarity family (embedding_cosine_pairs, knn_graph,
+#:   hard_negatives, semantic_dedup, embedding_topk, ann_*,
+#:   knn_label_vote, rbo_overlap, ann_recall_at_k): the per-pair
+#:   float->double cast hoisted to per-row projections
+#:   (V.double_array + V.dot_double — bit-identical scores, the cast
+#:   layer moved out of the interpreted pair fold) re-digested
+#:   similarity.py's scoring sites.
 #: Every one re-verified value-level against its oracle at sf0.01
 #: (and the restructured ones additionally at sf0.1) post-change.
 _RESTALE_R12: list[str] = [
     "adamic_adar",
+    "ann_int8_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_recall_at_k",
     "dsir_resample",
+    "embedding_cosine_pairs",
+    "embedding_topk",
+    "hard_negatives",
+    "knn_graph",
+    "knn_label_vote",
     "ktruss",
     "local_clustering",
     "mmr_select",
+    "rbo_overlap",
     "rrf_fusion",
+    "semantic_dedup",
     "triangle_count",
     "trip_overtaking",
 ]
@@ -106,7 +124,6 @@ _ROTATION_R12: list[str] = [
     "repetition_profile",
     "rolling_fingerprint",
     "score_quantile_norm",
-    "semantic_dedup",
     "shape_lengths",
     "simhash_pairs",
     "source_cap",
@@ -134,16 +151,6 @@ _ROTATION_R12: list[str] = [
     "greedy_set_cover",
     "hilbert_hist",
     "hll_distinct_users",
-    "hll_merge_shards",
-    "kmv_distinct_users",
-    "lang_id",
-    "market_share",
-    "merge_upsert",
-    "multimodal_features",
-    "oov_rate",
-    "pareto_customers",
-    "peak_concurrency",
-    "pricing_summary",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
