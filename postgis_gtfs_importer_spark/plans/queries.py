@@ -79,6 +79,9 @@ def register(name: str, oracle: str | None):
 #:   (V.double_array + V.dot_double — bit-identical scores, the cast
 #:   layer moved out of the interpreted pair fold) re-digested
 #:   similarity.py's scoring sites.
+#: - prefix_filter_jaccard: the candidate self-join key hashed to an
+#:   xxhash64 long (guide §2.3; lossless — every candidate is verified
+#:   by exact array_intersect afterwards).
 #: Every one re-verified value-level against its oracle at sf0.01
 #: (and the restructured ones additionally at sf0.1) post-change.
 _RESTALE_R12: list[str] = [
@@ -96,6 +99,7 @@ _RESTALE_R12: list[str] = [
     "ktruss",
     "local_clustering",
     "mmr_select",
+    "prefix_filter_jaccard",
     "rbo_overlap",
     "rrf_fusion",
     "semantic_dedup",
@@ -150,7 +154,6 @@ _ROTATION_R12: list[str] = [
     "funnel_conversion",
     "greedy_set_cover",
     "hilbert_hist",
-    "hll_distinct_users",
 ]
 
 _OVERFLOW_QUEUE: list[str] = []
