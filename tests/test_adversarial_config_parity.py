@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.sweep
+
 from postgis_gtfs_importer_spark.plans import queries as Q
 
 from .oracle_utils import compare, duckdb_conn

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.sweep
+
 from postgis_gtfs_importer_spark.plans import queries as Q
 
 SRC = "/root/testdata/sf0.001"
