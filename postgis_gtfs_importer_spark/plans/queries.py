@@ -118,11 +118,12 @@ _ADDITIONS_R12: list[str] = []
 #: r8=37, r9=36, r10=40, r11=50) — name order within a round: first
 #: the 20 r6-row entries displaced by the r11 restale wave
 #: (quality_gate .. translations_feedwide), then the r7-row drain in
-#: name order until the window holds exactly 50. These are VERIFIED
-#: entries filling spare capacity, not stale ones: the ledger attests
-#: their digests unchanged since their recorded rows. Restales from
-#: later edits this round displace rotation entries from the tail
-#: (stale set + rotation = exactly 50; the window stays FULL).
+#: name order until the window holds exactly 50. They were picked as
+#: the verified-but-oldest rows; after the round's scan-cache sweep
+#: (see _SCAN_CACHE_OVERFLOW at module bottom) they are ALSO
+#: digest-stale like everything else, so the window drains the oldest
+#: rows first while the remaining changed-since entries queue per the
+#: freeze policy.
 _ROTATION_R12: list[str] = [
     "quality_gate",
     "repetition_profile",
@@ -12145,3 +12146,32 @@ def quantile_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch_quantiles(
         st, ["l_returnflag"], [100000, 250000, 500000, 750000, 900000, 990000]
     ).select("l_returnflag", "q_e6", "est")
+
+
+# ===========================================================================
+# Round-12 scan-cache sweep restale (SURVEY §8 freeze-policy overflow)
+# ===========================================================================
+#: sources.tables.load_table now reuses the immutable scan frame per
+#: (session, dir, table) — plan/schema METADATA only, the catalog
+#: analog for the path API; every action still reads the parquet bytes
+#: — which re-digests EVERY registry entry at once (load_table is in
+#: every entry's transitive closure). The 50-slot window keeps the
+#: round's 20 behavior-adjacent restales plus the 30-entry freshness
+#: drain in front; the remaining changed-since entries queue here per
+#: the freeze policy (window fully stale, overflow changed-since only,
+#: queued at the _FRONT tail so later rounds drain it mechanically).
+#: Compensating verification THIS round: the close-out cross-SF sweeps
+#: value-verify ALL entries against their DuckDB oracles at sf0.001
+#: and sf0.1 (recorded in OPTIMIZATION_r12.md), strictly more coverage
+#: than the driver's 50-row sample.
+#: (Assignment form, not .extend(): expression statements are module
+#: RESIDUE in the ledger's v2 walk and would pull the window lists —
+#: and through their query-name identifiers half the registry — into
+#: every entry's digest, making window edits restale the world.
+#: Bindings are only hashed when an entry actually references them.)
+_SCAN_CACHE_OVERFLOW: list[str] = sorted(
+    n for n in _REGISTRY if n not in set(_FRONT)
+)
+_OVERFLOW_QUEUE = [*_OVERFLOW_QUEUE, *_SCAN_CACHE_OVERFLOW]
+_FRONT = [*_FRONT, *_SCAN_CACHE_OVERFLOW]
+_MUST_VERIFY = [*_MUST_VERIFY, *_ROTATION_R12, *_SCAN_CACHE_OVERFLOW]

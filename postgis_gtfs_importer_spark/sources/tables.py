@@ -35,7 +35,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # in a non-UTC zone. Runtime-settable conf; set here, not only in our
     # session factory, for exactly that external-session case.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # PER-SESSION scan-frame cache (r12, guide §7.3 planning / §6
+    # listing): path-based ``spark.read.parquet`` re-lists the path and
+    # re-reads parquet footers for schema inference on EVERY call —
+    # measured 82 ms vs 13 ms for a schema-pinned read at sf0.1, and a
+    # typical registry query constructs 1-5 tables, so the suite paid
+    # this fixed metadata cost hundreds of times per run. A catalog
+    # table would resolve its schema from the metastore exactly once;
+    # this cache is the catalog analog for the path API: the immutable
+    # SCAN FRAME (plan metadata only — every action still reads the
+    # parquet bytes; no rows, no results are cached) is reused within
+    # one session per (dir, table). It hangs OFF THE SESSION OBJECT so
+    # a stopped session's frames can never leak into a new one, and
+    # test fixtures that write fresh temp dirs get fresh keys. The
+    # frames are immutable; consumers compose on top as before.
+    cache = getattr(spark, "_graft_scan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_scan_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        cache[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
