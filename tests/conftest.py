@@ -17,6 +17,17 @@ from postgis_gtfs_importer_spark.session import get_spark
 #: full-sweep record).
 RUN_SWEEPS = os.environ.get("SPARK_GRAFT_FULL_TESTS", "") == "1"
 
+#: Test sessions default to local[8]: the suite's frames are tiny, so
+#: at local[32] every action pays 32 task launches (and every
+#: createDataFrame/spread() makes 32 partitions) for rows that fit in
+#: one — measured 90 -> 78 s on a representative module pair from this
+#: alone. Only a default: an explicit SPARK_GRAFT_CPUS (the driver's
+#: scaling runs, the repeat-run-determinism sweep at local[8]) still
+#: wins, and bench.py builds its own session from its own env. Result
+#: parity across core counts is exactly what the adversarial-config
+#: sweep pins.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
 
 def pytest_configure(config):
     config.addinivalue_line(

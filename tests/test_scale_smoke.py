@@ -9,6 +9,9 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+# opt-in by default (surface duplicated by bench.py's own scale smokes (the driver runs those every round)) — SPARK_GRAFT_FULL_TESTS=1 runs it
+pytestmark = pytest.mark.sweep
 from pyspark.sql import functions as F
 
 from postgis_gtfs_importer_spark.operators.derivations import (
