@@ -47,12 +47,42 @@ def dot_double(a: Column | str, b: Column | str) -> Column:
     exact, the products multiply the same doubles, and the fold runs in
     the same left-to-right order from the same 0.0 seed — only the cast
     layer moved out of the per-pair loop. Measured on the sf0.1 cosine
-    pair stage (125k candidate pairs x dim 64): 1.64 -> 1.10 s warm,
+    pair stage (125k candidate pairs x dim 64): 1.71 -> 1.17 s warm,
     byte-equal scores. (An unrolled element_at form was ALSO tried and
     measured 3x SLOWER — 64-term trees fall out of codegen; the
-    negative result is recorded in OPTIMIZATION_r12.md.)"""
+    negative result is recorded in OPTIMIZATION_r12.md.)
+
+    Use this form when the widened array STAYS IN-STAGE between its
+    projection and the scoring fold (e.g. the streamed probe side of a
+    broadcast join): the double array then never crosses an exchange,
+    a checkpoint, or a broadcast, so the widening is free. When the
+    array must cross one of those, prefer :func:`dot_cast` — shipping
+    doubles doubles the payload (guide §2.3 "narrower types")."""
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_cast(a: Column | str, b: Column | str) -> Column:
+    """``dot()`` with the float->double widening FUSED into the product
+    lambda: one zip_with layer instead of two transform layers plus
+    zip_with, and the inputs stay float-narrow through any exchange/
+    checkpoint/broadcast they cross before scoring.
+
+    Bit-identical to ``dot()``: cast-then-multiply on the same element
+    pairs, same fold order, same 0.0 seed (a double input's re-cast is
+    the identity). Measured on the sf0.1 cosine pair stage: orig
+    1.71 s / precast arrays 1.17 s / this 1.30 s — this form keeps
+    ~75% of the precast win while halving the pair join's shuffled
+    bytes at scale, which is the right trade wherever the arrays cross
+    an exchange (the cell/bucket self-joins)."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a), _c(b),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -161,13 +161,15 @@ def cosine_dup_pairs(
     deterministic and oracle-replayable: id_a < id_b, score rounded e6.
     """
     planes = fixed_planes(dim, n_planes, seed)
-    # norms AND the float->double widening precomputed ONCE per row, not
-    # per candidate pair (r12, V.dot_double): cosine at pair time is a
-    # single zip_with fold + a division. Same expressions →
-    # bit-identical doubles → the oracle comparison is unaffected.
+    # norms precomputed ONCE per row, not per candidate pair; the
+    # float->double widening is FUSED into the pair fold (r12,
+    # V.dot_cast): one lambda layer per pair instead of three, while
+    # the checkpointed/broadcast side relation stays float-narrow
+    # (guide §2.3). Same expressions → bit-identical doubles → the
+    # oracle comparison is unaffected.
     side = corpus.select(
         F.col(id_col).alias("id"),
-        V.double_array(F.col(vec_col)).alias("emb"),
+        F.col(vec_col).alias("emb"),
         V.l2_norm(F.col(vec_col)).alias("nrm"),
         V.hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
     )
@@ -184,7 +186,7 @@ def cosine_dup_pairs(
         .withColumn(
             "score_e6",
             F.floor(
-                V.dot_double(F.col("a.emb"), F.col("b.emb"))
+                V.dot_cast(F.col("a.emb"), F.col("b.emb"))
                 / (F.col("a.nrm") * F.col("b.nrm"))
                 * F.lit(1e6)
                 + F.lit(0.5)
@@ -332,14 +334,13 @@ def ivf_topk(
     cent = F.broadcast(
         materialize(_centroid_table(corpus, n_centroids, id_col, vec_col, centroids))
     )
-    # the corpus side carries the PRE-WIDENED double array (r12): every
-    # probed pair below re-ran the float->double transform per
-    # candidate; V.dot handles the already-double input identically in
-    # the assignment pass
+    # arrays stay float-narrow through the checkpoint and the cid join;
+    # the probe-pair scoring below fuses the float->double widening into
+    # its fold (r12, V.dot_cast)
     side = materialize(
         corpus.select(
             F.col(id_col).alias("vec_id"),
-            V.double_array(F.col(vec_col)).alias("emb"),
+            F.col(vec_col).alias("emb"),
             V.l2_norm(F.col(vec_col)).alias("nrm"),
         )
     )
@@ -353,7 +354,7 @@ def ivf_topk(
     probes = (
         queries.select(
             F.col(id_col).alias("q_id"),
-            V.double_array(F.col(vec_col)).alias("q_emb"),
+            F.col(vec_col).alias("q_emb"),
             V.l2_norm(F.col(vec_col)).alias("q_nrm"),
         )
         .join(cent, F.lit(True))
@@ -380,7 +381,7 @@ def ivf_topk(
         .withColumn(
             "score",
             F.round(
-                V.dot_double(F.col("q_emb"), F.col("emb"))
+                V.dot_cast(F.col("q_emb"), F.col("emb"))
                 / (F.col("q_nrm") * F.col("nrm")),
                 6,
             ),
@@ -589,22 +590,23 @@ def semantic_dedup(
         )
     )
     assigned = materialize(_assign(side, cent))
-    # the cluster self-join pays the dot per candidate pair: widen the
-    # arrays once per row here, not per pair (r12, V.dot_double)
+    # the cluster self-join shuffles both projections by cid, so the
+    # arrays stay float-narrow through the exchange and the widening is
+    # fused into the pair fold (r12, V.dot_cast — the knn_graph trade)
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
-        V.double_array(F.col("emb")).alias("emb_a"),
+        F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
         "cid",
     )
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
-        V.double_array(F.col("emb")).alias("emb_b"),
+        F.col("emb").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
         "cid",
     )
     score_e6 = F.floor(
-        V.dot_double(F.col("emb_a"), F.col("emb_b"))
+        V.dot_cast(F.col("emb_a"), F.col("emb_b"))
         / (F.col("nrm_a") * F.col("nrm_b"))
         * F.lit(1e6)
         + F.lit(0.5)
@@ -753,27 +755,28 @@ def knn_graph(
         V.l2_norm(F.col(vec_col)).alias("nrm"),
     )
     assigned = materialize(_assign(side, cent))
-    # float->double widening hoisted to these per-ROW projections (r12,
-    # V.dot_double): the cell join multiplies rows into candidate pairs,
-    # and the interpreted cast transform was re-running per pair. The
-    # checkpoint itself stays float-narrow.
+    # the cell join shuffles BOTH projections by cid (sort-merge at
+    # scale), so the arrays stay float-narrow through the exchange and
+    # the float->double widening is fused into the pair fold (r12,
+    # V.dot_cast — one lambda layer per pair instead of three, half
+    # the exchange bytes of a pre-widened projection).
     a = assigned.select(
         F.col("cid"),
         F.col("vec_id"),
-        V.double_array(F.col("emb")).alias("a_emb"),
+        F.col("emb").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
     b = assigned.select(
         F.col("cid"),
         F.col("vec_id").alias("nbr_id"),
-        V.double_array(F.col("emb")).alias("b_emb"),
+        F.col("emb").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
     pairs = a.join(b, "cid").filter(F.col("vec_id") != F.col("nbr_id"))
     scored = pairs.withColumn(
         "score",
         F.round(
-            V.dot_double(F.col("a_emb"), F.col("b_emb"))
+            V.dot_cast(F.col("a_emb"), F.col("b_emb"))
             / (F.col("a_nrm") * F.col("b_nrm")),
             6,
         ),
